@@ -1,0 +1,163 @@
+"""Unit tests for pure-numpy geometry kernels vs brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm2gtfs_ray.geo import cells, haversine, centroid, pip
+
+
+RNG = np.random.default_rng(42)
+
+
+class TestCells:
+    def test_roundtrip_ij(self):
+        ix = RNG.integers(0, 2**18, size=1000)
+        iy = RNG.integers(0, 2**17, size=1000)
+        key = cells.ij_to_cell(ix, iy)
+        jx, jy = cells.cell_to_ij(key)
+        np.testing.assert_array_equal(ix, jx)
+        np.testing.assert_array_equal(iy, jy)
+
+    def test_cell_center_within_cell(self):
+        lat = RNG.uniform(-89, 89, size=500)
+        lon = RNG.uniform(-180, 180, size=500)
+        key = cells.cell_of(lat, lon)
+        clat, clon = cells.cell_to_center(key)
+        sz = cells.cell_size_deg()
+        assert np.all(np.abs(clat - lat) <= sz)
+        assert np.all(np.abs(clon - lon) <= sz)
+        # re-keying the center returns the same cell
+        np.testing.assert_array_equal(cells.cell_of(clat, clon), key)
+
+    def test_parent_prefix(self):
+        lat = RNG.uniform(-89, 89, size=200)
+        lon = RNG.uniform(-180, 180, size=200)
+        fine = cells.cell_of(lat, lon, level=18)
+        coarse = cells.cell_of(lat, lon, level=15)
+        np.testing.assert_array_equal(cells.parent_cell(fine, steps=3), coarse)
+
+    def test_neighbor_ring_contains_nearby_point(self):
+        # a point ~100m east must fall in the 1-ring at level 18 (~153m cells)
+        lat = np.array([47.5])
+        lon = np.array([8.5])
+        d = 100.0 / 111_320.0  # ~100 m in degrees at equator scale
+        near = cells.cell_of(lat, lon + d)
+        ring = cells.neighbor_ring(cells.cell_of(lat, lon), k=1)
+        assert near[0] in ring[0]
+
+    def test_neighbor_ring_wraps_antimeridian(self):
+        cell = cells.cell_of(np.array([0.0]), np.array([179.9999]))
+        ring = cells.neighbor_ring(cell, k=1)
+        other_side = cells.cell_of(np.array([0.0]), np.array([-179.9999]))
+        assert other_side[0] in ring[0]
+
+    def test_pole_clamp(self):
+        cell = cells.cell_of(np.array([90.0, -90.0]), np.array([0.0, 0.0]))
+        ring = cells.neighbor_ring(cell, k=1)
+        assert ring.shape == (2, 9)  # no crash, duplicates allowed
+
+
+class TestHaversine:
+    def test_known_distance(self):
+        # Paris -> London ~343.5 km
+        d = haversine.haversine_m(48.8566, 2.3522, 51.5074, -0.1278)
+        assert abs(d - 343_500) < 1500
+
+    def test_zero(self):
+        assert haversine.haversine_m(10.0, 20.0, 10.0, 20.0) == 0.0
+
+    def test_broadcast_matrix(self):
+        lat = RNG.uniform(-80, 80, size=10)
+        lon = RNG.uniform(-180, 180, size=10)
+        m = haversine.haversine_m(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        assert m.shape == (10, 10)
+        np.testing.assert_allclose(np.diag(m), 0.0, atol=1e-6)
+        np.testing.assert_allclose(m, m.T, rtol=1e-12)
+
+
+class TestCentroid:
+    def test_simple_mean(self):
+        lat, lon = centroid.spherical_centroid(
+            np.array([10.0, 10.0, 12.0, 12.0]), np.array([20.0, 22.0, 20.0, 22.0])
+        )
+        assert abs(lat - 11.0) < 0.01
+        assert abs(lon - 21.0) < 0.01
+
+    def test_partials_merge(self):
+        la = RNG.uniform(-60, 60, size=100)
+        lo = RNG.uniform(-170, 170, size=100)
+        full = centroid.spherical_centroid(la, lo)
+        p1 = centroid.centroid_partials(la[:40], lo[:40])
+        p2 = centroid.centroid_partials(la[40:], lo[40:])
+        merged = centroid.centroid_from_partials(
+            p1[0] + p2[0], p1[1] + p2[1], p1[2] + p2[2], p1[3] + p2[3]
+        )
+        assert abs(full[0] - merged[0]) < 1e-9
+        assert abs(full[1] - merged[1]) < 1e-9
+
+    def test_grouped_matches_loop(self):
+        la = RNG.uniform(-60, 60, size=200)
+        lo = RNG.uniform(-170, 170, size=200)
+        codes = RNG.integers(0, 5, size=200)
+        glat, glon = centroid.grouped_centroid(la, lo, codes, 5)
+        for g in range(5):
+            m = codes == g
+            want = centroid.spherical_centroid(la[m], lo[m])
+            assert abs(glat[g] - want[0]) < 1e-9
+            assert abs(glon[g] - want[1]) < 1e-9
+
+
+def _brute_pip(px, py, rx, ry):
+    """Classic scalar even-odd point-in-polygon for oracle comparison."""
+    n = len(rx)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        if (ry[i] > py) != (ry[j] > py):
+            xin = rx[i] + (py - ry[i]) / (ry[j] - ry[i]) * (rx[j] - rx[i])
+            if px < xin:
+                inside = not inside
+        j = i
+    return inside
+
+
+class TestPIP:
+    def test_square(self):
+        ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
+        ring_lon = np.array([0.0, 1.0, 1.0, 0.0])
+        plat = np.array([0.5, 1.5, -0.1, 0.999])
+        plon = np.array([0.5, 0.5, 0.5, 0.999])
+        got = pip.points_in_polygon(plat, plon, ring_lat, ring_lon)
+        np.testing.assert_array_equal(got, [True, False, False, True])
+
+    def test_star_polygon_vs_brute(self):
+        # non-convex star
+        ang = np.linspace(0, 2 * np.pi, 10, endpoint=False)
+        r = np.where(np.arange(10) % 2 == 0, 1.0, 0.4)
+        ring_lat = r * np.sin(ang)
+        ring_lon = r * np.cos(ang)
+        plat = RNG.uniform(-1.2, 1.2, size=300)
+        plon = RNG.uniform(-1.2, 1.2, size=300)
+        got = pip.points_in_polygon(plat, plon, ring_lat, ring_lon)
+        want = np.array(
+            [_brute_pip(x, y, ring_lon, ring_lat) for x, y in zip(plon, plat)]
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_edge_and_vertex_deterministic(self):
+        ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
+        ring_lon = np.array([0.0, 1.0, 1.0, 0.0])
+        # exactly on edge / vertex: result is stable across repeated calls
+        plat = np.array([0.0, 0.0, 0.5])
+        plon = np.array([0.5, 0.0, 0.0])
+        a = pip.points_in_polygon(plat, plon, ring_lat, ring_lon)
+        b = pip.points_in_polygon(plat, plon, ring_lat, ring_lon)
+        np.testing.assert_array_equal(a, b)
+
+    def test_bbox(self):
+        got = pip.bbox_contains(
+            np.array([0.5, 2.0]), np.array([0.5, 0.5]), 0.0, 0.0, 1.0, 1.0
+        )
+        np.testing.assert_array_equal(got, [True, False])
