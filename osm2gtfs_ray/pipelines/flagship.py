@@ -1,0 +1,106 @@
+"""Flagship pipeline: pages → extract → geocode → spatial join → assignments.
+
+The north_star pipeline over the `input_hint` pages table:
+
+    pages ─ map_batches(TextExtractor, actor pool)      # html → text + geo entities
+          ─ map_batches(explode_entities)               # 1 row per entity
+          ─ map_batches(assign_cells)                   # H3-res-9-equivalent cell keys
+          ─ map_batches(SpatialJoiner, actor pool)      # PIP + kNN vs broadcast tiles
+          ─ per-batch partial count → groupby((cell, tile)).sum   # tile assignments
+
+Streaming end to end: nothing materializes the full corpus; the only
+shuffle is the final small aggregate over per-batch partials. The html
+column is dropped inside the extractor (projection pushdown for the
+wide binary column, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.stages.extract import TextExtractor, explode_entities
+from osm2gtfs_ray.stages.geocode import COARSE_LEVEL, assign_cells
+from osm2gtfs_ray.stages.spatial_join import SpatialJoiner
+
+
+def extract_stage(pages_ds, concurrency=4, batch_size=1024):
+    return pages_ds.map_batches(
+        TextExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def invariant_mismatches(extracted_ds) -> int:
+    """Count rows violating the per-row invariant (extracted text must
+    byte-equal the oracle `text` column). Distributed count, no
+    materialization."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.equal(batch["text_extracted"], batch["text"]))
+        return pa.table({"bad": pa.array([int(pc.sum(pc.cast(bad, pa.int64())).as_py() or 0)])})
+
+    parts = extracted_ds.map_batches(check, batch_format="pyarrow")
+    return int(parts.sum("bad") or 0)
+
+
+def entities_stage(extracted_ds):
+    ds = extracted_ds.select_columns(["url", "entities"])
+    ds = ds.map_batches(explode_entities, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(assign_cells, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def join_stage(entities_ds, tiles: pa.Table, concurrency=4, batch_size=4096, knn_radius_m=None):
+    import ray
+
+    tiles_ref = ray.put(tiles)
+    kwargs = {"tiles_ref": tiles_ref}
+    if knn_radius_m is not None:
+        kwargs["knn_radius_m"] = knn_radius_m
+    return entities_ds.map_batches(
+        SpatialJoiner,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=kwargs,
+        zero_copy_batch=True,
+    )
+
+
+def assignments_stage(join_rows_ds):
+    """tile_assignments(entity_cell, tile_id, count): partial count per
+    batch inside map_batches, then a tiny groupby over partials — the
+    pre-aggregated shuffle pattern (SURVEY.md §7.3)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["cell_coarse", "tile_id"]).rename_columns(
+            ["entity_cell", "tile_id"]
+        )
+        t = t.filter(pc.is_valid(t["tile_id"]))
+        g = t.group_by(["entity_cell", "tile_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["entity_cell", "tile_id", "partial"])
+
+    parts = join_rows_ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(["entity_cell", "tile_id"]).sum("partial")
+    return out.map_batches(
+        lambda b: b.rename_columns(["entity_cell", "tile_id", "count"]),
+        batch_format="pyarrow",
+    )
+
+
+def run_flagship(
+    pages_ds,
+    tiles: pa.Table,
+    concurrency: int = 4,
+    batch_size: int = 1024,
+):
+    """Full pipeline; returns dict of (lazy) Datasets."""
+    extracted = extract_stage(pages_ds, concurrency=concurrency, batch_size=batch_size)
+    entities = entities_stage(extracted)
+    join_rows = join_stage(entities, tiles, concurrency=concurrency)
+    assignments = assignments_stage(join_rows)
+    return {"extracted": extracted, "entities": entities, "join_rows": join_rows,
+            "assignments": assignments}

@@ -1,0 +1,278 @@
+"""Deterministic synthetic Common-Crawl-style corpus (pages / tiles / entities).
+
+Implements the graft input from BASELINE.json `input_hint`:
+``pages(url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string)`` plus the polygon ``tiles`` table and the per-page
+``geo_entities`` oracle table (FIXTURES.md §1). Everything is a pure
+function of (row index, seed) via a splitmix64 mixer, so generation is
+bit-stable regardless of partitioning, parallelism, or generation
+order — the property the per-row invariant (byte-identical extracted
+text per url) and golden tests rely on.
+
+Fixture guarantees (FIXTURES.md §4):
+  * hot cells: ~`HOT_FRACTION` of entities concentrate in a few
+    ~300 m-radius urban clusters (≈100× median cell density) — the skew
+    analogue of the reference's busy transit hubs
+    (/root/reference/osm2gtfs/creators/br_florianopolis/trips_creator_br_florianopolis.py:20).
+  * shared entity names across pages (clustering fixture, per
+    stops_creator_gh_accra.py:40-43).
+  * html embeds the text with inline markup + escaped entities such
+    that `stages.extract.TextExtractor` inverts it byte-identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+# world region for the synthetic geography
+REGION = dict(south=-20.0, west=-30.0, north=20.0, east=30.0)
+
+# dense "urban" cluster centers (hot cells for skew tests)
+HOT_CENTERS = [(1.234, 2.345), (-3.456, 10.123), (8.765, -12.321)]
+HOT_FRACTION = 0.5  # half of all entities land in the 3 clusters
+HOT_RADIUS_DEG = 0.003  # ~330 m
+
+VOCAB = (
+    "the of and to a in is was he for it with as his on be at by had not are "
+    "but from or have an they which one you were her all she there would their "
+    "we him been has when who will more no if out so said what up its about "
+    "into than them can only other new some could time these two may then do "
+    "first any my now such like our over man me even most made after also did "
+    "many before must through back years where much your way well down should "
+    "because each just those people A&B x<y q>p tip&trick"
+).split()
+
+LANGS = ["en", "de", "fr", "es", "pt"]
+
+ENTITY_NAMES = [f"Place_{i:03d}" for i in range(200)]
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    x += GOLDEN
+    x = (x ^ (x >> np.uint64(30))) * _M1
+    x = (x ^ (x >> np.uint64(27))) * _M2
+    return x ^ (x >> np.uint64(31))
+
+
+def _u01(idx: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    """Uniform [0,1) per row index, independent per stream."""
+    h = mix64(
+        np.asarray(idx, dtype=np.uint64)
+        ^ (np.uint64(stream) * np.uint64(0xDEADBEEFCAFE))
+        ^ (np.uint64(seed) << np.uint64(32))
+    )
+    return (h >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+
+
+def _uint(idx: np.ndarray, stream: int, seed: int, mod: int) -> np.ndarray:
+    h = mix64(
+        np.asarray(idx, dtype=np.uint64)
+        ^ (np.uint64(stream) * np.uint64(0xC0FFEE123457))
+        ^ (np.uint64(seed) << np.uint64(32))
+    )
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _entity_latlon(eidx: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Entity positions: HOT_FRACTION clustered (skew), rest uniform."""
+    hot = _u01(eidx, 101, seed) < HOT_FRACTION
+    which = _uint(eidx, 102, seed, len(HOT_CENTERS))
+    hc = np.array(HOT_CENTERS)
+    lat_hot = hc[which, 0] + (_u01(eidx, 103, seed) - 0.5) * 2 * HOT_RADIUS_DEG
+    lon_hot = hc[which, 1] + (_u01(eidx, 104, seed) - 0.5) * 2 * HOT_RADIUS_DEG
+    lat_uni = REGION["south"] + _u01(eidx, 105, seed) * (REGION["north"] - REGION["south"])
+    lon_uni = REGION["west"] + _u01(eidx, 106, seed) * (REGION["east"] - REGION["west"])
+    return np.where(hot, lat_hot, lat_uni), np.where(hot, lon_hot, lon_uni)
+
+
+def _page_text_and_entities(i: int, seed: int):
+    """Text (str), html body parts, and entity rows for page i."""
+    n_words = 20 + int(_uint(np.array([i]), 1, seed, 180)[0])
+    word_ids = _uint(np.arange(n_words, dtype=np.uint64) + np.uint64(i) * np.uint64(1_000_003), 2, seed, len(VOCAB))
+    words = [VOCAB[w] for w in word_ids]
+    text = " ".join(words)
+
+    n_ent = int(_uint(np.array([i]), 3, seed, 4)[0])  # 0..3 entities per page
+    eidx = np.uint64(i) * np.uint64(8) + np.arange(n_ent, dtype=np.uint64)
+    name_ids = _uint(eidx, 4, seed, len(ENTITY_NAMES))
+    lat, lon = _entity_latlon(eidx, seed)
+    ents = [
+        (ENTITY_NAMES[name_ids[j]], round(float(lat[j]), 6), round(float(lon[j]), 6))
+        for j in range(n_ent)
+    ]
+    return text, ents
+
+
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _render_html(i: int, text: str, ents, seed: int) -> bytes:
+    """Wrap text in markup that TextExtractor inverts byte-identically.
+
+    Inline tags are inserted at word boundaries without introducing
+    whitespace; geo entities are out-of-band <span class="geo"/> markers
+    carrying name/lat/lon attributes (they contribute no body text).
+    """
+    words = text.split(" ")
+    k = int(_uint(np.array([i]), 5, seed, max(1, len(words)))[0])
+    out = []
+    for j, w in enumerate(words):
+        ew = _escape(w)
+        if j == k:
+            ew = f"<b>{ew}</b>"
+        elif j == (k * 2 + 3) % max(1, len(words)):
+            ew = f"<em class=\"hl\">{ew}</em>"
+        out.append(ew)
+    geo = "".join(
+        f'<span class="geo" data-name="{n}" data-lat="{la}" data-lon="{lo}"></span>'
+        for (n, la, lo) in ents
+    )
+    html = (
+        f"<html><head><title>doc {i}</title>{geo}</head><body>"
+        + " ".join(out)
+        + "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+BASE_TS = np.datetime64("2025-01-01T00:00:00", "us")
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def make_pages_batch(start: int, count: int, seed: int = 42) -> pa.Table:
+    """Pages rows for global indices [start, start+count)."""
+    idx = np.arange(start, start + count, dtype=np.uint64)
+    urls = [f"https://example.org/p/{i:010d}" for i in idx]
+    ts = BASE_TS + (idx.astype("int64") * 37).astype("timedelta64[us]") * 1_000_000
+    lang_ids = _uint(idx, 6, seed, len(LANGS))
+    texts, htmls, langs = [], [], []
+    for n, i in enumerate(idx):
+        text, ents = _page_text_and_entities(int(i), seed)
+        texts.append(text)
+        htmls.append(_render_html(int(i), text, ents, seed))
+        langs.append(LANGS[lang_ids[n]])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+
+def make_entities_batch(start: int, count: int, seed: int = 42) -> pa.Table:
+    """Oracle geo_entities rows for pages [start, start+count)."""
+    urls, names, lats, lons = [], [], [], []
+    for i in range(start, start + count):
+        _, ents = _page_text_and_entities(i, seed)
+        for (n, la, lo) in ents:
+            urls.append(f"https://example.org/p/{i:010d}")
+            names.append(n)
+            lats.append(la)
+            lons.append(lo)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "entity": pa.array(names, pa.string()),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+        }
+    )
+
+
+def pages_dataset(n: int, seed: int = 42, override_num_blocks: int | None = None):
+    """Streaming synthetic pages Dataset — generation itself is a
+    map_batches over a range, so it scales out like a read."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        return make_pages_batch(int(ids[0]), len(ids), seed)
+
+    base = ray.data.range(n, override_num_blocks=override_num_blocks)
+    return base.map_batches(gen, batch_format="pyarrow", batch_size=4096)
+
+
+# ---------------------------------------------------------------- tiles ----
+
+def make_tiles_table(n_tiles: int = 64, seed: int = 42) -> pa.Table:
+    """Polygon tiles: convex n-gons gridded over REGION plus one small
+    dense tile per hot center (skew fixture). Ring is a closed
+    list<struct<lat,lon>>; cell_prefix is the level-8 cell of the
+    center (coarse distribution key)."""
+    from osm2gtfs_ray.geo.cells import cell_of
+
+    rows_ring, tile_ids, prefixes, tag_keys, tag_vals = [], [], [], [], []
+    grid = int(np.ceil(np.sqrt(max(1, n_tiles - len(HOT_CENTERS)))))
+    lat_span = REGION["north"] - REGION["south"]
+    lon_span = REGION["east"] - REGION["west"]
+    made = 0
+    for gy in range(grid):
+        for gx in range(grid):
+            if made >= n_tiles - len(HOT_CENTERS):
+                break
+            i = np.array([made], dtype=np.uint64)
+            clat = REGION["south"] + (gy + 0.5) / grid * lat_span
+            clon = REGION["west"] + (gx + 0.5) / grid * lon_span
+            nv = 5 + int(_uint(i, 11, seed, 4)[0])
+            radius = (0.25 + 0.5 * _u01(i, 12, seed)[0]) * min(lat_span, lon_span) / grid
+            ang = np.linspace(0, 2 * np.pi, nv, endpoint=False) + _u01(i, 13, seed)[0]
+            ring = [
+                {"lat": float(clat + radius * np.sin(a)), "lon": float(clon + radius * np.cos(a))}
+                for a in ang
+            ]
+            ring.append(ring[0])
+            rows_ring.append(ring)
+            tile_ids.append(f"tile_{made:05d}")
+            prefixes.append(int(cell_of(np.array([clat]), np.array([clon]), level=8)[0]))
+            tag_keys.append(["kind", "grid"])
+            tag_vals.append(["rural", f"{gx},{gy}"])
+            made += 1
+    for h, (clat, clon) in enumerate(HOT_CENTERS):
+        ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        r = HOT_RADIUS_DEG * 2.0
+        ring = [
+            {"lat": float(clat + r * np.sin(a)), "lon": float(clon + r * np.cos(a))}
+            for a in ang
+        ]
+        ring.append(ring[0])
+        rows_ring.append(ring)
+        tile_ids.append(f"tile_hot_{h}")
+        prefixes.append(int(cell_of(np.array([clat]), np.array([clon]), level=8)[0]))
+        tag_keys.append(["kind"])
+        tag_vals.append(["urban"])
+
+    ring_type = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+    tags = pa.MapArray.from_arrays(
+        pa.array(np.cumsum([0] + [len(k) for k in tag_keys]), pa.int32()),
+        pa.array([k for ks in tag_keys for k in ks], pa.string()),
+        pa.array([v for vs in tag_vals for v in vs], pa.string()),
+    )
+    return pa.table(
+        {
+            "tile_id": pa.array(tile_ids, pa.string()),
+            "cell_prefix": pa.array(prefixes, pa.uint64()),
+            "ring": pa.array(rows_ring, ring_type),
+            "tags": tags,
+        }
+    )

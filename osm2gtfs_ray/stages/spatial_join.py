@@ -1,0 +1,372 @@
+"""Spatial join: geo-entity points ⋈ polygon tiles (PIP + kNN fallback).
+
+Generalizes the reference's core geometry work — snapping stops to
+routes/ways: the bbox membership predicate
+(/root/reference/osm2gtfs/core/osm_connector.py:38-41), and the
+nearest-named-feature argmin within a radius
+(/root/reference/osm2gtfs/core/osm_connector.py:715-785, SURVEY.md G4,
+O4) — to Common-Crawl-scale points against OSM-derived polygon tiles.
+
+Two physical plans, same logical result:
+
+1. **Broadcast plan (default).** The tile table is small relative to
+   the page corpus (millions of tiles vs 10^12 pages), so it is
+   ``ray.put`` once and every ``SpatialJoiner`` actor builds its
+   prepared index ONCE in ``__init__`` (the STRtree analogue: a
+   cell→tile-candidates hash grid at COARSE level over packed
+   coordinate arrays + bbox prefilter). No shuffle at all — the join is
+   embarrassingly parallel over page blocks, which is what makes the
+   N→4N scaling efficiency hold: there is no all-to-all exchange to
+   bottleneck.
+
+2. **Shuffle plan** (``spatial_join_shuffle``): for tile sets too big
+   to broadcast. Entities are keyed by coarse cell, tiles are
+   replicated to every coarse cell their bbox covers, and a
+   ``groupby(cell_coarse)`` co-locates both sides; PIP runs inside
+   ``map_groups``. Hot cells (dense urban tiles — the skew analogue of
+   the reference's busy hubs) are salted: probe rows split into
+   ``cell#salt`` subkeys, the tile side replicated per salt, results
+   unioned — identical output, bounded group size.
+
+Tie-breaks are deterministic: multiple PIP hits emit one row per tile
+ordered by tile_id; kNN ties break on lowest tile_id (mirroring the
+reference's sorted-by-osm_id determinism,
+/root/reference/osm2gtfs/creators/gh_accra/stops_creator_gh_accra.py:48).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.geo.cells import (
+    cell_of,
+    ij_to_cell,
+    latlon_to_ij,
+    neighbor_ring,
+    parent_cell,
+)
+from osm2gtfs_ray.geo.haversine import haversine_m
+from osm2gtfs_ray.geo.centroid import spherical_centroid
+from osm2gtfs_ray.geo.pip import points_in_polygon
+from osm2gtfs_ray.stages.geocode import COARSE_LEVEL, DEFAULT_LEVEL
+
+KNN_RADIUS_M = 100_000.0  # kNN fallback search radius (generalizes the 50 m of G4)
+
+
+def _unpack_tiles(tiles: pa.Table):
+    """tiles table → (tile_ids, [lat arrays], [lon arrays], bboxes)."""
+    ring = tiles["ring"].combine_chunks()
+    if isinstance(ring, pa.ChunkedArray):
+        ring = ring.combine_chunks()
+    flat = pc.list_flatten(ring)
+    lat = pc.struct_field(flat, "lat").to_numpy()
+    lon = pc.struct_field(flat, "lon").to_numpy()
+    offsets = pc.list_value_length(ring).to_numpy().astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(offsets)])
+    tile_ids = tiles["tile_id"].to_pylist()
+    lats, lons, bboxes = [], [], np.empty((len(tile_ids), 4))
+    for t in range(len(tile_ids)):
+        la = lat[starts[t] : starts[t + 1]]
+        lo = lon[starts[t] : starts[t + 1]]
+        lats.append(la)
+        lons.append(lo)
+        bboxes[t] = (la.min(), lo.min(), la.max(), lo.max())
+    return tile_ids, lats, lons, bboxes
+
+
+def covering_cells(bbox: np.ndarray, level: int) -> np.ndarray:
+    """All level-`level` cells whose area intersects a (s,w,n,e) bbox."""
+    (s, w, n, e) = bbox
+    ix0, iy0 = latlon_to_ij(np.array([s]), np.array([w]), level)
+    ix1, iy1 = latlon_to_ij(np.array([n]), np.array([e]), level)
+    xs = np.arange(ix0[0], ix1[0] + 1)
+    ys = np.arange(iy0[0], iy1[0] + 1)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return ij_to_cell(gx.ravel(), gy.ravel())
+
+
+class TileIndex:
+    """Prepared-geometry index: coarse-cell hash grid over packed rings.
+
+    Built once (per actor, in SpatialJoiner.__init__). Lookup returns
+    candidate tile indices for a batch of points; PIP/kNN verify.
+    """
+
+    def __init__(self, tiles: pa.Table, index_level: int = COARSE_LEVEL):
+        self.index_level = index_level
+        self.tile_ids, self.ring_lats, self.ring_lons, self.bboxes = _unpack_tiles(tiles)
+        self.n_tiles = len(self.tile_ids)
+        # deterministic candidate ordering: ascending tile_id
+        self.order = np.argsort(np.array(self.tile_ids))
+        cell_map: dict[int, list[int]] = {}
+        center_map: dict[int, list[int]] = {}
+        self.center_lat = np.empty(self.n_tiles)
+        self.center_lon = np.empty(self.n_tiles)
+        for t in range(self.n_tiles):
+            for c in covering_cells(self.bboxes[t], index_level):
+                cell_map.setdefault(int(c), []).append(t)
+            cla, clo = spherical_centroid(self.ring_lats[t], self.ring_lons[t])
+            self.center_lat[t], self.center_lon[t] = cla, clo
+            cc = int(cell_of(np.array([cla]), np.array([clo]), index_level)[0])
+            center_map.setdefault(cc, []).append(t)
+        self.cell_map = {c: np.array(ts, dtype=np.int64) for c, ts in cell_map.items()}
+        self.center_map = {c: np.array(ts, dtype=np.int64) for c, ts in center_map.items()}
+
+    def candidates(self, coarse_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(point_idx, tile_idx) candidate pairs for a point batch."""
+        pts, tls = [], []
+        uniq, inv = np.unique(coarse_cells, return_inverse=True)
+        for u_i, c in enumerate(uniq):
+            tiles = self.cell_map.get(int(c))
+            if tiles is None:
+                continue
+            pidx = np.nonzero(inv == u_i)[0]
+            pts.append(np.repeat(pidx, len(tiles)))
+            tls.append(np.tile(tiles, len(pidx)))
+        if not pts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(pts), np.concatenate(tls)
+
+    def pip_matches(self, lat: np.ndarray, lon: np.ndarray, coarse: np.ndarray):
+        """(point_idx, tile_idx) PIP hits; bbox prefilter then ray cast."""
+        p_idx, t_idx = self.candidates(coarse)
+        if len(p_idx) == 0:
+            return p_idx, t_idx
+        bb = self.bboxes[t_idx]
+        keep = (
+            (lat[p_idx] >= bb[:, 0])
+            & (lon[p_idx] >= bb[:, 1])
+            & (lat[p_idx] <= bb[:, 2])
+            & (lon[p_idx] <= bb[:, 3])
+        )
+        p_idx, t_idx = p_idx[keep], t_idx[keep]
+        if len(p_idx) == 0:
+            return p_idx, t_idx
+        # group by tile, vectorized PIP per tile
+        order = np.argsort(t_idx, kind="stable")
+        p_idx, t_idx = p_idx[order], t_idx[order]
+        hits_p, hits_t = [], []
+        bounds = np.nonzero(np.diff(t_idx))[0] + 1
+        for seg_p, seg_t in zip(np.split(p_idx, bounds), np.split(t_idx, bounds)):
+            t = seg_t[0]
+            inside = points_in_polygon(
+                lat[seg_p], lon[seg_p], self.ring_lats[t][:-1], self.ring_lons[t][:-1]
+            )
+            hits_p.append(seg_p[inside])
+            hits_t.append(seg_t[inside])
+        return np.concatenate(hits_p), np.concatenate(hits_t)
+
+    def knn_nearest(self, lat: np.ndarray, lon: np.ndarray, radius_m: float = KNN_RADIUS_M):
+        """Nearest tile center within radius via neighbor-ring expansion.
+
+        Returns (tile_idx or -1, distance_m) per point. Ring k grows
+        until the ring's inner boundary exceeds the radius — exactly
+        generalizing the reference's 50 m-radius argmin (G4/O4).
+        """
+        n = len(lat)
+        best_t = np.full(n, -1, dtype=np.int64)
+        best_d = np.full(n, np.inf)
+        cells0 = cell_of(lat, lon, self.index_level)
+        cell_deg = 360.0 / (1 << self.index_level)
+        cell_m = cell_deg * 111_320.0
+        k_max = int(np.ceil(radius_m / cell_m)) + 1
+        ring = neighbor_ring(cells0, k=k_max, level=self.index_level)
+        for i in range(n):
+            cand = [self.center_map.get(int(c)) for c in np.unique(ring[i])]
+            cand = [c for c in cand if c is not None]
+            if not cand:
+                continue
+            cand = np.unique(np.concatenate(cand))
+            d = haversine_m(lat[i], lon[i], self.center_lat[cand], self.center_lon[cand])
+            ok = d <= radius_m
+            if not ok.any():
+                continue
+            cand, d = cand[ok], d[ok]
+            # tie-break: lowest tile_id among equal distances
+            dmin = d.min()
+            ties = cand[d <= dmin]
+            ids = [self.tile_ids[t] for t in ties]
+            best = ties[int(np.argmin(np.array(ids)))]
+            best_t[i], best_d[i] = best, dmin
+        return best_t, best_d
+
+
+class SpatialJoiner:
+    """Actor-pool stage: entity point batches → join rows.
+
+    fn_constructor arg ``tiles_ref`` is a ``ray.put`` handle to the
+    tiles table — fetched and indexed ONCE per actor, never re-shipped
+    per batch.
+    """
+
+    def __init__(self, tiles_ref=None, tiles: pa.Table | None = None,
+                 index_level: int = COARSE_LEVEL, knn_radius_m: float = KNN_RADIUS_M):
+        if tiles is None:
+            import ray
+
+            tiles = ray.get(tiles_ref)
+        self.index = TileIndex(tiles, index_level=index_level)
+        self.knn_radius_m = knn_radius_m
+        self.tile_id_arr = np.array(self.index.tile_ids, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        if "cell" in batch.column_names:
+            cell = batch["cell"].to_numpy(zero_copy_only=False)
+            coarse = parent_cell(cell, DEFAULT_LEVEL - self.index.index_level)
+        else:
+            cell = cell_of(lat, lon, DEFAULT_LEVEL)
+            coarse = cell_of(lat, lon, self.index.index_level)
+
+        p_hit, t_hit = self.index.pip_matches(lat, lon, coarse)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[p_hit] = True
+        miss = np.nonzero(~matched)[0]
+        k_t, _k_d = self.index.knn_nearest(lat[miss], lon[miss], self.knn_radius_m)
+        k_ok = k_t >= 0
+
+        out_p = np.concatenate([p_hit, miss[k_ok], miss[~k_ok]])
+        out_tile = np.concatenate(
+            [
+                self.tile_id_arr[t_hit],
+                self.tile_id_arr[k_t[k_ok]],
+                np.full((~k_ok).sum(), None, dtype=object),
+            ]
+        )
+        out_method = np.concatenate(
+            [
+                np.full(len(p_hit), "pip", dtype=object),
+                np.full(int(k_ok.sum()), "knn", dtype=object),
+                np.full(int((~k_ok).sum()), "none", dtype=object),
+            ]
+        )
+        # deterministic row order inside the batch: by (point, tile_id)
+        order = np.lexsort((out_tile.astype(str), out_p))
+        out_p, out_tile, out_method = out_p[order], out_tile[order], out_method[order]
+
+        idx = pa.array(out_p)
+        cols = {
+            name: batch[name].take(idx)
+            for name in batch.column_names
+            if name not in ("entities",)
+        }
+        cols["tile_id"] = pa.array(out_tile, pa.string())
+        cols["method"] = pa.array(out_method, pa.string())
+        return pa.table(cols)
+
+
+# ------------------------------------------------------------ shuffle plan --
+
+def replicate_tiles_to_cells(tiles: pa.Table, index_level: int = COARSE_LEVEL) -> pa.Table:
+    """Tile side of the shuffle plan: one row per (covering coarse cell,
+    tile) — the build-side fan-out of the partitioned spatial join."""
+    tile_ids, lats, lons, bboxes = _unpack_tiles(tiles)
+    out_cell, out_tid, out_ring_idx = [], [], []
+    for t in range(len(tile_ids)):
+        cells = covering_cells(bboxes[t], index_level)
+        out_cell.append(cells)
+        out_tid.extend([tile_ids[t]] * len(cells))
+        out_ring_idx.extend([t] * len(cells))
+    rings = tiles["ring"]
+    if isinstance(rings, pa.ChunkedArray):
+        rings = rings.combine_chunks()
+    take_idx = pa.array(np.array(out_ring_idx, dtype=np.int64))
+    return pa.table(
+        {
+            "cell_coarse": pa.array(np.concatenate(out_cell), pa.uint64()),
+            "tile_id": pa.array(out_tid, pa.string()),
+            "ring": rings.take(take_idx),
+        }
+    )
+
+
+def spatial_join_shuffle(
+    entities_ds,
+    tiles: pa.Table,
+    index_level: int = COARSE_LEVEL,
+    hot_threshold: int = 200_000,
+    n_salt: int = 16,
+):
+    """Cell-keyed groupby spatial join with hot-cell salting.
+
+    For tile sets too large to broadcast. Probe rows in cells whose
+    row count exceeds ``hot_threshold`` get a salt subkey (hash of url,
+    stable) and the tile rows of those cells are replicated across all
+    salts — output identical to the broadcast plan, group sizes bounded.
+    """
+    import ray.data
+    import pandas as pd
+
+    # 1. count probe rows per coarse cell (small aggregate) → hot set
+    counts = entities_ds.groupby("cell_coarse").count().to_pandas()
+    hot = set(counts.loc[counts["count()"] > hot_threshold, "cell_coarse"].tolist())
+
+    tile_rows = replicate_tiles_to_cells(tiles, index_level)
+    tdf = tile_rows.to_pandas()
+    salted_tiles = []
+    for _, row in tdf.iterrows():
+        salts = range(n_salt) if row["cell_coarse"] in hot else (0,)
+        for s in salts:
+            salted_tiles.append(
+                {
+                    "key": f"{row['cell_coarse']}#{s}",
+                    "tile_id": row["tile_id"],
+                    "ring": row["ring"],
+                    "side": "tile",
+                    "url": None,
+                    "entity": None,
+                    "lat": np.nan,
+                    "lon": np.nan,
+                }
+            )
+    tiles_ds = ray.data.from_pandas(pd.DataFrame(salted_tiles))
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        cc = batch["cell_coarse"].to_numpy(dtype=np.uint64)
+        from osm2gtfs_ray.sources.pages import mix64
+
+        salt = np.zeros(len(batch), dtype=np.int64)
+        is_hot = np.isin(cc, np.array(list(hot), dtype=np.uint64)) if hot else np.zeros(len(batch), bool)
+        if is_hot.any():
+            h = mix64(np.arange(len(batch), dtype=np.uint64) ^ cc)
+            salt[is_hot] = (h[is_hot] % np.uint64(n_salt)).astype(np.int64)
+        out = batch[["url", "entity", "lat", "lon"]].copy()
+        out["key"] = [f"{c}#{s}" for c, s in zip(cc, salt)]
+        out["side"] = "probe"
+        out["ring"] = None
+        out["tile_id"] = None
+        return out
+
+    probe_ds = entities_ds.map_batches(add_key, batch_format="pandas")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[g["side"] == "probe"]
+        tls = g[g["side"] == "tile"].sort_values("tile_id")
+        if len(probes) == 0:
+            return pd.DataFrame(columns=["url", "entity", "lat", "lon", "tile_id", "method"])
+        rows = []
+        plat = probes["lat"].to_numpy()
+        plon = probes["lon"].to_numpy()
+        hit_any = np.zeros(len(probes), dtype=bool)
+        for _, t in tls.iterrows():
+            ring = t["ring"]
+            rla = np.array([p["lat"] for p in ring[:-1]])
+            rlo = np.array([p["lon"] for p in ring[:-1]])
+            inside = points_in_polygon(plat, plon, rla, rlo)
+            hit_any |= inside
+            for i in np.nonzero(inside)[0]:
+                rows.append(
+                    (probes.iloc[i]["url"], probes.iloc[i]["entity"], plat[i], plon[i],
+                     t["tile_id"], "pip")
+                )
+        for i in np.nonzero(~hit_any)[0]:
+            rows.append(
+                (probes.iloc[i]["url"], probes.iloc[i]["entity"], plat[i], plon[i], None, "none")
+            )
+        return pd.DataFrame(rows, columns=["url", "entity", "lat", "lon", "tile_id", "method"])
+
+    both = probe_ds.union(tiles_ds)
+    return both.groupby("key").map_groups(join_group, batch_format="pandas")

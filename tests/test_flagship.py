@@ -1,0 +1,97 @@
+"""End-to-end flagship pipeline tests on the synthetic pages corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm2gtfs_ray.sources import pages as pg
+from osm2gtfs_ray.stages.extract import TextExtractor, explode_entities, extract_text_arrow
+from osm2gtfs_ray.geo.pip import points_in_polygon
+from osm2gtfs_ray.pipelines import flagship
+
+
+N_PAGES = 400
+
+
+def test_generator_deterministic():
+    a = pg.make_pages_batch(0, 50)
+    b = pg.make_pages_batch(0, 50)
+    assert a.equals(b)
+    # partition-independent: rows 10..20 generated alone match the slice
+    c = pg.make_pages_batch(10, 10)
+    assert a.slice(10, 10).to_pydict() == c.to_pydict()
+
+
+def test_extract_invariant_byte_identical():
+    t = pg.make_pages_batch(0, 200)
+    got = extract_text_arrow(t["html"].combine_chunks())
+    want = t["text"]
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_extractor_entities_match_oracle():
+    t = pg.make_pages_batch(0, 100)
+    ex = TextExtractor()(t)
+    flat = explode_entities(ex)
+    oracle = pg.make_entities_batch(0, 100)
+    assert flat.to_pydict() == oracle.to_pydict()
+
+
+def _brute_join(entities: pa.Table, tiles: pa.Table):
+    """Brute-force PIP oracle: every point against every tile."""
+    out = set()
+    rings = tiles["ring"].to_pylist()
+    tids = tiles["tile_id"].to_pylist()
+    lat = entities["lat"].to_numpy()
+    lon = entities["lon"].to_numpy()
+    urls = entities["url"].to_pylist()
+    ents = entities["entity"].to_pylist()
+    for t, ring in enumerate(rings):
+        rla = np.array([p["lat"] for p in ring[:-1]])
+        rlo = np.array([p["lon"] for p in ring[:-1]])
+        inside = points_in_polygon(lat, lon, rla, rlo)
+        for i in np.nonzero(inside)[0]:
+            out.add((urls[i], ents[i], tids[t]))
+    return out
+
+
+def test_flagship_end_to_end(ray_session):
+    import ray.data
+
+    tiles = pg.make_tiles_table(40, seed=42)
+    pages = pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=8)
+    res = flagship.run_flagship(pages, tiles, concurrency=1, batch_size=128)
+
+    assert flagship.invariant_mismatches(res["extracted"]) == 0
+
+    join = res["join_rows"].to_pandas()
+    oracle_entities = pg.make_entities_batch(0, N_PAGES)
+    # every entity appears (pip rows may duplicate per overlapping tile)
+    assert set(join["url"]) == set(oracle_entities["url"].to_pylist())
+
+    pip_rows = join[join["method"] == "pip"]
+    got = set(zip(pip_rows["url"], pip_rows["entity"], pip_rows["tile_id"]))
+    want = _brute_join(oracle_entities, tiles)
+    assert got == want
+
+    # knn rows: point not in any polygon, tile_id is the nearest center
+    knn_rows = join[join["method"] == "knn"]
+    assert (set(zip(knn_rows["url"], knn_rows["entity"])) & {(u, e) for u, e, _ in want}) == set()
+
+    asn = res["assignments"].to_pandas()
+    assert (asn["count"] > 0).all()
+    # total assignment count equals matched join rows
+    matched = join[join["tile_id"].notna()]
+    assert asn["count"].sum() == len(matched)
+
+
+def test_flagship_hot_cells_present(ray_session):
+    """The skew fixture: hot tiles collect ~HOT_FRACTION of entities."""
+    tiles = pg.make_tiles_table(40, seed=42)
+    pages = pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=4)
+    res = flagship.run_flagship(pages, tiles, concurrency=1, batch_size=128)
+    join = res["join_rows"].to_pandas()
+    hot = join[join["tile_id"].astype(str).str.startswith("tile_hot")]
+    assert len(hot) > 0.3 * len(join)
