@@ -1,0 +1,120 @@
+"""Join operator library, Ray-Data-first.
+
+Physical strategies (SURVEY.md §2.4, ray_guide "Joins and lookups"):
+
+* ``broadcast_join`` — the default for star-schema / dimension joins
+  (the reference's J7 schedule join, J9/J11 dict lookups): the small
+  side is ``ray.put`` ONCE; every map task joins its Arrow batch
+  against it with pyarrow's acero hash join. Zero shuffle; scales
+  linearly with probe blocks.
+* ``broadcast_semi`` / ``broadcast_anti`` — key-set membership filters
+  (the reference's unused-stop/route removal A6/A7,
+  /root/reference/osm2gtfs/creators/stops_creator.py:45-61 and
+  routes_creator.py:42-58): broadcast the distinct key set, filter with
+  ``pc.is_in`` inside map_batches.
+* ``hash_join`` — both sides large: delegates to ``Dataset.join``
+  (hash-partitioned shuffle join, available in this Ray version);
+  callers choose the partition count.
+
+All helpers keep probe-side streaming; only the small side
+materializes (bounded by the caller).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _as_arrow(small) -> pa.Table:
+    import pandas as pd
+    import ray.data
+
+    if isinstance(small, pa.Table):
+        return small
+    if isinstance(small, pd.DataFrame):
+        return pa.Table.from_pandas(small, preserve_index=False)
+    if isinstance(small, ray.data.Dataset):
+        # caller asserts this side is small
+        tables = ray.get(small.to_arrow_refs())
+        tables = [t for t in tables if t.num_rows > 0] or tables[:1]
+        return pa.concat_tables(tables, promote_options="default")
+    raise TypeError(type(small))
+
+
+def broadcast_join(
+    big_ds,
+    small,
+    keys: list[str] | str,
+    join_type: str = "inner",
+    right_keys: list[str] | str | None = None,
+    right_suffix: str = "_r",
+):
+    """big ⋈ small without a shuffle: small side in the object store
+    once, acero hash join per Arrow batch."""
+    import ray
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    right_keys = (
+        keys if right_keys is None
+        else [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    small_ref = ray.put(_as_arrow(small))
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(small_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(
+                self.small,
+                keys=keys,
+                right_keys=right_keys,
+                join_type=join_type,
+                right_suffix=right_suffix,
+            )
+
+    return big_ds.map_batches(JoinBatch, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _key_set_ref(small, key: str):
+    import ray
+
+    tbl = _as_arrow(small)
+    return ray.put(pc.unique(tbl[key]))
+
+
+def broadcast_semi(big_ds, small, key: str, right_key: str | None = None):
+    """Rows of big whose key appears in small (semi join, no shuffle)."""
+    import ray
+
+    ref = _key_set_ref(small, right_key or key)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key], value_set=ray.get(ref)))
+
+    return big_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def broadcast_anti(big_ds, small, key: str, right_key: str | None = None):
+    """Rows of big whose key does NOT appear in small (anti join —
+    the A6/A7 unused-stop/route semantics)."""
+    import ray
+
+    ref = _key_set_ref(small, right_key or key)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(pc.is_in(batch[key], value_set=ray.get(ref))))
+
+    return big_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_join(left_ds, right_ds, keys, join_type: str = "inner", num_partitions: int = 16):
+    """Large ⋈ large: Ray Data's hash-partitioned shuffle join."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return left_ds.join(
+        right_ds,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(keys),
+    )

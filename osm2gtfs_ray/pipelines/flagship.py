@@ -16,6 +16,7 @@ wide binary column, SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -104,3 +105,47 @@ def run_flagship(
     assignments = assignments_stage(join_rows)
     return {"extracted": extracted, "entities": entities, "join_rows": join_rows,
             "assignments": assignments}
+
+
+def pages_from_documents(sf_dir: str):
+    """Deterministic `input_hint`-shaped pages table derived from the
+    driver's documents table: each doc's text is wrapped in synthetic
+    html (with geo-entity markers keyed off doc_id) such that the
+    extractor inverts it byte-identically. No external data."""
+    from osm2gtfs_ray.sources.tables import read_table
+    from osm2gtfs_ray.sources import pages as pg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        urls, ts, htmls = [], [], []
+        for i, text in zip(ids, texts):
+            i = int(i)
+            _, ents = pg._page_text_and_entities(i, seed=42)
+            urls.append(f"https://docs.example/{i:010d}")
+            ts.append(pg.BASE_TS + np.timedelta64(i, "s"))
+            htmls.append(pg._render_html(i, text, ents, seed=42))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    return docs.map_batches(render, batch_format="pyarrow")
+
+
+def flagship_from_documents(sf_dir: str, concurrency: int = 2, batch_size: int = 1024):
+    """Flagship over documents-derived pages + the deterministic tile
+    set — the driver-facing entry/queries surface."""
+    from osm2gtfs_ray.sources import pages as pg
+
+    tiles = pg.make_tiles_table(64, seed=42)
+    pages = pages_from_documents(sf_dir)
+    return run_flagship(pages, tiles, concurrency=concurrency, batch_size=batch_size)

@@ -1,0 +1,409 @@
+"""Query registry: one entry per implemented operator (SURVEY.md §2),
+each returning a Ray result plus (where SQL-expressible) a DuckDB
+oracle with IDENTICAL column names and value encodings.
+
+Encoding rules for driver value-hash parity (CORRECTNESS gate):
+* float aggregates are emitted as scaled BIGINTs (``round(x * 10^k)``)
+  on BOTH sides — fp summation-order noise (≪ the rounding grain)
+  cannot flip the hash, and integers hash identically everywhere.
+* timestamps in aggregates are emitted as epoch-second BIGINTs.
+* per-row float columns that must stay float (lat/lon) are rounded to
+  a fixed grain on both sides.
+
+Each query docstring names the reference operator(s) it re-expresses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from osm2gtfs_ray.ops.joins import broadcast_anti, broadcast_join, broadcast_semi
+from osm2gtfs_ray.ops.dedupe import keep_first
+from osm2gtfs_ray.sources.tables import read_table
+
+
+def _epoch_s(arr) -> pa.Array:
+    """timestamp (any unit) → epoch seconds int64 (DuckDB epoch())."""
+    return pc.cast(pc.cast(arr, pa.timestamp("s")), pa.int64())
+
+
+def _scaled_int(arr, scale: float) -> pa.Array:
+    """round(x*scale) → int64, half towards infinity (matches DuckDB ROUND)."""
+    x = pc.multiply(pc.cast(arr, pa.float64()), pa.scalar(float(scale)))
+    return pc.cast(pc.round(x, ndigits=0, round_mode="half_towards_infinity"), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: filter → projection → grouped aggregate
+# (reference semantics: A-family grouped aggregates, SURVEY.md §2.5;
+#  pre-aggregation happens inside Ray's hash aggregate per block)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """Filter + multi-aggregate groupby (vectorized Arrow kernels)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1997-06-01", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty_raw"),
+            Sum("l_extendedprice", alias_name="sum_base_raw"),
+            Sum("disc_price", alias_name="sum_disc_raw"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": _scaled_int(t["sum_qty_raw"], 100),
+                "sum_base_price": _scaled_int(t["sum_base_raw"], 100),
+                "sum_disc_price": _scaled_int(t["sum_disc_raw"], 100),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)       AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)  AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-06-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Broadcast multi-join + top-k (reference J7 multi-key join + O4 top-k)
+# --------------------------------------------------------------------------
+
+def q_top_orders(sf_dir: str):
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top 10.
+
+    Both dims broadcast (ray.put once), probe side streams — the J7
+    'broadcast the small side' plan (SURVEY.md §7.3)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    cust_b = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))),
+        batch_format="pyarrow",
+    )
+    orders_dim = broadcast_join(orders, cust_b, keys="o_custkey", right_keys="c_custkey")
+    li_j = broadcast_join(li, orders_dim.select_columns(["o_orderkey", "o_orderdate"]),
+                          keys="l_orderkey", right_keys="o_orderkey")
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "o_orderdate": t["o_orderdate"], "rev": r}
+        )
+
+    agg = (
+        li_j.map_batches(rev, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="rev_raw"))
+    )
+    top = agg.sort("rev_raw", descending=True).limit(10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "odate": _epoch_s(t["o_orderdate"]),
+                "revenue": _scaled_int(t["rev_raw"], 100),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS odate,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY SUM(l_extendedprice * (1.0 - l_discount)) DESC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 5-way star join (broadcast dims) — revenue per nation
+# --------------------------------------------------------------------------
+
+def q_nation_revenue(sf_dir: str):
+    """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (all dims broadcast)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+
+    nat = broadcast_join(nation, region, keys="n_regionkey", right_keys="r_regionkey")
+    cust_dim = broadcast_join(cust, nat, keys="c_nationkey", right_keys="n_nationkey")
+    ord_dim = broadcast_join(orders, cust_dim, keys="o_custkey", right_keys="c_custkey")
+    li_j = broadcast_join(
+        li,
+        ord_dim.select_columns(["o_orderkey", "n_name", "r_name"]),
+        keys="l_orderkey",
+        right_keys="o_orderkey",
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"n_name": t["n_name"], "r_name": t["r_name"], "rev": r})
+
+    agg = (
+        li_j.map_batches(rev, batch_format="pyarrow")
+        .groupby(["n_name", "r_name"])
+        .aggregate(Sum("rev", alias_name="rev_raw"), Count(alias_name="n_items"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "r_name": t["r_name"],
+                "revenue": _scaled_int(t["rev_raw"], 100),
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, r_name,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Anti / semi joins (reference A6/A7 unused-stop/route removal)
+# --------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no URGENT-priority order
+    (re-expresses stops_creator.py:45-61 unused-stop removal: the
+    broadcast-key-set anti-semi-join, A6/A7)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))),
+        batch_format="pyarrow",
+    )
+    return broadcast_anti(cust, urgent, key="c_custkey", right_key="o_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_suppliers_with_sales(sf_dir: str):
+    """Semi-join: suppliers appearing in lineitem (A6 inverse)."""
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey"])
+    out = broadcast_semi(sup, li, key="s_suppkey", right_key="l_suppkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "s_name": t["s_name"],
+                "acctbal": _scaled_int(t["s_acctbal"], 100),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SUPPLIERS_WITH_SALES = """
+SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+"""
+
+
+# --------------------------------------------------------------------------
+# Keep-first dedup (reference J1 consume-once / J3 route_id guard)
+# --------------------------------------------------------------------------
+
+def q_first_order_per_customer(sf_dir: str):
+    """Deterministic keep-first per key: earliest (o_orderdate,
+    o_orderkey) order per customer — the J1/J3 first-wins semantics
+    as hash-partition + per-group sorted head(1)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    first = keep_first(orders, key="o_custkey", order_by=["o_orderdate", "o_orderkey"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "odate": _epoch_s(t["o_orderdate"]),
+            }
+        )
+
+    return first.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_FIRST_ORDER = """
+SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS odate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Distinct + grouped count (reference A2/A9 count stats)
+# --------------------------------------------------------------------------
+
+def q_event_type_counts(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    agg = ev.groupby("event_type").aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENT_TYPE_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+# --------------------------------------------------------------------------
+# Tumbling window (streaming-shaped: events bucketed by hour)
+# --------------------------------------------------------------------------
+
+def q_hourly_event_stats(sf_dir: str):
+    """Tumbling 1h window per event_type: derived window key + grouped
+    aggregate (the batch re-expression of a streaming window;
+    ray_guide 'Streaming-shaped workloads')."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), pa.scalar(3600, pa.int64()))
+        return pa.table({"event_type": t["event_type"], "hour_start": hour, "value": t["value"]})
+
+    agg = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="val_raw"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_start": t["hour_start"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value": _scaled_int(t["val_raw"], 10_000),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HOURLY_EVENT_STATS = """
+SELECT event_type,
+       CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# As-of / previous-row alignment (reference J10 ordered cursor alignment)
+# --------------------------------------------------------------------------
+
+def q_prev_order_gap(sf_dir: str):
+    """Per-customer ordered sequence alignment: each order joined to
+    the customer's previous order (the as-of pattern re-expressing
+    J10's monotone cursor, trips_creator.py:195-245) as sorted
+    map_groups — order carried as data, not block order."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prev(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        ep = (g["o_orderdate"].astype("int64") // 1_000_000).astype("int64")
+        out = pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "prev_odate": ep.shift(1).to_numpy(),
+            }
+        )
+        return out
+
+    res = orders.groupby("o_custkey").map_groups(prev, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "prev_odate": pc.cast(t["prev_odate"], pa.int64()),
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PREV_ORDER_GAP = """
+SELECT o_orderkey,
+       CAST(epoch(LAG(o_orderdate) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS prev_odate
+FROM orders
+"""
