@@ -29,6 +29,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import queries as q
+    from osm2gtfs_ray.pipelines import geo_queries as gq
+    from osm2gtfs_ray.pipelines import text_queries as tq
+    from osm2gtfs_ray.pipelines import sim_queries as sq
     from osm2gtfs_ray.pipelines.flagship import flagship_from_documents
 
     def q_spatial_join_rows(sf_dir: str):
@@ -48,6 +51,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": q.q_event_type_counts,
         "hourly_event_stats": q.q_hourly_event_stats,
         "prev_order_gap": q.q_prev_order_gap,
+        # geo kernels with expression-identical SQL oracles
+        "nation_centroid": gq.q_nation_centroid,
+        "bbox_events": gq.q_bbox_events,
+        "cell_histogram": gq.q_cell_histogram,
+        "nearest_events": gq.q_nearest_events,
+        # text analysis / dedup
+        "token_stats": tq.q_token_stats,
+        "exact_dedup": tq.q_exact_dedup,
+        "doc_quality": tq.q_doc_quality,
+        "lang_id": tq.q_lang_id,
+        # similarity search / near-dedup
+        "ann_topk": sq.q_ann_topk,
+        "cosine_pairs": sq.q_cosine_pairs,
+        "minhash_pairs": sq.q_minhash_pairs,
+        "simhash": sq.q_simhash,
+        "ann_ivf": sq.q_ann_ivf,
+        "props_extract": sq.q_props_extract,
         # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
@@ -56,8 +76,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import queries as q
+    from osm2gtfs_ray.pipelines import geo_queries as gq
+    from osm2gtfs_ray.pipelines import text_queries as tq
+    from osm2gtfs_ray.pipelines import sim_queries as sq
 
     return {
+        "nation_centroid": gq.SQL_NATION_CENTROID,
+        "bbox_events": gq.SQL_BBOX_EVENTS,
+        "cell_histogram": gq.SQL_CELL_HISTOGRAM,
+        "nearest_events": gq.SQL_NEAREST_EVENTS,
+        "token_stats": tq.SQL_TOKEN_STATS,
+        "exact_dedup": tq.SQL_EXACT_DEDUP,
+        "doc_quality": tq.SQL_DOC_QUALITY,
+        "ann_topk": sq.SQL_ANN_TOPK,
+        "cosine_pairs": sq.SQL_COSINE_PAIRS,
+        "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,
         "top_orders": q.SQL_TOP_ORDERS,
         "nation_revenue": q.SQL_NATION_REVENUE,

@@ -1,0 +1,181 @@
+"""Similarity-search and near-dedup queries over embeddings/documents."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from osm2gtfs_ray.sources.tables import read_table, table_path
+from osm2gtfs_ray.stages import ann as ann_mod
+from osm2gtfs_ray.stages.dedup import SimHasher, lsh_candidate_pairs, verify_jaccard
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Driver-side read of ONE row (the query vector) — tiny."""
+    t = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    row = t.filter(pc.equal(t["vec_id"], pa.scalar(vec_id)))
+    return np.array(row["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (exact baseline; SQL-oracled)
+# --------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Top-5 nearest embeddings to vec 0 by cosine — per-batch local
+    top-k against the broadcast query, tiny global sort (O4 argmin at
+    k=5, embedding-space analogue of nearest-feature matching)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_mod.brute_topk(emb, _query_vec(sf_dir), k=5)
+
+
+SQL_ANN_TOPK = """
+SELECT e.vec_id,
+       CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_e6
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY sim_e6 DESC, e.vec_id
+LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact all-pairs cosine near-dup (SQL-oracled at test scale; the LSH
+# variant below is the corpus-scale path)
+# --------------------------------------------------------------------------
+
+_PAIR_TAU = 0.5
+
+
+def q_cosine_pairs(sf_dir: str):
+    """All pairs (a < b) with cosine ≥ 0.5: embedding near-dup.
+
+    Physical plan: full matrix broadcast once (ray.put), each batch
+    computes its rows' sims against it — O(n²/B) per batch, no
+    shuffle. At 10^12 scale the LSH/IVF variant replaces the scan."""
+    import ray
+
+    emb_ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids_all = full["vec_id"].to_numpy()
+    mat = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids_all, mat))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy()
+            e = ann_mod.stack_embeddings(batch["embedding"])
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = e @ self.m.T
+            rows_a, rows_b, rows_s = [], [], []
+            for i in range(len(ids)):
+                mask = (sims[i] >= _PAIR_TAU) & (self.ids > ids[i])
+                js = np.nonzero(mask)[0]
+                rows_a.extend([ids[i]] * len(js))
+                rows_b.extend(self.ids[js].tolist())
+                rows_s.extend(np.rint(sims[i][js] * 1e6).astype(np.int64).tolist())
+            return pa.table(
+                {
+                    "a": pa.array(rows_a, pa.int64()),
+                    "b": pa.array(rows_b, pa.int64()),
+                    "sim_e6": pa.array(rows_s, pa.int64()),
+                }
+            )
+
+    return emb_ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_COSINE_PAIRS = f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS sim_e6
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_PAIR_TAU}
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup (rows-only; recall measured in tests)
+# --------------------------------------------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidate pairs verified by exact shingle Jaccard
+    ≥ 0.5 (shingle→minhash→band→bucket-groupby→verify)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = lsh_candidate_pairs(docs, num_perm=64, n_bands=16, n_shingle=3)
+    docs_table = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+    return verify_jaccard(cand, docs_table, n_shingle=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (rows-only; determinism asserted in tests)
+# --------------------------------------------------------------------------
+
+def q_simhash(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "simhash"])
+
+
+# --------------------------------------------------------------------------
+# IVF approximate top-k (rows-only; recall vs brute measured in tests)
+# --------------------------------------------------------------------------
+
+def q_ann_ivf(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = ann_mod.make_centroids(emb, n_centroids=16)
+    return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# JSON prop extraction (M-family parser) — SQL-oracled
+# --------------------------------------------------------------------------
+
+def q_props_extract(sf_dir: str):
+    """Parse events.props JSON ({"k": int}) with a vectorized re2
+    kernel; sum k per event_type (the M14/M16 parser family)."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)'), "k"
+        )
+        return pa.table(
+            {"event_type": t["event_type"], "k": pc.cast(k, pa.int64())}
+        )
+
+    agg = (
+        ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""

@@ -1,0 +1,120 @@
+"""Text-analysis + dedup queries over the documents table, with SQL
+oracles where DuckDB can express the same computation exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from osm2gtfs_ray.sources.tables import read_table
+from osm2gtfs_ray.stages.text import LangId, QualityScore, token_count_arrow
+
+
+# --------------------------------------------------------------------------
+# Token stats per language (vectorized Arrow regex counting)
+# --------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "n_tokens": token_count_arrow(t["text"])})
+            .group_by("lang")
+            .aggregate([("n_tokens", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["lang", "tok_part", "doc_part"])
+
+    agg = (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("tok_part", alias_name="total_tokens"), Sum("doc_part", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "total_tokens": pc.cast(t["total_tokens"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT lang,
+       SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup by content (groupby text → keep min doc_id + copy count)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition on content, keep-first (min doc_id)
+    — the J1/J3/G7 first-wins semantics applied to documents."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+        )
+
+    return docs.groupby("text").map_groups(first, batch_format="pandas")
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (regex count metrics; English docs)
+# --------------------------------------------------------------------------
+
+def q_doc_quality(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    en = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))), batch_format="pyarrow"
+    )
+    scored = en.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "punct_ct", "upper_ct"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_ct,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_ct
+FROM documents WHERE lang = 'en'
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID accuracy (heuristic; rows-only — not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def q_lang_id(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    pred = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    agg = pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "lang_pred": t["lang_pred"], "n": pc.cast(t["n"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

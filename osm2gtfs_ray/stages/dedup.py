@@ -1,0 +1,196 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact dedup lives in ops/dedupe.py (hash-partition + keep-first). Here:
+near-dup detection — MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine — each expressed as Ray Data stages:
+
+    shingle/minhash per batch (map_batches, vectorized)
+      → explode to (band_id, band_hash, doc_id) rows
+      → groupby(band bucket) → candidate pairs
+      → verify exact similarity → verified pairs
+
+The candidate generation is the scalable (shuffle-bounded) part; the
+verify step re-computes exact similarity so LSH false positives never
+reach the output (false negatives are the documented recall tradeoff,
+measured in tests against the brute-force oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm2gtfs_ray.sources.pages import mix64
+
+_WORD_SPLIT = None  # compiled lazily per process
+
+
+def _words(text: str) -> list[str]:
+    global _WORD_SPLIT
+    if _WORD_SPLIT is None:
+        import re
+
+        _WORD_SPLIT = re.compile(r"\S+")
+    return _WORD_SPLIT.findall(text.lower())
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word n-gram shingles."""
+    ws = _words(text)
+    if len(ws) < n:
+        joined = [" ".join(ws)] if ws else []
+    else:
+        joined = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    if not joined:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.array(
+        [np.uint64(int.from_bytes(__import__("hashlib").blake2b(s.encode(), digest_size=8).digest(), "little")) for s in joined],
+        dtype=np.uint64,
+    )
+    return np.unique(raw)
+
+
+class MinHasher:
+    """num_perm minhash signature via universal hashing a*x+b over the
+    shingle hash set; parameters derived deterministically from seed."""
+
+    def __init__(self, num_perm: int = 64, n_shingle: int = 3, seed: int = 42):
+        idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+        self.a = mix64(idx ^ np.uint64(seed)) | np.uint64(1)  # odd multipliers
+        self.b = mix64(idx + np.uint64(0xABCDEF) + np.uint64(seed))
+        self.num_perm = num_perm
+        self.n_shingle = n_shingle
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.n_shingle)
+        if len(sh) == 0:
+            return np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
+        with np.errstate(over="ignore"):
+            vals = self.a[None, :] * sh[:, None] + self.b[None, :]
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+
+def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
+    """Signature → (band_id, band_hash, doc_id) LSH bucket rows."""
+    import pyarrow.compute as pc
+
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    n = len(batch)
+    mat = pc.list_flatten(sig).to_numpy(zero_copy_only=False).reshape(n, -1)
+    rows_per_band = mat.shape[1] // n_bands
+    doc = batch["doc_id"].to_numpy()
+    out_doc, out_band, out_hash = [], [], []
+    for b in range(n_bands):
+        seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band].copy()
+        with np.errstate(over="ignore"):
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                h = mix64(h ^ seg[:, c])
+        out_doc.append(doc)
+        out_band.append(np.full(n, b, dtype=np.int64))
+        out_hash.append(h)
+    return pa.table(
+        {
+            "band_id": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+            "doc_id": pa.array(np.concatenate(out_doc)),
+        }
+    )
+
+
+def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingle: int = 3):
+    """documents(doc_id, text) → distinct candidate pairs (a < b)."""
+
+    sigs = docs_ds.map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "n_shingle": n_shingle},
+        concurrency=(1, 8),
+    )
+    bands = sigs.map_batches(
+        lambda t: explode_bands(t, n_bands), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+
+    return cand.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def verify_jaccard(pairs_ds, docs_table: pa.Table, n_shingle: int = 3, threshold: float = 0.5):
+    """Exact shingle-set Jaccard for each candidate pair; keeps pairs
+    ≥ threshold. Doc shingle sets broadcast (ray.put once) — at corpus
+    scale this becomes a join against a shingle-set table instead."""
+    import ray
+
+    docs_ref = ray.put(docs_table)
+
+    class Verify:
+        def __init__(self):
+            t = ray.get(docs_ref)
+            self.sets = {
+                int(d): set(shingle_hashes(x, n_shingle).tolist())
+                for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+            }
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for a, b in zip(batch["a"], batch["b"]):
+                sa, sb = self.sets[int(a)], self.sets[int(b)]
+                inter = len(sa & sb)
+                union = len(sa | sb) or 1
+                j = inter / union
+                if j >= threshold:
+                    out.append((int(a), int(b), int(round(j * 1e6))))
+            return pd.DataFrame(out, columns=["a", "b", "jaccard_e6"])
+
+    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+# ------------------------------------------------------------------ simhash
+
+def _stable_word_hash(w: str) -> int:
+    """Process-independent 64-bit word hash (Python's hash() is salted
+    per process — unusable for distributed determinism)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes (unweighted)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros(len(batch), dtype=np.uint64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            ws = _words(text)
+            if not ws:
+                continue
+            hs = mix64(
+                np.array([_stable_word_hash(w) for w in ws], dtype=np.uint64)
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = np.uint64(sum(np.uint64(1) << np.uint64(k) for k in range(64) if votes[k] > 0))
+        return batch.append_column("simhash", pa.array(out, pa.uint64()))
