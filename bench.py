@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "flagship": {...join rows/s, assignments/s...}}
+
+--scaling: runs the same bench twice in FRESH processes at num_cpus=8
+and num_cpus=32 on the same input (the sandbox evidence for the
+N→4N-node criterion, BASELINE.md) and prints both throughputs plus
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_orders",
+    "nation_revenue",
+    "customers_without_orders",
+    "first_order_per_customer",
+    "hourly_event_stats",
+    "prev_order_gap",
+    "nation_centroid",
+    "cell_histogram",
+    "nearest_events",
+    "token_stats",
+    "exact_dedup",
+    "doc_quality",
+    "ann_topk",
+    "minhash_pairs",
+    "simhash",
+    "props_extract",
+]
+
+
+def _consume(res) -> int:
+    """Execute a query result fully; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entry_mod
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    for name in os.listdir(sf_dir):
+        with open(os.path.join(sf_dir, name), "rb") as f:
+            f.read()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    # ---- flagship spatial pipeline over synthetic pages -----------------
+    from osm2gtfs_ray.sources import pages as pgen
+    from osm2gtfs_ray.pipelines import flagship as fl
+
+    n_pages = int(os.environ.get("GRAFT_PAGES", "50000"))
+    tiles = pgen.make_tiles_table(64, seed=42)
+    pool = max(2, ncpu // 4)
+
+    t0 = time.perf_counter()
+    pages = pgen.pages_dataset(n_pages, override_num_blocks=max(2 * ncpu, 16))
+    res = fl.run_flagship(pages, tiles, concurrency=pool, batch_size=2048)
+    join_mat = res["join_rows"].materialize()
+    join_rows = join_mat.count()
+    t_join = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    assignments = fl.assignments_stage(join_mat)
+    n_assign = _consume(assignments)
+    t_assign = time.perf_counter() - t1
+
+    flagship = {
+        "n_pages": n_pages,
+        "join_rows": join_rows,
+        "join_sec": round(t_join, 3),
+        "pages_per_sec": round(n_pages / t_join, 1),
+        "join_rows_per_sec": round(join_rows / t_join, 1),
+        "assign_groups": n_assign,
+        "assign_sec": round(t_assign, 3),
+    }
+    timings["flagship_spatial_join"] = round(t_join + t_assign, 3)
+
+    # ---- operator query suite over the sf tables ------------------------
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        counts[name] = _consume(qs[name](sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline pipelines wall time (flagship spatial join + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "row_counts": counts,
+        "flagship": flagship,
+        "sf": sf,
+        "num_cpus": ncpu,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    out = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same job, fresh ray.init at 8 vs 32 CPUs)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "flagship_8": out[lo]["flagship"],
+        "flagship_32": out[hi]["flagship"],
+        "queries_8": out[lo]["queries"],
+        "queries_32": out[hi]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

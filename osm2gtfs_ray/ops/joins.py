@@ -36,7 +36,10 @@ def _as_arrow(small) -> pa.Table:
         return pa.Table.from_pandas(small, preserve_index=False)
     if isinstance(small, ray.data.Dataset):
         # caller asserts this side is small
-        tables = ray.get(small.to_arrow_refs())
+        tables = [
+            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
+            for t in ray.get(small.to_arrow_refs())
+        ]
         tables = [t for t in tables if t.num_rows > 0] or tables[:1]
         return pa.concat_tables(tables, promote_options="default")
     raise TypeError(type(small))
@@ -61,18 +64,53 @@ def broadcast_join(
     )
     small_ref = ray.put(_as_arrow(small))
 
+    def _nested(f: pa.Field) -> bool:
+        return pa.types.is_nested(f.type)
+
     class JoinBatch:
+        """Acero hash join per batch. Acero rejects nested (list/map/
+        struct) payload columns, so nested columns are detached before
+        the join and re-attached afterwards via row-ordinal takes."""
+
         def __init__(self):
-            self.small = ray.get(small_ref)
+            small = ray.get(small_ref)
+            self.r_nested = [f.name for f in small.schema if _nested(f) and f.name not in right_keys]
+            self.small_full = small
+            scalar = small.drop_columns(self.r_nested)
+            if self.r_nested:
+                scalar = scalar.append_column(
+                    "__ridx__", pa.array(range(small.num_rows), pa.int64())
+                )
+            self.small = scalar
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(
+            l_nested = [
+                f.name for f in batch.schema if _nested(f) and f.name not in keys
+            ]
+            left = batch.drop_columns(l_nested)
+            if l_nested:
+                left = left.append_column(
+                    "__lidx__", pa.array(range(batch.num_rows), pa.int64())
+                )
+            out = left.join(
                 self.small,
                 keys=keys,
                 right_keys=right_keys,
                 join_type=join_type,
                 right_suffix=right_suffix,
             )
+            if l_nested:
+                lidx = out["__lidx__"]
+                for name in l_nested:
+                    out = out.append_column(name, batch[name].take(lidx))
+                out = out.drop_columns(["__lidx__"])
+            if self.r_nested:
+                ridx = out["__ridx__"]
+                for name in self.r_nested:
+                    col_name = name if name not in out.column_names else name + right_suffix
+                    out = out.append_column(col_name, self.small_full[name].take(ridx))
+                out = out.drop_columns(["__ridx__"])
+            return out
 
     return big_ds.map_batches(JoinBatch, batch_format="pyarrow", concurrency=(1, 8))
 

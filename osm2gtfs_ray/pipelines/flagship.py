@@ -25,12 +25,19 @@ from osm2gtfs_ray.stages.geocode import COARSE_LEVEL, assign_cells
 from osm2gtfs_ray.stages.spatial_join import SpatialJoiner
 
 
+def _pool(concurrency):
+    """Actor-pool sizing: always autoscaling (1, n) so the pool cannot
+    reserve every CPU and starve the stateless read/shuffle tasks (two
+    fixed pools of ncpu/2 each deadlock the streaming executor)."""
+    return (1, concurrency) if isinstance(concurrency, int) else concurrency
+
+
 def extract_stage(pages_ds, concurrency=4, batch_size=1024):
     return pages_ds.map_batches(
         TextExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
         zero_copy_batch=True,
     )
 
@@ -65,7 +72,7 @@ def join_stage(entities_ds, tiles: pa.Table, concurrency=4, batch_size=4096, knn
         SpatialJoiner,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
         fn_constructor_kwargs=kwargs,
         zero_copy_batch=True,
     )

@@ -1,0 +1,655 @@
+"""GTFS-parity pipeline: the reference's full creator chain re-expressed
+as Ray Data stages over OSM-shaped Arrow tables.
+
+Reference lifecycle (/root/reference/osm2gtfs/osm2gtfs.py:42-95):
+stops → routes → schedule → trips → cleanup. Here each creator is a
+Dataset transform; containers (routes/stops dicts) become flat tables
+joined by key; the mutable transitfeed.Schedule sink becomes per-table
+Datasets (SURVEY.md §3.1 'Rebuild shape').
+
+Physical notes per stage are inline. Small dimension sides (route
+relations, schedule) are broadcast; the node→way coordinate resolution
+is a hash join because OSM nodes are the big side at planet scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.geo.centroid import spherical_centroid
+from osm2gtfs_ray.ops.alignment import (
+    align_stops_to_schedule,
+    interpolate_times,
+    parse_hm,
+    parse_service,
+)
+from osm2gtfs_ray.ops.stitch import stitch_ways
+
+NO_NAME = "[<no-name>]"  # default for unnamed stops (osm_connector.py:440-441)
+
+# M7 route-type normalization (elements.py:67-83); default Bus
+ROUTE_TYPES = {
+    "tram": "Tram",
+    "light_rail": "Tram",
+    "subway": "Subway",
+    "train": "Rail",
+    "railway": "Rail",
+    "rail": "Rail",
+    "bus": "Bus",
+    "trolleybus": "Bus",
+    "ferry": "Ferry",
+    "boat": "Ferry",
+}
+
+# M6 colour normalization: minimal CSS-name map (webcolors stand-in)
+CSS_COLORS = {
+    "red": "#FF0000", "green": "#008000", "blue": "#0000FF", "white": "#FFFFFF",
+    "black": "#000000", "yellow": "#FFFF00", "orange": "#FFA500",
+    "purple": "#800080", "gray": "#808080", "grey": "#808080", "brown": "#A52A2A",
+}
+
+
+def _tag(tags_col, key: str):
+    """Vectorized open-map lookup (first occurrence)."""
+    got = pc.map_lookup(tags_col, query_key=key, occurrence="first")
+    return got
+
+
+def normalize_color(c: str | None) -> str | None:
+    """M6 (osm_connector.py:343-355): hex upper-cased; CSS name → hex;
+    invalid → None (reference warns + drops)."""
+    if c is None:
+        return None
+    c = c.strip()
+    if c.startswith("#") and len(c) == 7:
+        try:
+            int(c[1:], 16)
+            return c.upper()
+        except ValueError:
+            return None
+    return CSS_COLORS.get(c.lower())
+
+
+def text_color_for(c: str | None) -> str | None:
+    """M12 contrast color (helper.py:95-114): perceived brightness →
+    black or white text."""
+    if not c:
+        return None
+    r, g, b = int(c[1:3], 16), int(c[3:5], 16), int(c[5:7], 16)
+    brightness = (r * 299 + g * 587 + b * 114) / 1000.0
+    return "#000000" if brightness >= 128 else "#FFFFFF"
+
+
+# --------------------------------------------------------------------------
+# Stops (M1 filter, M3 build, M9 stop_id, G1 way centroid)
+# --------------------------------------------------------------------------
+
+def is_stop_mask(tags_col) -> pa.Array:
+    """M1 predicate (osm_connector.py:677-694): public_transport in
+    {platform, station} or highway=bus_stop or amenity=bus_station."""
+    pt = _tag(tags_col, "public_transport")
+    hw = _tag(tags_col, "highway")
+    am = _tag(tags_col, "amenity")
+    # or_kleene: TRUE | NULL = TRUE (plain or_ would null out rows
+    # where one of the looked-up tags is absent)
+    return pc.or_kleene(
+        pc.or_kleene(
+            pc.is_in(pt, value_set=pa.array(["platform", "station"])),
+            pc.fill_null(pc.equal(hw, pa.scalar("bus_stop")), False),
+        ),
+        pc.fill_null(pc.equal(am, pa.scalar("bus_station")), False),
+    ).combine_chunks()
+
+
+def _stop_projection(t: pa.Table, osm_type: str, lat, lon) -> pa.Table:
+    """M3+M9: name defaulting + stop_id precedence ref:gtfs > ref >
+    'type/id' (stops_creator.py:105-124)."""
+    name = pc.coalesce(_tag(t["tags"], "name"), pa.scalar(NO_NAME))
+    fallback = pc.binary_join_element_wise(
+        pa.array([osm_type] * len(t)), pc.cast(t["id"], pa.string()), "/"
+    )
+    stop_id = pc.coalesce(_tag(t["tags"], "ref:gtfs"), _tag(t["tags"], "ref"), fallback)
+    return pa.table(
+        {
+            "osm_id": t["id"],
+            "osm_type": pa.array([osm_type] * len(t), pa.string()),
+            "stop_id": stop_id,
+            "name": name,
+            "lat": lat,
+            "lon": lon,
+        }
+    )
+
+
+def build_node_stops(nodes_ds):
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(is_stop_mask(t["tags"]))
+        return _stop_projection(t, "node", t["lat"], t["lon"])
+
+    return nodes_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_way_stops(ways_ds, nodes_ds, num_partitions: int = 8):
+    """Platform ways → centroid stops (osm_connector.py:444-446).
+
+    Way→node coordinate resolution is a HASH JOIN (explode node_ids,
+    join on node id): at planet scale both sides are large, so no
+    broadcast. Centroid = groupby(way) spherical mean (A1)."""
+    from osm2gtfs_ray.ops.joins import hash_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(is_stop_mask(t["tags"]))
+        ids = t["node_ids"].combine_chunks()
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lens = pc.list_value_length(ids).fill_null(0).to_numpy().astype(np.int64)
+        widx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        name = pc.coalesce(_tag(t["tags"], "name"), pa.scalar(NO_NAME))
+        return pa.table(
+            {
+                "way_id": t["id"].take(pa.array(widx)),
+                "way_name": name.take(pa.array(widx)),
+                "node_id": pc.list_flatten(ids),
+            }
+        )
+
+    members = ways_ds.map_batches(explode, batch_format="pyarrow")
+    coords = nodes_ds.map_batches(
+        lambda t: t.select(["id", "lat", "lon"]).rename_columns(["node_id", "lat", "lon"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(members, coords, keys="node_id", num_partitions=num_partitions)
+
+    def centroid(g: pd.DataFrame) -> pd.DataFrame:
+        la, lo = spherical_centroid(g["lat"].to_numpy(), g["lon"].to_numpy())
+        wid = int(g["way_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "osm_id": [wid],
+                "osm_type": ["way"],
+                "stop_id": [f"way/{wid}"],
+                "name": [g["way_name"].iloc[0]],
+                "lat": [la],
+                "lon": [lo],
+            }
+        )
+
+    return joined.groupby("way_id").map_groups(centroid, batch_format="pandas")
+
+
+def build_stops(nodes_ds, ways_ds):
+    return build_node_stops(nodes_ds).union(build_way_stops(ways_ds, nodes_ds))
+
+
+# --------------------------------------------------------------------------
+# Stations (J4 member join + count filter, A1 centroid, J5 parent wiring)
+# --------------------------------------------------------------------------
+
+def build_stations(relations_ds, stops_ds):
+    """stop_area relations → stations (osm_connector.py:497-530):
+    explode platform members, resolve against stops (hash semi-join),
+    discard areas with <2 resolved members, centroid the rest. Returns
+    (stations_ds, membership_ds)."""
+
+    def explode_areas(t: pa.Table) -> pa.Table:
+        pt = _tag(t["tags"], "public_transport")
+        t = t.filter(pc.equal(pt, pa.scalar("stop_area")))
+        mem = t["members"].combine_chunks()
+        if isinstance(mem, pa.ChunkedArray):
+            mem = mem.combine_chunks()
+        lens = pc.list_value_length(mem).fill_null(0).to_numpy().astype(np.int64)
+        ridx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        flat = pc.list_flatten(mem)
+        name = pc.coalesce(_tag(t["tags"], "name"), pa.scalar(NO_NAME))
+        out = pa.table(
+            {
+                "area_id": t["id"].take(pa.array(ridx)),
+                "area_name": name.take(pa.array(ridx)),
+                "m_type": pc.struct_field(flat, "type"),
+                "m_ref": pc.struct_field(flat, "ref"),
+                "m_role": pc.struct_field(flat, "role"),
+            }
+        )
+        return out.filter(pc.equal(out["m_role"], pa.scalar("platform")))
+
+    members = relations_ds.map_batches(explode_areas, batch_format="pyarrow")
+
+    # resolve member stops: join on (osm_type, osm_id)
+    from osm2gtfs_ray.ops.joins import broadcast_join
+
+    resolved = broadcast_join(
+        members,
+        stops_ds.select_columns(["osm_type", "osm_id", "stop_id", "lat", "lon"]),
+        keys=["m_type", "m_ref"],
+        right_keys=["osm_type", "osm_id"],
+    )
+
+    def per_area(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # discard areas with <2 resolved members (:519-530)
+            return pd.DataFrame(
+                columns=["area_id", "name", "station_id", "lat", "lon", "member_stop_ids"]
+            )
+        la, lo = spherical_centroid(g["lat"].to_numpy(), g["lon"].to_numpy())
+        aid = int(g["area_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "area_id": [aid],
+                "name": [g["area_name"].iloc[0]],
+                "station_id": [f"relation/{aid}"],
+                "lat": [la],
+                "lon": [lo],
+                "member_stop_ids": [sorted(g["stop_id"].tolist())],
+            }
+        )
+
+    stations = resolved.groupby("area_id").map_groups(per_area, batch_format="pandas")
+
+    def membership(t: pa.Table) -> pa.Table:
+        sid = t["member_stop_ids"].combine_chunks()
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        lens = pc.list_value_length(sid).fill_null(0).to_numpy().astype(np.int64)
+        ridx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        return pa.table(
+            {
+                "stop_id": pc.list_flatten(sid),
+                "parent_station": t["station_id"].take(pa.array(ridx)),
+                "area_id": t["area_id"].take(pa.array(ridx)),
+            }
+        )
+
+    membership_ds = stations.map_batches(membership, batch_format="pyarrow")
+    return stations, membership_ds
+
+
+def assign_parent_stations(stops_ds, membership_ds):
+    """J5 (stops_creator.py:28-37 + elements.py:192-201): each member
+    stop gets parent_station; FIRST write wins — deterministic via
+    keep-first on ascending area_id."""
+    from osm2gtfs_ray.ops.dedupe import keep_first
+    from osm2gtfs_ray.ops.joins import broadcast_join
+
+    first = keep_first(membership_ds, key="stop_id", order_by="area_id")
+    return broadcast_join(
+        stops_ds,
+        first.select_columns(["stop_id", "parent_station"]),
+        keys="stop_id",
+        join_type="left outer",
+    )
+
+
+# --------------------------------------------------------------------------
+# Lines / itineraries (M2 partition, J1/J2/J3, M4-M8, G3 shapes)
+# --------------------------------------------------------------------------
+
+def _relation_kind(tags_col) -> pa.Array:
+    typ = _tag(tags_col, "type")
+    return pc.case_when(
+        pc.make_struct(
+            pc.equal(typ, pa.scalar("route_master")), pc.equal(typ, pa.scalar("route"))
+        ),
+        pa.scalar("master"),
+        pa.scalar("variant"),
+        pa.scalar("other"),
+    )
+
+
+VARIANT_SCHEMA = pa.schema(
+    [
+        ("variant_id", pa.int64()),
+        ("ref", pa.string()),
+        ("name", pa.string()),
+        ("fr", pa.string()),
+        ("via", pa.string()),
+        ("to", pa.string()),
+        ("route_tag", pa.string()),
+        ("colour", pa.string()),
+        ("stop_refs", pa.list_(pa.string())),
+        ("way_refs", pa.list_(pa.int64())),
+    ]
+)
+
+ITINERARY_SCHEMA = pa.schema(
+    [
+        ("variant_id", pa.int64()),
+        ("line_id", pa.int64()),
+        ("route_id", pa.string()),
+        ("route_name", pa.string()),
+        ("route_type", pa.string()),
+        ("route_color", pa.string()),
+        ("route_text_color", pa.string()),
+        ("fr", pa.string()),
+        ("via", pa.string()),
+        ("to", pa.string()),
+        ("stop_refs", pa.list_(pa.string())),
+        ("shape_lat", pa.list_(pa.float64())),
+        ("shape_lon", pa.list_(pa.float64())),
+        ("shape_segments_used", pa.int64()),
+    ]
+)
+
+
+def split_route_relations(relations_ds):
+    """M2 (osm_connector.py:123-130): one pass adds `kind`; masters and
+    variants are two filtered views of the same Dataset."""
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column("kind", _relation_kind(t["tags"]))
+
+    tagged = relations_ds.map_batches(f, batch_format="pyarrow")
+    masters = tagged.filter(lambda r: r["kind"] == "master")
+    variants = tagged.filter(lambda r: r["kind"] == "variant")
+    return masters, variants
+
+
+def build_lines_and_itineraries(relations_ds, ways_table: pa.Table):
+    """The route assembly (osm_connector.py:124-209) as batch
+    transforms + deterministic joins. The relation set is small
+    relative to nodes/pages (≈10^5 per metro), so variants are
+    processed per-batch and the master⋈variant join is a broadcast;
+    consume-once/uniqueness are keep-first dedups on explicit sort
+    keys (ascending master id — the deterministic stand-in for the
+    reference's dict insertion order).
+
+    ways_table: id → node coord arrays for shape stitching (G3),
+    broadcast once via ray.put.
+    """
+    import ray
+
+    ways_ref = ray.put(ways_table)
+
+    def masters_rows(t: pa.Table) -> pa.Table:
+        typ = _tag(t["tags"], "type")
+        t = t.filter(pc.equal(typ, pa.scalar("route_master")))
+        mem = t["members"].combine_chunks()
+        if isinstance(mem, pa.ChunkedArray):
+            mem = mem.combine_chunks()
+        lens = pc.list_value_length(mem).fill_null(0).to_numpy().astype(np.int64)
+        ridx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        flat = pc.list_flatten(mem)
+        out = pa.table(
+            {
+                "master_id": t["id"].take(pa.array(ridx)),
+                "master_ref": _tag(t["tags"], "ref").take(pa.array(ridx)),
+                "master_name": pc.coalesce(_tag(t["tags"], "name"), _tag(t["tags"], "ref")).take(pa.array(ridx)),
+                "master_type_tag": pc.coalesce(
+                    _tag(t["tags"], "route_master"), pa.scalar("bus")
+                ).take(pa.array(ridx)),
+                "m_type": pc.struct_field(flat, "type"),
+                "variant_id": pc.struct_field(flat, "ref"),
+            }
+        )
+        return out.filter(pc.equal(out["m_type"], pa.scalar("relation"))).drop_columns(["m_type"])
+
+    def variant_rows(t: pa.Table) -> pa.Table:
+        typ = _tag(t["tags"], "type")
+        t = t.filter(pc.equal(typ, pa.scalar("route")))
+        rows = []
+        members_col = t["members"].to_pylist()
+        tags_col = t["tags"].to_pylist()
+        ids = t["id"].to_pylist()
+        for rel_id, members, tag_pairs in zip(ids, members_col, tags_col):
+            tags = dict(tag_pairs)
+            stop_refs, way_refs = [], []
+            for m in members:
+                if m["role"] == "platform":
+                    stop_refs.append(f"{m['type']}/{m['ref']}")
+                elif m["type"] == "way" and m["role"] in ("", "forward", "backward"):
+                    way_refs.append(m["ref"])
+            rows.append(
+                {
+                    "variant_id": rel_id,
+                    "ref": tags.get("ref"),
+                    "name": tags.get("name"),
+                    "fr": tags.get("from"),
+                    "via": tags.get("via"),
+                    "to": tags.get("to"),
+                    "route_tag": tags.get("route", "bus"),
+                    "colour": tags.get("colour"),
+                    "stop_refs": stop_refs,
+                    "way_refs": way_refs,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=VARIANT_SCHEMA)
+
+    masters = relations_ds.map_batches(masters_rows, batch_format="pyarrow")
+    variants = relations_ds.map_batches(variant_rows, batch_format="pyarrow")
+
+    from osm2gtfs_ray.ops.dedupe import keep_first
+    from osm2gtfs_ray.ops.joins import broadcast_anti, broadcast_join
+
+    # J3: route_id (ref) uniqueness — keep the lowest master_id per ref
+    master_dim = keep_first(
+        masters.select_columns(["master_id", "master_ref", "master_name", "master_type_tag"])
+        .groupby("master_id")
+        .map_groups(lambda g: g.head(1), batch_format="pandas"),
+        key="master_ref",
+        order_by="master_id",
+    )
+    surviving = masters  # membership rows; filtered against master_dim below
+    surviving = broadcast_join(
+        surviving.select_columns(["master_id", "variant_id"]),
+        master_dim,
+        keys="master_id",
+    )
+    # J1 consume-once: a variant claimed by several masters goes to the
+    # lowest master_id (reference: first master wins, :146-156)
+    claimed = keep_first(surviving, key="variant_id", order_by="master_id")
+
+    matched = broadcast_join(variants, claimed, keys="variant_id")
+
+    # J2: leftover variants promoted to their own line, skipping refs
+    # already taken by a master line (:184-204)
+    leftovers = broadcast_anti(variants, claimed, key="variant_id")
+    leftovers = broadcast_anti(leftovers, master_dim, key="ref", right_key="master_ref")
+
+    def promote(t: pa.Table) -> pa.Table:
+        return (
+            t.append_column("master_id", pc.cast(t["variant_id"], pa.int64()))
+            .append_column("master_ref", t["ref"])
+            .append_column("master_name", pc.coalesce(t["name"], t["ref"]))
+            .append_column("master_type_tag", t["route_tag"])
+        )
+
+    itineraries = matched.union(leftovers.map_batches(promote, batch_format="pyarrow"))
+
+    class Finish:
+        """Per-variant finishing: colour/type normalization (M5-M7,
+        M12) + shape stitching (G3) against the broadcast ways table."""
+
+        def __init__(self):
+            t = ray.get(ways_ref)
+            self.way_coords = {}
+            nodes = {}
+            # ways_table carries node_ids and a parallel coords list
+            for wid, lats, lons in zip(
+                t["id"].to_pylist(), t["lat_seq"].to_pylist(), t["lon_seq"].to_pylist()
+            ):
+                self.way_coords[wid] = np.column_stack([lats, lons])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            out = []
+            for r in rows:
+                color = normalize_color(r.get("colour"))
+                segs = [self.way_coords[w] for w in r["way_refs"] if w in self.way_coords]
+                shape, n_used = stitch_ways(segs) if segs else (np.empty((0, 2)), 0)
+                out.append(
+                    {
+                        "variant_id": r["variant_id"],
+                        "line_id": r["master_id"],
+                        "route_id": r["master_ref"] or (r["ref"] or f"relation/{r['variant_id']}"),
+                        "route_name": r["master_name"],
+                        "route_type": ROUTE_TYPES.get(r["master_type_tag"], "Bus"),
+                        "route_color": color,
+                        "route_text_color": text_color_for(color),
+                        "fr": r["fr"],
+                        "via": r["via"],
+                        "to": r["to"],
+                        "stop_refs": r["stop_refs"],
+                        "shape_lat": shape[:, 0].tolist() if len(shape) else [],
+                        "shape_lon": shape[:, 1].tolist() if len(shape) else [],
+                        "shape_segments_used": n_used,
+                    }
+                )
+            return pa.Table.from_pylist(out, schema=ITINERARY_SCHEMA)
+
+    return itineraries.map_batches(Finish, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def ways_coord_table(ways_table: pa.Table, nodes_table: pa.Table) -> pa.Table:
+    """Driver-side helper: resolve each way's node_ids to coordinate
+    sequences (small fixture scale; the distributed path is the hash
+    join in build_way_stops)."""
+    lat = dict(zip(nodes_table["id"].to_pylist(), nodes_table["lat"].to_pylist()))
+    lon = dict(zip(nodes_table["id"].to_pylist(), nodes_table["lon"].to_pylist()))
+    lat_seq, lon_seq = [], []
+    for ids in ways_table["node_ids"].to_pylist():
+        lat_seq.append([lat[i] for i in ids if i in lat])
+        lon_seq.append([lon[i] for i in ids if i in lon])
+    return pa.table(
+        {
+            "id": ways_table["id"],
+            "lat_seq": pa.array(lat_seq, pa.list_(pa.float64())),
+            "lon_seq": pa.array(lon_seq, pa.list_(pa.float64())),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Trips (J7 schedule join, J10 alignment, M15/M16, shapes G7)
+# --------------------------------------------------------------------------
+
+STOP_TIMES_SCHEMA = pa.schema(
+    [
+        ("trip_id", pa.string()),
+        ("route_id", pa.string()),
+        ("variant_id", pa.int64()),
+        ("service_id", pa.string()),
+        ("stop_id", pa.string()),
+        ("stop_sequence", pa.int64()),
+        ("arrival_sec", pa.int64()),
+        ("departure_sec", pa.int64()),
+    ]
+)
+
+
+def build_trips(itineraries_ds, stops_table: pa.Table, schedule_table: pa.Table):
+    """J7: itineraries ⋈ schedule on (route_id, from, to[, via]) —
+    schedule broadcast (≪ OSM side, trips_creator.py:84-95). Then per
+    match the J10 cursor alignment + interpolation emits stop_times.
+
+    Returns Dataset of trips with nested stop_times (exploded by
+    caller). Stop name resolution (J6) is a broadcast lookup."""
+    import ray
+
+    sched_ref = ray.put(schedule_table)
+    stops_ref = ray.put(stops_table)
+
+    class TripBuilder:
+        def __init__(self):
+            sched = ray.get(sched_ref)
+            self.by_key: dict[tuple, list[dict]] = {}
+            for row in sched.to_pylist():
+                key = (row["route_id"], row["from_stop"], row["to_stop"], row.get("via"))
+                self.by_key.setdefault(key, []).append(row)
+            st = ray.get(stops_ref)
+            self.stop_name = dict(
+                zip(
+                    (f"{t}/{i}" for t, i in zip(st["osm_type"].to_pylist(), st["osm_id"].to_pylist())),
+                    st["name"].to_pylist(),
+                )
+            )
+            self.stop_gtfs_id = dict(
+                zip(
+                    (f"{t}/{i}" for t, i in zip(st["osm_type"].to_pylist(), st["osm_id"].to_pylist())),
+                    st["stop_id"].to_pylist(),
+                )
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for r in batch.to_pylist():
+                names = [self.stop_name.get(s, NO_NAME) for s in r["stop_refs"]]
+                gtfs_ids = [self.stop_gtfs_id.get(s) for s in r["stop_refs"]]
+                for cand in self.by_key.get(
+                    (r["route_id"], r["fr"], r["to"], r["via"]), []
+                ):
+                    align = align_stops_to_schedule(names, cand["station_names"])
+                    if align is None:
+                        continue  # last-stop rule failed → unmatched
+                    svc = parse_service(cand["service"])
+                    if svc is None:
+                        continue
+                    day_flags, exc_date = svc
+                    for k, col in enumerate(cand["times"]):
+                        secs = np.full(len(names), -1, dtype=np.int64)
+                        valid = True
+                        for i, a in enumerate(align):
+                            if a >= 0:
+                                s = parse_hm(col[a])
+                                if s is None:  # M15: invalid time → trip dropped
+                                    valid = False
+                                    break
+                                secs[i] = s
+                        if not valid:
+                            continue
+                        times = interpolate_times(secs)
+                        trip_id = f"{r['route_id']}.{r['variant_id']}.{cand['service']}.{k}"
+                        for seq, (sid, sec) in enumerate(zip(gtfs_ids, times)):
+                            out.append(
+                                {
+                                    "trip_id": trip_id,
+                                    "route_id": r["route_id"],
+                                    "variant_id": r["variant_id"],
+                                    "service_id": cand["service"],
+                                    "stop_id": sid,
+                                    "stop_sequence": seq,
+                                    "arrival_sec": int(sec),
+                                    "departure_sec": int(sec),
+                                }
+                            )
+            return pa.Table.from_pylist(out, schema=STOP_TIMES_SCHEMA)
+
+    return itineraries_ds.map_batches(TripBuilder, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def shape_rows(itineraries_ds):
+    """G7 shape point emitter: explode stitched polylines with
+    sequence numbers; dedup by shape_id keep-first is upstream (one
+    row per variant)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"shape_id": [], "shape_pt_lat": [], "shape_pt_lon": [], "shape_pt_sequence": []}
+        for r in t.to_pylist():
+            for i, (la, lo) in enumerate(zip(r["shape_lat"], r["shape_lon"])):
+                out["shape_id"].append(f"shape.{r['variant_id']}")
+                out["shape_pt_lat"].append(la)
+                out["shape_pt_lon"].append(lo)
+                out["shape_pt_sequence"].append(i)
+        return pa.table(
+            {
+                "shape_id": pa.array(out["shape_id"], pa.string()),
+                "shape_pt_lat": pa.array(out["shape_pt_lat"], pa.float64()),
+                "shape_pt_lon": pa.array(out["shape_pt_lon"], pa.float64()),
+                "shape_pt_sequence": pa.array(out["shape_pt_sequence"], pa.int64()),
+            }
+        )
+
+    return itineraries_ds.map_batches(f, batch_format="pyarrow")
+
+
+def remove_unused(stops_ds, routes_ds, stop_times_ds):
+    """A6/A7 cleanup (stops_creator.py:45-61, routes_creator.py:42-58):
+    anti-join stops against used stop_ids, routes against used
+    route_ids."""
+    from osm2gtfs_ray.ops.joins import broadcast_semi
+
+    used_stops = stop_times_ds.select_columns(["stop_id"])
+    used_routes = stop_times_ds.select_columns(["route_id"])
+    kept_stops = broadcast_semi(stops_ds, used_stops, key="stop_id")
+    kept_routes = broadcast_semi(routes_ds, used_routes, key="route_id")
+    return kept_stops, kept_routes

@@ -157,14 +157,45 @@ PAGES_SCHEMA = pa.schema(
 
 
 def make_pages_batch(start: int, count: int, seed: int = 42) -> pa.Table:
-    """Pages rows for global indices [start, start+count)."""
+    """Pages rows for global indices [start, start+count).
+
+    Vectorized across the batch (word ids, entity positions and lang
+    draws are single numpy passes); produces bit-identical output to
+    the scalar per-page oracle ``_page_text_and_entities`` regardless
+    of batch boundaries (asserted in tests/test_flagship.py).
+    """
     idx = np.arange(start, start + count, dtype=np.uint64)
     urls = [f"https://example.org/p/{i:010d}" for i in idx]
     ts = BASE_TS + (idx.astype("int64") * 37).astype("timedelta64[us]") * 1_000_000
     lang_ids = _uint(idx, 6, seed, len(LANGS))
+
+    # --- words for every page in one pass (same formula as the oracle) ---
+    n_words = 20 + _uint(idx, 1, seed, 180)
+    offsets = np.concatenate([[0], np.cumsum(n_words)])
+    pos_flat = np.concatenate([np.arange(n, dtype=np.uint64) for n in n_words])
+    page_flat = np.repeat(idx, n_words)
+    word_ids = _uint(pos_flat + page_flat * np.uint64(1_000_003), 2, seed, len(VOCAB))
+    vocab_arr = np.array(VOCAB, dtype=object)
+    flat_words = vocab_arr[word_ids]
+
+    # --- entities for every page in one pass ---
+    n_ent = _uint(idx, 3, seed, 4)
+    e_off = np.concatenate([[0], np.cumsum(n_ent)])
+    e_page = np.repeat(idx, n_ent)
+    e_j = np.concatenate([np.arange(n, dtype=np.uint64) for n in n_ent])
+    eidx = e_page * np.uint64(8) + e_j
+    name_ids = _uint(eidx, 4, seed, len(ENTITY_NAMES))
+    elat, elon = _entity_latlon(eidx, seed)
+    ent_names = np.array(ENTITY_NAMES, dtype=object)[name_ids]
+
     texts, htmls, langs = [], [], []
     for n, i in enumerate(idx):
-        text, ents = _page_text_and_entities(int(i), seed)
+        words = flat_words[offsets[n] : offsets[n + 1]].tolist()
+        text = " ".join(words)
+        ents = [
+            (ent_names[e], round(float(elat[e]), 6), round(float(elon[e]), 6))
+            for e in range(e_off[n], e_off[n + 1])
+        ]
         texts.append(text)
         htmls.append(_render_html(int(i), text, ents, seed))
         langs.append(LANGS[lang_ids[n]])

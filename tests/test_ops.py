@@ -1,0 +1,181 @@
+"""Unit tests for the relational op library and text/dedup/ANN stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import osm2gtfs_ray.ops.joins as oj
+from osm2gtfs_ray.ops.dedupe import keep_first, distinct
+from osm2gtfs_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    lsh_candidate_pairs,
+    shingle_hashes,
+    verify_jaccard,
+)
+from osm2gtfs_ray.stages import ann as ann_mod
+
+
+@pytest.fixture
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+class TestJoins:
+    def test_broadcast_inner_join(self, rd):
+        big = rd.from_items([{"k": i % 3, "v": i} for i in range(100)])
+        small = pa.table({"k": [0, 1], "name": ["a", "b"]})
+        out = oj.broadcast_join(big, small, keys="k").to_pandas()
+        assert len(out) == 67  # k==2 rows dropped
+        assert set(out.columns) == {"k", "v", "name"}
+
+    def test_broadcast_left_join(self, rd):
+        big = rd.from_items([{"k": i % 3, "v": i} for i in range(9)])
+        small = pa.table({"k": [0], "name": ["a"]})
+        out = oj.broadcast_join(big, small, keys="k", join_type="left outer").to_pandas()
+        assert len(out) == 9
+        assert out["name"].isna().sum() == 6
+
+    def test_semi_anti_partition(self, rd):
+        big = rd.from_items([{"k": i} for i in range(10)])
+        small = pa.table({"k": [1, 3, 5]})
+        semi = oj.broadcast_semi(big, small, key="k").to_pandas()
+        anti = oj.broadcast_anti(big, small, key="k").to_pandas()
+        assert sorted(semi["k"]) == [1, 3, 5]
+        assert sorted(anti["k"]) == [0, 2, 4, 6, 7, 8, 9]
+
+    def test_hash_join_matches_pandas(self, rd):
+        left = rd.from_items([{"k": i % 5, "l": i} for i in range(50)])
+        right = rd.from_items([{"k": i % 5, "r": i * 10} for i in range(20)])
+        got = oj.hash_join(left, right, keys="k", num_partitions=4).to_pandas()
+        want = pd.merge(
+            pd.DataFrame({"k": [i % 5 for i in range(50)], "l": range(50)}),
+            pd.DataFrame({"k": [i % 5 for i in range(20)], "r": [i * 10 for i in range(20)]}),
+            on="k",
+        )
+        assert len(got) == len(want)
+        a = got.sort_values(["k", "l", "r"]).reset_index(drop=True)
+        b = want.sort_values(["k", "l", "r"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["k", "l", "r"]], b[["k", "l", "r"]])
+
+
+class TestDedupe:
+    def test_keep_first_deterministic(self, rd):
+        rows = [{"k": i % 3, "ord": 10 - i, "v": i} for i in range(10)]
+        out = keep_first(rd.from_items(rows), key="k", order_by=["ord", "v"]).to_pandas()
+        assert len(out) == 3
+        # per key, the row with smallest (ord, v)
+        want = (
+            pd.DataFrame(rows).sort_values(["ord", "v"]).groupby("k").head(1)
+        )
+        got = out.sort_values("k").reset_index(drop=True)
+        want = want.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "ord", "v"]], want[["k", "ord", "v"]])
+
+    def test_distinct(self, rd):
+        ds = rd.from_items([{"a": i % 2, "b": i % 3} for i in range(30)])
+        out = distinct(ds, ["a", "b"]).to_pandas()
+        assert len(out) == 6
+
+
+def _jaccard(a: str, b: str, n=3) -> float:
+    sa = set(shingle_hashes(a, n).tolist())
+    sb = set(shingle_hashes(b, n).tolist())
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+class TestMinHash:
+    WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def _doc(self, i, mutate=0):
+        rng = np.random.default_rng(i)
+        ws = [self.WORDS[w] for w in rng.integers(0, 10, size=30)]
+        for m in range(mutate):
+            ws[m * 3 % 30] = "MUT%d_%d" % (i, m)
+        return " ".join(ws)
+
+    def test_signature_similarity_tracks_jaccard(self):
+        mh = MinHasher(num_perm=128)
+        a = self._doc(1)
+        b = self._doc(1, mutate=3)  # near-dup
+        c = self._doc(2)  # unrelated
+        sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+        est_ab = (sa == sb).mean()
+        est_ac = (sa == sc).mean()
+        assert abs(est_ab - _jaccard(a, b)) < 0.15
+        assert est_ac < 0.2
+
+    def test_lsh_finds_near_dups(self, rd):
+        docs = []
+        for i in range(40):
+            docs.append({"doc_id": 2 * i, "text": self._doc(i)})
+            docs.append({"doc_id": 2 * i + 1, "text": self._doc(i, mutate=2)})
+        ds = rd.from_items(docs)
+        cand = lsh_candidate_pairs(ds, num_perm=64, n_bands=16)
+        tbl = pa.table(
+            {
+                "doc_id": [d["doc_id"] for d in docs],
+                "text": [d["text"] for d in docs],
+            }
+        )
+        verified = verify_jaccard(cand, tbl, threshold=0.5).to_pandas()
+        got_pairs = set(zip(verified["a"], verified["b"]))
+        # every planted near-dup pair with true jaccard >= .5 is found
+        want = {
+            (2 * i, 2 * i + 1)
+            for i in range(40)
+            if _jaccard(self._doc(i), self._doc(i, mutate=2)) >= 0.5
+        }
+        assert want, "fixture must contain near-dup pairs"
+        recall = len(want & got_pairs) / len(want)
+        assert recall >= 0.9
+        # verified output never contains a below-threshold pair (no false positives)
+        for a, b, j in zip(verified["a"], verified["b"], verified["jaccard_e6"]):
+            assert j >= 500_000
+
+    def test_simhash_deterministic_and_close_for_near_dups(self):
+        sh = SimHasher()
+        t = pa.table({"doc_id": [1, 2], "text": [self._doc(3), self._doc(3, mutate=1)]})
+        out1 = sh(t)["simhash"].to_pylist()
+        out2 = sh(t)["simhash"].to_pylist()
+        assert out1 == out2
+        ham = bin(out1[0] ^ out1[1]).count("1")
+        assert ham <= 16  # near-dups land close in hamming space
+
+
+class TestANN:
+    def test_brute_topk_matches_numpy(self, rd):
+        rng = np.random.default_rng(7)
+        emb = rng.normal(size=(200, 16)).astype(np.float32)
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(200)]
+        )
+        q = emb[5].astype(np.float64)
+        got = ann_mod.brute_topk(ds, q, k=7).to_pandas()
+        m = emb.astype(np.float64)
+        sims = m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        sim_e6 = np.rint(sims * 1e6).astype(np.int64)
+        order = np.lexsort((np.arange(200), -sim_e6))[:7]
+        assert got["vec_id"].tolist() == order.tolist()
+
+    def test_ivf_recall(self, rd):
+        rng = np.random.default_rng(11)
+        # clustered data so IVF pruning is meaningful
+        centers = rng.normal(size=(8, 16)) * 5
+        emb = np.concatenate(
+            [centers[i % 8] + rng.normal(size=16) * 0.3 for i in range(400)]
+        ).reshape(400, 16)
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(400)]
+        )
+        q = emb[42]
+        cents = ann_mod.make_centroids(ds, n_centroids=16)
+        approx = ann_mod.ivf_topk(ds, q, cents, k=5, n_probe=8).to_pandas()
+        exact = ann_mod.brute_topk(ds, q, k=5).to_pandas()
+        recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 5
+        assert recall >= 0.6
