@@ -67,52 +67,49 @@ def broadcast_join(
     def _nested(f: pa.Field) -> bool:
         return pa.types.is_nested(f.type)
 
-    class JoinBatch:
-        """Acero hash join per batch. Acero rejects nested (list/map/
-        struct) payload columns, so nested columns are detached before
-        the join and re-attached afterwards via row-ordinal takes."""
-
-        def __init__(self):
-            small = ray.get(small_ref)
-            self.r_nested = [f.name for f in small.schema if _nested(f) and f.name not in right_keys]
-            self.small_full = small
-            scalar = small.drop_columns(self.r_nested)
-            if self.r_nested:
-                scalar = scalar.append_column(
-                    "__ridx__", pa.array(range(small.num_rows), pa.int64())
-                )
-            self.small = scalar
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            l_nested = [
-                f.name for f in batch.schema if _nested(f) and f.name not in keys
-            ]
-            left = batch.drop_columns(l_nested)
-            if l_nested:
-                left = left.append_column(
-                    "__lidx__", pa.array(range(batch.num_rows), pa.int64())
-                )
-            out = left.join(
-                self.small,
-                keys=keys,
-                right_keys=right_keys,
-                join_type=join_type,
-                right_suffix=right_suffix,
+    def join_batch(batch: pa.Table) -> pa.Table:
+        """Acero hash join per batch — a STATELESS task: the broadcast
+        side is a ray.get of the shared ObjectRef (zero-copy plasma
+        read per task, no actor startup cost). Acero rejects nested
+        (list/map/struct) payload columns, so nested columns are
+        detached before the join and re-attached via row-ordinal
+        takes."""
+        small_full = ray.get(small_ref)
+        r_nested = [
+            f.name for f in small_full.schema if _nested(f) and f.name not in right_keys
+        ]
+        small = small_full.drop_columns(r_nested)
+        if r_nested:
+            small = small.append_column(
+                "__ridx__", pa.array(range(small_full.num_rows), pa.int64())
             )
-            if l_nested:
-                lidx = out["__lidx__"]
-                for name in l_nested:
-                    out = out.append_column(name, batch[name].take(lidx))
-                out = out.drop_columns(["__lidx__"])
-            if self.r_nested:
-                ridx = out["__ridx__"]
-                for name in self.r_nested:
-                    col_name = name if name not in out.column_names else name + right_suffix
-                    out = out.append_column(col_name, self.small_full[name].take(ridx))
-                out = out.drop_columns(["__ridx__"])
-            return out
+        l_nested = [f.name for f in batch.schema if _nested(f) and f.name not in keys]
+        left = batch.drop_columns(l_nested)
+        if l_nested:
+            left = left.append_column(
+                "__lidx__", pa.array(range(batch.num_rows), pa.int64())
+            )
+        out = left.join(
+            small,
+            keys=keys,
+            right_keys=right_keys,
+            join_type=join_type,
+            right_suffix=right_suffix,
+        )
+        if l_nested:
+            lidx = out["__lidx__"]
+            for name in l_nested:
+                out = out.append_column(name, batch[name].take(lidx))
+            out = out.drop_columns(["__lidx__"])
+        if r_nested:
+            ridx = out["__ridx__"]
+            for name in r_nested:
+                col_name = name if name not in out.column_names else name + right_suffix
+                out = out.append_column(col_name, small_full[name].take(ridx))
+            out = out.drop_columns(["__ridx__"])
+        return out
 
-    return big_ds.map_batches(JoinBatch, batch_format="pyarrow", concurrency=(1, 8))
+    return big_ds.map_batches(join_batch, batch_format="pyarrow")
 
 
 def _key_set_ref(small, key: str):

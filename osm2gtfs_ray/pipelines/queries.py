@@ -118,16 +118,26 @@ def q_top_orders(sf_dir: str):
 
     Both dims broadcast (ray.put once), probe side streams — the J7
     'broadcast the small side' plan (SURVEY.md §7.3)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    import pyarrow.parquet as pq
+
+    from osm2gtfs_ray.sources.tables import table_path
+
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    cust_b = cust.map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))),
-        batch_format="pyarrow",
+    # dimension prep happens driver-side with plain pyarrow: these
+    # tables are the BROADCAST side (they must fit in one object
+    # anyway), so composing them locally costs one read instead of two
+    # extra Ray executions; only the probe side (lineitem) streams.
+    cust = pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust_b = cust.filter(pc.equal(cust["c_mktsegment"], pa.scalar("BUILDING")))
+    orders = pq.read_table(
+        table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    orders_dim = broadcast_join(orders, cust_b, keys="o_custkey", right_keys="c_custkey")
-    li_j = broadcast_join(li, orders_dim.select_columns(["o_orderkey", "o_orderdate"]),
+    orders_dim = orders.join(
+        cust_b.select(["c_custkey"]), keys=["o_custkey"], right_keys=["c_custkey"],
+        join_type="inner",
+    )
+    li_j = broadcast_join(li, orders_dim.select(["o_orderkey", "o_orderdate"]),
                           keys="l_orderkey", right_keys="o_orderkey")
 
     def rev(t: pa.Table) -> pa.Table:
@@ -175,18 +185,26 @@ LIMIT 10
 
 def q_nation_revenue(sf_dir: str):
     """lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (all dims broadcast)."""
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
-    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    import pyarrow.parquet as pq
 
-    nat = broadcast_join(nation, region, keys="n_regionkey", right_keys="r_regionkey")
-    cust_dim = broadcast_join(cust, nat, keys="c_nationkey", right_keys="n_nationkey")
-    ord_dim = broadcast_join(orders, cust_dim, keys="o_custkey", right_keys="c_custkey")
+    from osm2gtfs_ray.sources.tables import table_path
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    # dim chain composed driver-side (broadcast side must fit in one
+    # object regardless); the fact stream joins it in ONE execution
+    orders = pq.read_table(table_path(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(table_path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+
+    nat = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    cust_dim = cust.join(nat, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    ord_dim = orders.join(cust_dim, keys=["o_custkey"], right_keys=["c_custkey"])
     li_j = broadcast_join(
         li,
-        ord_dim.select_columns(["o_orderkey", "n_name", "r_name"]),
+        ord_dim.select(["o_orderkey", "n_name", "r_name"]),
         keys="l_orderkey",
         right_keys="o_orderkey",
     )
