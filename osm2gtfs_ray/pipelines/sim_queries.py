@@ -123,7 +123,7 @@ def q_minhash_pairs(sf_dir: str):
 
 def q_simhash(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    out = docs.map_batches(SimHasher(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "simhash"])
 
 

@@ -35,20 +35,46 @@ def _words(text: str) -> list[str]:
     return _WORD_SPLIT.findall(text.lower())
 
 
+_WORD_HASH_CACHE: dict[str, int] = {}
+
+_C1 = np.uint64(0x9DDFEA08EB382D69)
+_C2 = np.uint64(0xC3A5C85C97CB3127)
+_C3 = np.uint64(0xB492B66FBE98F273)
+
+
+def _word_hash(w: str) -> int:
+    """Stable 64-bit word hash (blake2b), memoized per process — doc
+    corpora share vocabulary, so the cache turns the per-shingle
+    string hashing into a near-free dict lookup."""
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        import hashlib
+
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        if len(_WORD_HASH_CACHE) < 4_000_000:  # bound actor memory
+            _WORD_HASH_CACHE[w] = h
+    return h
+
+
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Distinct 64-bit hashes of word n-gram shingles."""
+    """Distinct 64-bit hashes of word n-gram shingles: word hashes are
+    cached scalars, the n-gram combine is a vectorized mix of the
+    rolling windows (position-weighted so order matters)."""
     ws = _words(text)
-    if len(ws) < n:
-        joined = [" ".join(ws)] if ws else []
-    else:
-        joined = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
-    if not joined:
+    if not ws:
         return np.empty(0, dtype=np.uint64)
-    raw = np.array(
-        [np.uint64(int.from_bytes(__import__("hashlib").blake2b(s.encode(), digest_size=8).digest(), "little")) for s in joined],
-        dtype=np.uint64,
-    )
-    return np.unique(raw)
+    hs = np.array([_word_hash(w) for w in ws], dtype=np.uint64)
+    if len(hs) < n:
+        with np.errstate(over="ignore"):
+            combined = np.uint64(0)
+            for i, h in enumerate(hs):
+                combined ^= h * (_C1 if i % 3 == 0 else _C2 if i % 3 == 1 else _C3)
+            return mix64(np.array([combined], dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        comb = hs[: len(hs) - n + 1] * _C1
+        for j in range(1, n):
+            comb = comb ^ (hs[j : len(hs) - n + 1 + j] * (_C2 if j == 1 else _C3))
+    return np.unique(mix64(comb))
 
 
 class MinHasher:
@@ -110,32 +136,58 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
     )
 
 
+N_SHARDS = 64
+
+
 def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingle: int = 3):
-    """documents(doc_id, text) → distinct candidate pairs (a < b)."""
+    """documents(doc_id, text) → distinct candidate pairs (a < b).
 
-    sigs = docs_ds.map_batches(
-        MinHasher,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"num_perm": num_perm, "n_shingle": n_shingle},
-        concurrency=(1, 8),
-    )
-    bands = sigs.map_batches(
-        lambda t: explode_bands(t, n_bands), batch_format="pyarrow"
-    )
+    The bucket groupby is SHARDED: shuffling on the raw (band_id,
+    band_hash) key would create millions of single-row groups (one
+    Python map_groups call each); instead rows shuffle on
+    ``band_hash % N_SHARDS`` and each shard processes its buckets
+    vectorized with a C-speed pandas groupby. Same result, 64 groups.
+    """
+    # stateless task: MinHasher's derived state (two small uint64
+    # arrays) is cheap to hold in the closure — no actor pool startup
+    mh = MinHasher(num_perm=num_perm, n_shingle=n_shingle)
+    sigs = docs_ds.map_batches(mh, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    def bands_with_shard(t: pa.Table) -> pa.Table:
+        b = explode_bands(t, n_bands)
+        shard = (b["band_hash"].to_numpy() % np.uint64(N_SHARDS)).astype(np.int64)
+        return b.append_column("shard", pa.array(shard))
 
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    bands = sigs.map_batches(bands_with_shard, batch_format="pyarrow")
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # buckets with >=2 docs only (duplicated band hashes)
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a, out_b = [], []
+        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(grp["doc_id"].to_numpy())
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "pair_shard": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        df = df.drop_duplicates()  # within-shard dedup
+        df["pair_shard"] = (df["a"].to_numpy() % N_SHARDS).astype("int64")
+        return df
+
+    cand = bands.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+        return g[["a", "b"]].drop_duplicates().sort_values(["a", "b"], kind="mergesort")
 
-    return cand.groupby("a").map_groups(dedup_pairs, batch_format="pandas")
+    return cand.groupby("pair_shard").map_groups(dedup_pairs, batch_format="pandas")
 
 
 def verify_jaccard(pairs_ds, docs_table: pa.Table, n_shingle: int = 3, threshold: float = 0.5):
