@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import geo_queries as gq
     from osm2gtfs_ray.pipelines import text_queries as tq
     from osm2gtfs_ray.pipelines import sim_queries as sq
+    from osm2gtfs_ray.pipelines import setop_queries as so
     from osm2gtfs_ray.pipelines.flagship import flagship_from_documents
 
     def q_spatial_join_rows(sf_dir: str):
@@ -68,6 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": sq.q_simhash,
         "ann_ivf": sq.q_ann_ivf,
         "props_extract": sq.q_props_extract,
+        # set ops + string normalization
+        "click_not_purchase": so.q_click_not_purchase,
+        "union_actors": so.q_union_actors,
+        "normalize_names": so.q_normalize_names,
         # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
@@ -79,8 +84,12 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import geo_queries as gq
     from osm2gtfs_ray.pipelines import text_queries as tq
     from osm2gtfs_ray.pipelines import sim_queries as sq
+    from osm2gtfs_ray.pipelines import setop_queries as so
 
     return {
+        "click_not_purchase": so.SQL_CLICK_NOT_PURCHASE,
+        "union_actors": so.SQL_UNION_ACTORS,
+        "normalize_names": so.SQL_NORMALIZE_NAMES,
         "nation_centroid": gq.SQL_NATION_CENTROID,
         "bbox_events": gq.SQL_BBOX_EVENTS,
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,

@@ -1,0 +1,120 @@
+"""Set-op + string-normalization queries (SURVEY.md A8, §2.7 union,
+M13) with SQL oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count
+
+from osm2gtfs_ray.ops.dedupe import distinct
+from osm2gtfs_ray.ops.joins import broadcast_anti
+from osm2gtfs_ray.sources.tables import read_table
+
+
+# --------------------------------------------------------------------------
+# EXCEPT: users who click but never purchase (A8 set-difference,
+# trips_creator_br_florianopolis.py:120-134 exception-date diff)
+# --------------------------------------------------------------------------
+
+def q_click_not_purchase(sf_dir: str):
+    """(user, day) pairs that clicked but did not purchase that day —
+    EXCEPT on a composite key (day derived as epoch-day int)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keyed(t: pa.Table, etype: str) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar(etype)))
+        us = pc.cast(t["ts"], pa.int64())  # µs since epoch
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "day": day,
+                "ukey": pc.add(pc.multiply(uid, pa.scalar(1_000_000, pa.int64())), day),
+            }
+        )
+
+    clicks = distinct(
+        ev.map_batches(lambda t: keyed(t, "click"), batch_format="pyarrow"),
+        ["user_id", "day", "ukey"],
+    )
+    buys = ev.map_batches(lambda t: keyed(t, "purchase"), batch_format="pyarrow")
+    out = broadcast_anti(clicks, buys, key="ukey")
+    return out.select_columns(["user_id", "day"])
+
+
+SQL_CLICK_NOT_PURCHASE = """
+SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# UNION + distinct (§2.7: Overpass result-set unions → ds.union)
+# --------------------------------------------------------------------------
+
+def q_union_actors(sf_dir: str):
+    """Distinct ids active as big customers OR recent event users —
+    two filtered streams unioned then deduped (the reference's query
+    union semantics, osm_connector.py:581-584)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    rich = cust.map_batches(
+        lambda t: pa.table(
+            {"actor_id": pc.cast(t.filter(pc.greater(t["c_acctbal"], pa.scalar(9000.0)))["c_custkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    signups = ev.map_batches(
+        lambda t: pa.table(
+            {"actor_id": pc.cast(t.filter(pc.equal(t["event_type"], pa.scalar("signup")))["user_id"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct(rich.union(signups), "actor_id")
+
+
+SQL_UNION_ACTORS = """
+SELECT CAST(c_custkey AS BIGINT) AS actor_id FROM customer WHERE c_acctbal > 9000.0
+UNION
+SELECT CAST(user_id AS BIGINT) AS actor_id FROM events WHERE event_type = 'signup'
+"""
+
+
+# --------------------------------------------------------------------------
+# M13: regex string normalization (the Floripa terminal-code rule,
+# trips_creator_br_florianopolis.py:289-298) — vectorized re2 kernel
+# --------------------------------------------------------------------------
+
+def q_normalize_names(sf_dir: str):
+    """Normalize part names: collapse the leading color word to a
+    canonical code + literal replacements, grouped count — the M13
+    normalize-then-group pattern."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def f(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(t["p_name"], r"^(\w+)\s.*$", r"\1")
+        norm = pc.utf8_upper(norm)
+        norm = pc.replace_substring(norm, "BLUSH", "PINK")
+        return pa.table({"name_code": norm})
+
+    agg = part.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "name_code"
+    ).aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: pa.table({"name_code": t["name_code"], "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_NORMALIZE_NAMES = r"""
+SELECT replace(upper(regexp_replace(p_name, '^(\w+)\s.*$', '\1')), 'BLUSH', 'PINK') AS name_code,
+       COUNT(*) AS n
+FROM part GROUP BY 1
+"""

@@ -157,14 +157,22 @@ PAGES_SCHEMA = pa.schema(
 
 
 def make_pages_batch(start: int, count: int, seed: int = 42) -> pa.Table:
-    """Pages rows for global indices [start, start+count).
+    """Pages rows for global indices [start, start+count)."""
+    return make_pages_for_ids(np.arange(start, start + count, dtype=np.uint64), seed)
 
-    Vectorized across the batch (word ids, entity positions and lang
-    draws are single numpy passes); produces bit-identical output to
-    the scalar per-page oracle ``_page_text_and_entities`` regardless
-    of batch boundaries (asserted in tests/test_flagship.py).
+
+def make_pages_for_ids(idx: np.ndarray, seed: int = 42) -> pa.Table:
+    """Pages rows for an ARBITRARY array of global indices.
+
+    Every row is a pure function of its own index, so output is
+    bit-identical regardless of batching, ordering, or parallelism —
+    the generator must consume the actual id column, never assume a
+    batch is a contiguous range (Ray may split/coalesce blocks
+    differently run to run). Vectorized across the batch; equality
+    with the scalar per-page oracle ``_page_text_and_entities`` is
+    asserted in tests/test_flagship.py.
     """
-    idx = np.arange(start, start + count, dtype=np.uint64)
+    idx = np.asarray(idx, dtype=np.uint64)
     urls = [f"https://example.org/p/{i:010d}" for i in idx]
     ts = BASE_TS + (idx.astype("int64") * 37).astype("timedelta64[us]") * 1_000_000
     lang_ids = _uint(idx, 6, seed, len(LANGS))
@@ -237,8 +245,7 @@ def pages_dataset(n: int, seed: int = 42, override_num_blocks: int | None = None
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_numpy()
-        return make_pages_batch(int(ids[0]), len(ids), seed)
+        return make_pages_for_ids(batch["id"].to_numpy(), seed)
 
     base = ray.data.range(n, override_num_blocks=override_num_blocks)
     return base.map_batches(gen, batch_format="pyarrow", batch_size=4096)

@@ -32,7 +32,16 @@ FEATURE_DIM = 64
 def synthesize_media_batch(start: int, count: int, payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
     """Deterministic fake media table: (media_id, payload: binary,
     mime, width, height)."""
-    ids = np.arange(start, start + count, dtype=np.uint64)
+    return synthesize_media_for_ids(
+        np.arange(start, start + count, dtype=np.uint64), payload_bytes, seed
+    )
+
+
+def synthesize_media_for_ids(ids: np.ndarray, payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
+    """Rows for arbitrary ids (pure per-id function — batch-shape
+    independent, see pages.make_pages_for_ids)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    count = len(ids)
     payloads = []
     for i in ids:
         h = mix64(np.arange(payload_bytes // 8, dtype=np.uint64) ^ i ^ np.uint64(seed))
@@ -98,8 +107,7 @@ def media_dataset(n: int, payload_bytes: int = 4096, seed: int = 42, override_nu
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_numpy()
-        return synthesize_media_batch(int(ids[0]), len(ids), payload_bytes, seed)
+        return synthesize_media_for_ids(batch["id"].to_numpy(), payload_bytes, seed)
 
     return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
         gen, batch_format="pyarrow", batch_size=256
