@@ -159,7 +159,7 @@ def run_scaling() -> dict:
     at sf0.1 is latency-bound (1-3 s/query irreducible startup), so it
     is reported but not part of the efficiency criterion."""
     lo, hi = 8, 32
-    pages = os.environ.get("GRAFT_SCALING_PAGES", "400000")
+    pages = os.environ.get("GRAFT_SCALING_PAGES", "800000")
     out = {}
     for ncpu in (lo, hi):
         env = dict(

@@ -262,23 +262,18 @@ class SpatialJoiner:
 
 def replicate_tiles_to_cells(tiles: pa.Table, index_level: int = COARSE_LEVEL) -> pa.Table:
     """Tile side of the shuffle plan: one row per (covering coarse cell,
-    tile) — the build-side fan-out of the partitioned spatial join."""
+    tile) — the build-side fan-out of the partitioned spatial join.
+    Only scalar columns; geometry travels separately (broadcast)."""
     tile_ids, lats, lons, bboxes = _unpack_tiles(tiles)
-    out_cell, out_tid, out_ring_idx = [], [], []
+    out_cell, out_tid = [], []
     for t in range(len(tile_ids)):
         cells = covering_cells(bboxes[t], index_level)
         out_cell.append(cells)
         out_tid.extend([tile_ids[t]] * len(cells))
-        out_ring_idx.extend([t] * len(cells))
-    rings = tiles["ring"]
-    if isinstance(rings, pa.ChunkedArray):
-        rings = rings.combine_chunks()
-    take_idx = pa.array(np.array(out_ring_idx, dtype=np.int64))
     return pa.table(
         {
             "cell_coarse": pa.array(np.concatenate(out_cell), pa.uint64()),
             "tile_id": pa.array(out_tid, pa.string()),
-            "ring": rings.take(take_idx),
         }
     )
 
@@ -292,81 +287,111 @@ def spatial_join_shuffle(
 ):
     """Cell-keyed groupby spatial join with hot-cell salting.
 
-    For tile sets too large to broadcast. Probe rows in cells whose
-    row count exceeds ``hot_threshold`` get a salt subkey (hash of url,
-    stable) and the tile rows of those cells are replicated across all
-    salts — output identical to the broadcast plan, group sizes bounded.
-    """
-    import ray.data
-    import pandas as pd
+    The partitioned-join plan for when the whole tile table can't be a
+    single broadcast index. The all-to-all exchange moves SCALAR rows
+    only: probe rows (url, entity, lat, lon) and tile membership rows
+    (cell, tile_id); the packed ring geometry is ray.put once and read
+    inside each group task (zero-copy plasma), never shuffled.
 
-    # 1. count probe rows per coarse cell (small aggregate) → hot set
+    Skew handling (the north_rule salting requirement): probe rows in
+    cells whose row count exceeds ``hot_threshold`` get a salt subkey
+    (stable hash of url), and the tile rows of those cells are
+    replicated across all salts — identical output to the broadcast
+    plan, group sizes bounded by threshold/n_salt.
+    """
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from osm2gtfs_ray.sources.pages import mix64
+
+    # geometry broadcast: tile_id → packed ring arrays (open ring)
+    tile_ids, ring_lats, ring_lons, _ = _unpack_tiles(tiles)
+    geom = {
+        tid: (ring_lats[t][:-1], ring_lons[t][:-1]) for t, tid in enumerate(tile_ids)
+    }
+    geom_ref = ray.put(geom)
+
+    # 1. probe rows per coarse cell (pre-aggregated count) → hot set
     counts = entities_ds.groupby("cell_coarse").count().to_pandas()
     hot = set(counts.loc[counts["count()"] > hot_threshold, "cell_coarse"].tolist())
 
-    tile_rows = replicate_tiles_to_cells(tiles, index_level)
-    tdf = tile_rows.to_pandas()
-    salted_tiles = []
+    tdf = replicate_tiles_to_cells(tiles, index_level).to_pandas()
+    salted = []
     for _, row in tdf.iterrows():
-        salts = range(n_salt) if row["cell_coarse"] in hot else (0,)
-        for s in salts:
-            salted_tiles.append(
-                {
-                    "key": f"{row['cell_coarse']}#{s}",
-                    "tile_id": row["tile_id"],
-                    "ring": row["ring"],
-                    "side": "tile",
-                    "url": None,
-                    "entity": None,
-                    "lat": np.nan,
-                    "lon": np.nan,
-                }
-            )
-    tiles_ds = ray.data.from_pandas(pd.DataFrame(salted_tiles))
+        for s in range(n_salt) if row["cell_coarse"] in hot else (0,):
+            salted.append((f"{row['cell_coarse']}#{s}", row["tile_id"]))
+    tiles_ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "key": [k for k, _ in salted],
+                "tile_id": [t for _, t in salted],
+                "side": "tile",
+                "url": pd.Series([None] * len(salted), dtype=object),
+                "entity": pd.Series([None] * len(salted), dtype=object),
+                "lat": np.nan,
+                "lon": np.nan,
+            }
+        )
+    )
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         cc = batch["cell_coarse"].to_numpy(dtype=np.uint64)
-        from osm2gtfs_ray.sources.pages import mix64
-
         salt = np.zeros(len(batch), dtype=np.int64)
-        is_hot = np.isin(cc, np.array(list(hot), dtype=np.uint64)) if hot else np.zeros(len(batch), bool)
+        is_hot = (
+            np.isin(cc, np.array(list(hot), dtype=np.uint64))
+            if hot
+            else np.zeros(len(batch), bool)
+        )
         if is_hot.any():
-            h = mix64(np.arange(len(batch), dtype=np.uint64) ^ cc)
+            # stable per-row salt (url hash), NOT position-dependent
+            h = mix64(
+                np.array(
+                    [np.uint64(hash(u) & 0xFFFFFFFFFFFFFFFF) for u in batch["url"]],
+                    dtype=np.uint64,
+                )
+            )
             salt[is_hot] = (h[is_hot] % np.uint64(n_salt)).astype(np.int64)
         out = batch[["url", "entity", "lat", "lon"]].copy()
         out["key"] = [f"{c}#{s}" for c, s in zip(cc, salt)]
         out["side"] = "probe"
-        out["ring"] = None
-        out["tile_id"] = None
+        out["tile_id"] = pd.Series([None] * len(batch), dtype=object, index=batch.index)
         return out
 
     probe_ds = entities_ds.map_batches(add_key, batch_format="pandas")
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         probes = g[g["side"] == "probe"]
-        tls = g[g["side"] == "tile"].sort_values("tile_id")
+        tls = sorted(g.loc[g["side"] == "tile", "tile_id"].tolist())
         if len(probes) == 0:
-            return pd.DataFrame(columns=["url", "entity", "lat", "lon", "tile_id", "method"])
-        rows = []
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype=object),
+                    "entity": pd.Series([], dtype=object),
+                    "lat": pd.Series([], dtype=float),
+                    "lon": pd.Series([], dtype=float),
+                    "tile_id": pd.Series([], dtype=object),
+                    "method": pd.Series([], dtype=object),
+                }
+            )
+        rings = ray.get(geom_ref)
         plat = probes["lat"].to_numpy()
         plon = probes["lon"].to_numpy()
+        urls = probes["url"].to_numpy()
+        ents = probes["entity"].to_numpy()
+        rows = []
         hit_any = np.zeros(len(probes), dtype=bool)
-        for _, t in tls.iterrows():
-            ring = t["ring"]
-            rla = np.array([p["lat"] for p in ring[:-1]])
-            rlo = np.array([p["lon"] for p in ring[:-1]])
+        for tid in tls:
+            rla, rlo = rings[tid]
             inside = points_in_polygon(plat, plon, rla, rlo)
             hit_any |= inside
             for i in np.nonzero(inside)[0]:
-                rows.append(
-                    (probes.iloc[i]["url"], probes.iloc[i]["entity"], plat[i], plon[i],
-                     t["tile_id"], "pip")
-                )
+                rows.append((urls[i], ents[i], plat[i], plon[i], tid, "pip"))
         for i in np.nonzero(~hit_any)[0]:
-            rows.append(
-                (probes.iloc[i]["url"], probes.iloc[i]["entity"], plat[i], plon[i], None, "none")
-            )
-        return pd.DataFrame(rows, columns=["url", "entity", "lat", "lon", "tile_id", "method"])
+            rows.append((urls[i], ents[i], plat[i], plon[i], None, "none"))
+        return pd.DataFrame(
+            rows, columns=["url", "entity", "lat", "lon", "tile_id", "method"]
+        )
 
     both = probe_ds.union(tiles_ds)
     return both.groupby("key").map_groups(join_group, batch_format="pandas")
