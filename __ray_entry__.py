@@ -41,6 +41,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tile_assignments(sf_dir: str):
         return flagship_from_documents(sf_dir, concurrency=2)["assignments"]
 
+    def q_tile_rasterize(sf_dir: str):
+        import ray.data
+
+        from osm2gtfs_ray.sources.pages import make_tiles_table
+        from osm2gtfs_ray.stages.rasterize import rasterize_tiles
+
+        tiles = make_tiles_table(64, seed=42)
+        return rasterize_tiles(ray.data.from_arrow(tiles))
+
     return {
         # relational / aggregate operators (SQL-oracled)
         "pricing_summary": q.q_pricing_summary,
@@ -76,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
+        "tile_rasterize": q_tile_rasterize,
     }
 
 
