@@ -642,6 +642,84 @@ def shape_rows(itineraries_ds):
     return itineraries_ds.map_batches(f, batch_format="pyarrow")
 
 
+def build_frequencies(relations_ds):
+    """M17/M18 (trips_creator_ci_abidjan.py:81-89, 132-137): route
+    variants carrying OSM opening_hours + interval tags become GTFS
+    frequency rows with canonical service ids — a flat_map (one
+    relation explodes to N windows) over a stateless parser."""
+    from osm2gtfs_ray.ops.hours import parse_opening_hours, service_id_for
+
+    def f(t: pa.Table) -> pa.Table:
+        typ = _tag(t["tags"], "type")
+        t = t.filter(pc.equal(typ, pa.scalar("route")))
+        oh = _tag(t["tags"], "opening_hours").to_pylist() if len(t) else []
+        iv = _tag(t["tags"], "interval").to_pylist() if len(t) else []
+        ids = t["id"].to_pylist()
+        rows = []
+        for rel_id, o, i in zip(ids, oh, iv):
+            if not o or not i:
+                continue
+            for w in parse_opening_hours(o, i):
+                rows.append(
+                    {
+                        "variant_id": rel_id,
+                        "service_id": service_id_for(w["day_flags"]),
+                        "start_s": w["start_s"],
+                        "end_s": w["end_s"],
+                        "headway_s": w["headway_s"],
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("variant_id", pa.int64()),
+                    ("service_id", pa.string()),
+                    ("start_s", pa.int64()),
+                    ("end_s", pa.int64()),
+                    ("headway_s", pa.int64()),
+                ]
+            ),
+        )
+
+    return relations_ds.map_batches(f, batch_format="pyarrow")
+
+
+def sec_to_gtfs_time(col) -> pa.Array:
+    """seconds → 'HH:MM:SS' (GTFS allows hours ≥ 24), vectorized."""
+    s = pc.cast(col, pa.int64())
+    h = pc.divide(s, 3600)
+    m = pc.divide(pc.subtract(s, pc.multiply(h, 3600)), 60)
+    sec = pc.subtract(s, pc.add(pc.multiply(h, 3600), pc.multiply(m, 60)))
+
+    def pad(x):
+        return pc.utf8_lpad(pc.cast(x, pa.string()), 2, "0")
+
+    return pc.binary_join_element_wise(pad(h), pad(m), pad(sec), ":")
+
+
+def write_gtfs_tables(tables: dict, out_dir: str) -> dict:
+    """S7 (osm2gtfs.py:93): write each GTFS component as a directory of
+    CSV part files (the distributed analogue of the zip-of-CSVs sink;
+    stop_times seconds are rendered as GTFS HH:MM:SS). Returns row
+    counts per table."""
+    import os
+
+    counts = {}
+    for name, ds in tables.items():
+        if name == "stop_times":
+            def fmt(t: pa.Table) -> pa.Table:
+                t = t.append_column("arrival_time", sec_to_gtfs_time(t["arrival_sec"]))
+                t = t.append_column("departure_time", sec_to_gtfs_time(t["departure_sec"]))
+                return t.drop_columns(["arrival_sec", "departure_sec"])
+
+            ds = ds.map_batches(fmt, batch_format="pyarrow")
+        path = os.path.join(out_dir, name)
+        ds.write_csv(path)
+        counts[name] = sum(1 for _ in ds.iter_rows())
+    return counts
+
+
 def remove_unused(stops_ds, routes_ds, stop_times_ds):
     """A6/A7 cleanup (stops_creator.py:45-61, routes_creator.py:42-58):
     anti-join stops against used stop_ids, routes against used

@@ -125,6 +125,10 @@ def make_osm_tables(n_lines: int = N_LINES, stops_per_line: int = STOPS_PER_LINE
                 tags["colour"] = "#A2F3b1"  # normalizes to upper-case hex
             if ln == 1 and d == 0:
                 tags["colour"] = "red"  # CSS-name path
+            if ln == 2:
+                # M17 frequencies fixture (Abidjan-style headway service)
+                tags["opening_hours"] = "Mo-Fr 06:00-20:00; Sa-Su 08:00-18:00"
+                tags["interval"] = "00:15"
             rels.append((rid, [{"type": t, "ref": r, "role": ro} for t, r, ro in members], _tags(tags)))
             variants.append(rid)
             rid += 1

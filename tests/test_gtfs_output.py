@@ -1,0 +1,116 @@
+"""Frequencies stage + GTFS CSV sink + config loader tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osm2gtfs_ray.sources import osm_fixtures as fx
+from osm2gtfs_ray.sources.config import ConfigError, load_config
+from osm2gtfs_ray.pipelines import gtfs
+
+
+class TestFrequencies:
+    def test_variant_hours_to_frequency_rows(self, ray_session):
+        import ray.data
+
+        rel = ray.data.from_arrow(fx.make_osm_tables()["osm_relations"])
+        out = gtfs.build_frequencies(rel).to_pandas()
+        # line 2 has 2 variants x 2 windows each
+        assert len(out) == 4
+        assert set(out["service_id"]) == {"Mo-Fr", "Sa-Su"}
+        assert (out["headway_s"] == 900).all()
+        mf = out[out["service_id"] == "Mo-Fr"].iloc[0]
+        assert (mf["start_s"], mf["end_s"]) == (6 * 3600, 20 * 3600)
+
+
+class TestGtfsTime:
+    def test_format(self):
+        col = pa.array([0, 6 * 3600 + 5 * 60 + 9, 25 * 3600], pa.int64())
+        got = gtfs.sec_to_gtfs_time(col).to_pylist()
+        assert got == ["00:00:00", "06:05:09", "25:00:00"]
+
+
+class TestWriter:
+    def test_write_csv_tables(self, ray_session, tmp_path):
+        import ray.data
+
+        st = ray.data.from_items(
+            [
+                {
+                    "trip_id": "t1",
+                    "stop_id": "s1",
+                    "stop_sequence": 0,
+                    "arrival_sec": 21600,
+                    "departure_sec": 21600,
+                }
+            ]
+        )
+        stops = ray.data.from_items([{"stop_id": "s1", "name": "A"}])
+        counts = gtfs.write_gtfs_tables(
+            {"stop_times": st, "stops": stops}, str(tmp_path)
+        )
+        assert counts == {"stop_times": 1, "stops": 1}
+        files = glob.glob(str(tmp_path / "stop_times" / "*"))
+        assert files
+        df = pd.concat(pd.read_csv(f) for f in files)
+        assert df.iloc[0]["arrival_time"] == "06:00:00"
+        assert "arrival_sec" not in df.columns
+
+
+class TestConfig:
+    BASE = {
+        "query": {"bbox": {"n": 1.0, "s": 0.0, "e": 2.0, "w": 1.0}},
+        "output_file": "~/out.zip",
+    }
+
+    def test_defaults(self):
+        cfg = load_config(dict(self.BASE), today=dt.date(2026, 8, 17))
+        assert cfg["feed_info"]["start_date"] == "2026-08-01"
+        assert cfg["feed_info"]["end_date"] == "2027-08-01"
+        assert cfg["selector"] == "default"
+        assert cfg["output_file"].endswith("out.zip")
+        assert not cfg["output_file"].startswith("~")
+
+    def test_validation_errors(self):
+        with pytest.raises(ConfigError):
+            load_config({"query": {}})  # missing output_file
+        bad = dict(self.BASE)
+        bad["query"] = {"bbox": {"n": 0.0, "s": 5.0, "e": 1.0, "w": 0.0}}
+        with pytest.raises(ConfigError):
+            load_config(bad)
+        bad2 = dict(self.BASE)
+        bad2["feed_info"] = {"start_date": "17-08-2026"}
+        with pytest.raises(ConfigError):
+            load_config(bad2)
+        bad3 = dict(self.BASE)
+        bad3["feed_info"] = {"start_date": "2026-08-01", "end_date": "2025-01-01"}
+        with pytest.raises(ConfigError):
+            load_config(bad3)
+
+
+class TestDriverContract:
+    """Smoke the driver's exact calling pattern: ray already up, import
+    module, call entry()/queries()/oracle_sql()."""
+
+    def test_entry_and_registry(self, ray_session):
+        import importlib
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        mod = importlib.import_module("__ray_entry__")
+        res = mod.entry()
+        import ray.data
+
+        assert isinstance(res, ray.data.Dataset)
+        df = res.to_pandas()
+        assert len(df) >= 0
+        assert set(df.columns) == {"entity_cell", "tile_id", "count"}
+        qs, sqls = mod.queries(), mod.oracle_sql()
+        assert set(sqls) <= set(qs)
+        assert len(qs) >= 25
