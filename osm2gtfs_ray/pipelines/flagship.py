@@ -114,6 +114,37 @@ def run_flagship(
             "assignments": assignments}
 
 
+def flagship_to_checkpoint(
+    pages_ds,
+    tiles: pa.Table,
+    out_dir: str,
+    concurrency: int = 4,
+    batch_size: int = 1024,
+    part_level: int = 4,
+    resume: bool = True,
+):
+    """Run the flagship join and write join rows as RESUMABLE
+    partitioned Parquet: one partition per level-`part_level` cell
+    range (the same key hierarchy as the geocode stage), each with a
+    `_lineage.json` record; a rerun skips finished partitions
+    (north_rule checkpoint/resume; see state/lineage.py)."""
+    from osm2gtfs_ray.geo.cells import parent_cell
+    from osm2gtfs_ray.stages.geocode import COARSE_LEVEL
+    from osm2gtfs_ray.state.lineage import write_partitioned
+
+    res = run_flagship(pages_ds, tiles, concurrency=concurrency, batch_size=batch_size)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = parent_cell(
+            t["cell_coarse"].to_numpy(zero_copy_only=False), COARSE_LEVEL - part_level
+        )
+        return t.append_column("part", pa.array(part, pa.uint64()))
+
+    keyed = res["join_rows"].map_batches(add_part, batch_format="pyarrow")
+    manifest = write_partitioned(keyed, out_dir, "part", resume=resume)
+    return manifest
+
+
 def pages_from_documents(sf_dir: str):
     """Deterministic `input_hint`-shaped pages table derived from the
     driver's documents table: each doc's text is wrapped in synthetic

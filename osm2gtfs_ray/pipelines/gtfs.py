@@ -104,14 +104,17 @@ def is_stop_mask(tags_col) -> pa.Array:
     ).combine_chunks()
 
 
-def _stop_projection(t: pa.Table, osm_type: str, lat, lon) -> pa.Table:
-    """M3+M9: name defaulting + stop_id precedence ref:gtfs > ref >
-    'type/id' (stops_creator.py:105-124)."""
-    name = pc.coalesce(_tag(t["tags"], "name"), pa.scalar(NO_NAME))
-    fallback = pc.binary_join_element_wise(
-        pa.array([osm_type] * len(t)), pc.cast(t["id"], pa.string()), "/"
-    )
-    stop_id = pc.coalesce(_tag(t["tags"], "ref:gtfs"), _tag(t["tags"], "ref"), fallback)
+def _stop_projection(t: pa.Table, osm_type: str, lat, lon, hooks: dict | None = None) -> pa.Table:
+    """M3+M9/M10 via the profile registry (SURVEY.md §2.9): the
+    resolved hook table provides stop_id / stop_name variants; default
+    is the ref:gtfs > ref > 'type/id' precedence
+    (stops_creator.py:105-124)."""
+    if hooks is None:
+        from osm2gtfs_ray.pipelines.profiles import get_profile
+
+        hooks = get_profile("default")
+    name = hooks["stop_name"](pc.coalesce(_tag(t["tags"], "name"), pa.scalar(NO_NAME)))
+    stop_id = hooks["stop_id"](t, osm_type)
     return pa.table(
         {
             "osm_id": t["id"],
@@ -124,10 +127,17 @@ def _stop_projection(t: pa.Table, osm_type: str, lat, lon) -> pa.Table:
     )
 
 
-def build_node_stops(nodes_ds):
+def build_node_stops(nodes_ds, selector: str = "default"):
+    # resolve the profile ON THE DRIVER and ship the hook table in the
+    # task closure — workers have their own module state, so resolving
+    # the selector there would miss runtime-registered profiles
+    from osm2gtfs_ray.pipelines.profiles import get_profile
+
+    hooks = get_profile(selector)
+
     def f(t: pa.Table) -> pa.Table:
         t = t.filter(is_stop_mask(t["tags"]))
-        return _stop_projection(t, "node", t["lat"], t["lon"])
+        return _stop_projection(t, "node", t["lat"], t["lon"], hooks)
 
     return nodes_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 

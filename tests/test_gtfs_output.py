@@ -114,3 +114,37 @@ class TestDriverContract:
         qs, sqls = mod.queries(), mod.oracle_sql()
         assert set(sqls) <= set(qs)
         assert len(qs) >= 25
+
+
+class TestProfiles:
+    """§2.9 user-extension surface: selector-driven hook overrides."""
+
+    def test_override_and_default(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.pipelines import profiles
+
+        nodes = ray.data.from_arrow(fx.make_osm_tables()["osm_nodes"])
+        default = gtfs.build_node_stops(nodes).to_pandas().set_index("osm_id")
+        bare = gtfs.build_node_stops(nodes, selector="bare_ids").to_pandas().set_index("osm_id")
+        # default: tag precedence; override: bare osm id (the
+        # br_florianopolis-style specialization)
+        named = default[default["name"] == "Stop 1-1"].index[0]
+        assert default.loc[named, "stop_id"] == "R11"
+        assert bare.loc[named, "stop_id"] == str(named)
+
+    def test_register_custom_profile(self, ray_session):
+        import pyarrow.compute as pc
+        import ray.data
+
+        from osm2gtfs_ray.pipelines import profiles
+
+        profiles.register_profile(
+            "test_prefixed",
+            stop_id=lambda t, osm_type: pc.binary_join_element_wise(
+                pa.array(["X"] * len(t)), pc.cast(t["id"], pa.string()), "-"
+            ),
+        )
+        nodes = ray.data.from_arrow(fx.make_osm_tables()["osm_nodes"])
+        out = gtfs.build_node_stops(nodes, selector="test_prefixed").to_pandas()
+        assert out["stop_id"].str.startswith("X-").all()

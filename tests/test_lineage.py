@@ -63,3 +63,35 @@ def test_rerun_is_idempotent(ray_session, out_dir):
     lineage.write_partitioned(_ds(rd), out_dir, "part", resume=False)  # force rewrite
     h2 = lineage.read_manifest(out_dir).set_index("partition")["content_hash"].to_dict()
     assert h1 == h2
+
+
+def test_flagship_checkpoint_resume(ray_session, tmp_path):
+    """End-to-end: flagship join rows → partitioned lineage output;
+    a rerun skips all finished partitions; a damaged partition is
+    re-written with identical content hash."""
+    import json
+    import os
+
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.pipelines.flagship import flagship_to_checkpoint
+
+    out = str(tmp_path / "flagship_ckpt")
+    tiles = pg.make_tiles_table(20, seed=42)
+    pages = pg.pages_dataset(200, seed=42, override_num_blocks=4)
+    m1 = flagship_to_checkpoint(pages, tiles, out, concurrency=1, batch_size=64)
+    assert len(m1) > 1 and not m1["skipped"].any()
+    hashes = lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict()
+
+    # full rerun: everything skipped
+    pages2 = pg.pages_dataset(200, seed=42, override_num_blocks=4)
+    m2 = flagship_to_checkpoint(pages2, tiles, out, concurrency=1, batch_size=64)
+    assert m2["skipped"].all()
+
+    # damage one partition → only it is rewritten, content identical
+    victim = sorted(hashes)[0]
+    os.remove(os.path.join(out, f"part={victim}", lineage.LINEAGE_FILE))
+    pages3 = pg.pages_dataset(200, seed=42, override_num_blocks=4)
+    m3 = flagship_to_checkpoint(pages3, tiles, out, concurrency=1, batch_size=64)
+    redone = m3[~m3["skipped"]]
+    assert redone["partition"].tolist() == [victim]
+    assert lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict() == hashes
