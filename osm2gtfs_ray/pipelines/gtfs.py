@@ -652,6 +652,56 @@ def shape_rows(itineraries_ds):
     return itineraries_ds.map_batches(f, batch_format="pyarrow")
 
 
+def filter_blacklist(ds, col: str, blacklist: list):
+    """M20 (trips_creator_br_florianopolis.py:13-18,76): drop rows
+    whose `col` is in the blacklist — broadcast key-set filter."""
+    bl = pa.array(blacklist)
+
+    def f(t: pa.Table) -> pa.Table:
+        if pa.types.is_null(t[col].type):  # all-null block: nothing matches
+            return t
+        return t.filter(pc.invert(pc.fill_null(pc.is_in(t[col], value_set=bl), False)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def assign_direction_ids(itineraries_ds):
+    """M21 (trips_creator_gh_accra.py:44-47): alternate direction_id
+    0/1 per line, deterministic by ascending variant_id within each
+    route (the rebuild of 'index % 2' with order carried as data)."""
+
+    def per_route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("variant_id", kind="mergesort").reset_index(drop=True)
+        g["direction_id"] = (g.index % 2).astype("int64")
+        return g
+
+    return itineraries_ds.groupby("route_id").map_groups(per_route, batch_format="pandas")
+
+
+def build_agencies(relations_ds):
+    """J11 (trips_creator_ci_abidjan.py:99-117): get-or-create agency
+    from the `network` tag — distinct(network) with first-occurrence
+    ids (deterministic: ascending first relation id per network)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        net = _tag(t["tags"], "network")
+        out = pa.table({"network": net, "rel_id": t["id"]})
+        return out.filter(pc.is_valid(out["network"]))
+
+    nets = relations_ds.map_batches(extract, batch_format="pyarrow")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rel_id", kind="mergesort").head(1)
+        return pd.DataFrame(
+            {
+                "agency_id": [f"agency_{g['rel_id'].iloc[0]}"],
+                "agency_name": [g["network"].iloc[0]],
+            }
+        )
+
+    return nets.groupby("network").map_groups(first, batch_format="pandas")
+
+
 def build_frequencies(relations_ds):
     """M17/M18 (trips_creator_ci_abidjan.py:81-89, 132-137): route
     variants carrying OSM opening_hours + interval tags become GTFS

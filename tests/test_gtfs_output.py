@@ -148,3 +148,104 @@ class TestProfiles:
         nodes = ray.data.from_arrow(fx.make_osm_tables()["osm_nodes"])
         out = gtfs.build_node_stops(nodes, selector="test_prefixed").to_pandas()
         assert out["stop_id"].str.startswith("X-").all()
+
+
+class TestSmallOps:
+    def test_split_route_relations(self, ray_session):
+        import ray.data
+
+        rel = ray.data.from_arrow(fx.make_osm_tables()["osm_relations"])
+        masters, variants = gtfs.split_route_relations(rel)
+        # 4 lines: masters for lines 0-2 + the duplicate-ref master = 4
+        assert masters.count() == 4
+        assert variants.count() == 8
+
+    def test_filter_blacklist(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_items([{"ref": r} for r in ["L0", "L1", "L2", None]])
+        out = gtfs.filter_blacklist(ds, "ref", ["L1"]).to_pandas()
+        assert sorted(out["ref"].dropna()) == ["L0", "L2"]
+        assert len(out) == 3  # null ref kept
+
+    def test_assign_direction_ids(self, ray_session):
+        import ray.data
+
+        tables = fx.make_osm_tables()
+        coords = gtfs.ways_coord_table(tables["osm_ways"], tables["osm_nodes"])
+        rel = ray.data.from_arrow(tables["osm_relations"])
+        itins = gtfs.build_lines_and_itineraries(rel, coords)
+        out = gtfs.assign_direction_ids(itins).to_pandas()
+        per_route = out.groupby("route_id")["direction_id"].apply(sorted)
+        assert all(v == [0, 1] for v in per_route)
+
+    def test_build_agencies(self, ray_session):
+        import ray.data
+
+        rels = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([3, 1, 2, 4], pa.int64()),
+                    "tags": pa.array(
+                        [
+                            [("network", "SOTRA")],
+                            [("network", "SOTRA")],
+                            [("network", "STL")],
+                            [("name", "no-network")],
+                        ],
+                        fx.TAGS_TYPE,
+                    ),
+                }
+            )
+        )
+        out = gtfs.build_agencies(rels).to_pandas().sort_values("agency_name")
+        assert out["agency_name"].tolist() == ["SOTRA", "STL"]
+        # get-or-create: first (lowest relation id) wins as agency id
+        assert out[out["agency_name"] == "SOTRA"]["agency_id"].iloc[0] == "agency_1"
+
+
+class TestScheduleLoader:
+    def test_load_standard_format(self, tmp_path):
+        import json
+
+        from osm2gtfs_ray.sources.schedule import ScheduleError, load_schedule
+
+        doc = {
+            "lines": {
+                "L1": [
+                    {
+                        "from": "A",
+                        "to": "C",
+                        "services": ["Mo-Fr", "Sa"],
+                        "stations": ["A", "B", "C"],
+                        "times": [["06:00", "06:10", "06:20"]],
+                    }
+                ]
+            }
+        }
+        p = tmp_path / "sched.json"
+        p.write_text(json.dumps(doc))
+        t = load_schedule(str(p))
+        assert t.num_rows == 2  # one row per service
+        assert t["service"].to_pylist() == ["Mo-Fr", "Sa"]
+        import pytest as _pt
+
+        with _pt.raises(ScheduleError):
+            load_schedule({"nope": 1})
+        bad = dict(doc)
+        bad["lines"] = {"L1": [{"from": "A", "to": "C", "stations": ["A"], "times": [["06:00", "06:10"]]}]}
+        with _pt.raises(ScheduleError):
+            load_schedule(bad)
+
+    def test_partition_horarios(self):
+        from osm2gtfs_ray.sources.schedule import partition_horarios
+
+        got = partition_horarios(
+            {
+                "Dias Úteis - Saída": ["06:00"],
+                "Sábado": ["07:00"],
+                "Domingo e Feriados": ["08:00"],
+                "???": ["09:00"],
+            }
+        )
+        assert got == {"Mo-Fr": ["06:00"], "Sa": ["07:00"], "Su": ["08:00"]}
