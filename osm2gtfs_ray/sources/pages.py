@@ -71,13 +71,27 @@ def _u01(idx: np.ndarray, stream: int, seed: int) -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) * (2.0**-53)
 
 
-def _uint(idx: np.ndarray, stream: int, seed: int, mod: int) -> np.ndarray:
-    h = mix64(
+def _uhash(idx: np.ndarray, stream: int, seed: int) -> np.ndarray:
+    return mix64(
         np.asarray(idx, dtype=np.uint64)
         ^ (np.uint64(stream) * np.uint64(0xC0FFEE123457))
         ^ (np.uint64(seed) << np.uint64(32))
     )
-    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def _uint(idx: np.ndarray, stream: int, seed: int, mod: int) -> np.ndarray:
+    return (_uhash(idx, stream, seed) % np.uint64(mod)).astype(np.int64)
+
+
+def _flat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """concatenate([arange(n) for n in lengths]) without the loop."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lengths) - lengths, lengths
+    )
 
 
 def _entity_latlon(eidx: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -112,6 +126,32 @@ def _page_text_and_entities(i: int, seed: int):
 
 def _escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+# pre-escaped vocabulary: html rendering touches every word, so the
+# per-word escape is hoisted out of the per-page loop entirely
+_VOCAB_ESC = np.array([_escape(w) for w in VOCAB], dtype=object)
+
+
+def _render_html_fast(i: int, esc_words: list, ents, seed: int, k: int) -> bytes:
+    """Same output as _render_html but from pre-escaped words and a
+    pre-computed highlight position k (hoisted out of the per-page
+    loop — per-page numpy scalar hashing dominated generation)."""
+    j2 = (k * 2 + 3) % max(1, len(esc_words))
+    out = list(esc_words)
+    out[k] = f"<b>{out[k]}</b>"
+    if j2 != k:
+        out[j2] = f'<em class="hl">{out[j2]}</em>'
+    geo = "".join(
+        f'<span class="geo" data-name="{n}" data-lat="{la}" data-lon="{lo}"></span>'
+        for (n, la, lo) in ents
+    )
+    html = (
+        f"<html><head><title>doc {i}</title>{geo}</head><body>"
+        + " ".join(out)
+        + "</body></html>"
+    )
+    return html.encode("utf-8")
 
 
 def _render_html(i: int, text: str, ents, seed: int) -> bytes:
@@ -180,32 +220,42 @@ def make_pages_for_ids(idx: np.ndarray, seed: int = 42) -> pa.Table:
     # --- words for every page in one pass (same formula as the oracle) ---
     n_words = 20 + _uint(idx, 1, seed, 180)
     offsets = np.concatenate([[0], np.cumsum(n_words)])
-    pos_flat = np.concatenate([np.arange(n, dtype=np.uint64) for n in n_words])
+    pos_flat = _flat_ranges(n_words).astype(np.uint64)
     page_flat = np.repeat(idx, n_words)
     word_ids = _uint(pos_flat + page_flat * np.uint64(1_000_003), 2, seed, len(VOCAB))
     vocab_arr = np.array(VOCAB, dtype=object)
     flat_words = vocab_arr[word_ids]
+    flat_esc = _VOCAB_ESC[word_ids]
 
     # --- entities for every page in one pass ---
     n_ent = _uint(idx, 3, seed, 4)
     e_off = np.concatenate([[0], np.cumsum(n_ent)])
     e_page = np.repeat(idx, n_ent)
-    e_j = np.concatenate([np.arange(n, dtype=np.uint64) for n in n_ent])
+    e_j = _flat_ranges(n_ent).astype(np.uint64)
     eidx = e_page * np.uint64(8) + e_j
     name_ids = _uint(eidx, 4, seed, len(ENTITY_NAMES))
     elat, elon = _entity_latlon(eidx, seed)
     ent_names = np.array(ENTITY_NAMES, dtype=object)[name_ids]
+
+    k_all = (_uhash(idx, 5, seed) % n_words.astype(np.uint64)).astype(np.int64)
+    elat_r = np.round(elat, 6)
+    elon_r = np.round(elon, 6)
 
     texts, htmls, langs = [], [], []
     for n, i in enumerate(idx):
         words = flat_words[offsets[n] : offsets[n + 1]].tolist()
         text = " ".join(words)
         ents = [
-            (ent_names[e], round(float(elat[e]), 6), round(float(elon[e]), 6))
+            (ent_names[e], float(elat_r[e]), float(elon_r[e]))
             for e in range(e_off[n], e_off[n + 1])
         ]
         texts.append(text)
-        htmls.append(_render_html(int(i), text, ents, seed))
+        htmls.append(
+            _render_html_fast(
+                int(i), flat_esc[offsets[n] : offsets[n + 1]].tolist(), ents, seed,
+                int(k_all[n]),
+            )
+        )
         langs.append(LANGS[lang_ids[n]])
     return pa.table(
         {

@@ -113,6 +113,16 @@ class TileIndex:
             center_map.setdefault(cc, []).append(t)
         self.cell_map = {c: np.array(ts, dtype=np.int64) for c, ts in cell_map.items()}
         self.center_map = {c: np.array(ts, dtype=np.int64) for c, ts in center_map.items()}
+        # sorted-array form of center_map for the vectorized kNN:
+        # (cell, tile) pairs sorted by cell → searchsorted range lookup
+        pairs = sorted(
+            (c, t) for c, ts in self.center_map.items() for t in ts
+        )
+        self.center_cells_sorted = np.array([c for c, _ in pairs], dtype=np.uint64)
+        self.center_tiles_sorted = np.array([t for _, t in pairs], dtype=np.int64)
+        # rank of each tile under ascending tile_id (deterministic tie-break)
+        self.tile_rank = np.empty(self.n_tiles, dtype=np.int64)
+        self.tile_rank[self.order] = np.arange(self.n_tiles)
 
     def candidates(self, coarse_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(point_idx, tile_idx) candidate pairs for a point batch."""
@@ -161,35 +171,55 @@ class TileIndex:
     def knn_nearest(self, lat: np.ndarray, lon: np.ndarray, radius_m: float = KNN_RADIUS_M):
         """Nearest tile center within radius via neighbor-ring expansion.
 
-        Returns (tile_idx or -1, distance_m) per point. Ring k grows
-        until the ring's inner boundary exceeds the radius — exactly
-        generalizing the reference's 50 m-radius argmin (G4/O4).
+        Returns (tile_idx or -1, distance_m) per point, exactly
+        generalizing the reference's 50 m-radius argmin (G4/O4) with a
+        lowest-tile_id tie-break. FULLY VECTORIZED: ring cells →
+        searchsorted range lookup into the (cell, tile) pair table →
+        flat (point, tile) candidate pairs → one haversine call → per-
+        point argmin via lexsort + first-occurrence (no Python loop —
+        this is the hot path for every unmatched entity at 10^12 rows).
         """
         n = len(lat)
         best_t = np.full(n, -1, dtype=np.int64)
         best_d = np.full(n, np.inf)
+        if n == 0 or len(self.center_cells_sorted) == 0:
+            return best_t, best_d
         cells0 = cell_of(lat, lon, self.index_level)
         cell_deg = 360.0 / (1 << self.index_level)
         cell_m = cell_deg * 111_320.0
         k_max = int(np.ceil(radius_m / cell_m)) + 1
-        ring = neighbor_ring(cells0, k=k_max, level=self.index_level)
-        for i in range(n):
-            cand = [self.center_map.get(int(c)) for c in np.unique(ring[i])]
-            cand = [c for c in cand if c is not None]
-            if not cand:
-                continue
-            cand = np.unique(np.concatenate(cand))
-            d = haversine_m(lat[i], lon[i], self.center_lat[cand], self.center_lon[cand])
-            ok = d <= radius_m
-            if not ok.any():
-                continue
-            cand, d = cand[ok], d[ok]
-            # tie-break: lowest tile_id among equal distances
-            dmin = d.min()
-            ties = cand[d <= dmin]
-            ids = [self.tile_ids[t] for t in ties]
-            best = ties[int(np.argmin(np.array(ids)))]
-            best_t[i], best_d[i] = best, dmin
+        ring = neighbor_ring(cells0, k=k_max, level=self.index_level)  # (n, K)
+        K = ring.shape[1]
+        qcells = ring.ravel()
+        qpoint = np.repeat(np.arange(n, dtype=np.int64), K)
+        lo = np.searchsorted(self.center_cells_sorted, qcells, side="left")
+        hi = np.searchsorted(self.center_cells_sorted, qcells, side="right")
+        cnt = hi - lo
+        sel = cnt > 0
+        if not sel.any():
+            return best_t, best_d
+        reps = cnt[sel]
+        total = int(reps.sum())
+        # flat ranges lo[j]:hi[j] without a Python loop
+        starts = np.repeat(lo[sel], reps)
+        base = np.repeat(np.cumsum(reps) - reps, reps)
+        flat = np.arange(total, dtype=np.int64) - base + starts
+        cand_tile = self.center_tiles_sorted[flat]
+        cand_point = np.repeat(qpoint[sel], reps)
+        d = haversine_m(
+            lat[cand_point], lon[cand_point],
+            self.center_lat[cand_tile], self.center_lon[cand_tile],
+        )
+        ok = d <= radius_m
+        if not ok.any():
+            return best_t, best_d
+        cp, ct, cd = cand_point[ok], cand_tile[ok], d[ok]
+        # per-point argmin, ties broken by ascending tile_id rank
+        order = np.lexsort((self.tile_rank[ct], cd, cp))
+        cp, ct, cd = cp[order], ct[order], cd[order]
+        pts, first = np.unique(cp, return_index=True)
+        best_t[pts] = ct[first]
+        best_d[pts] = cd[first]
         return best_t, best_d
 
 
