@@ -41,6 +41,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tile_assignments(sf_dir: str):
         return flagship_from_documents(sf_dir, concurrency=2)["assignments"]
 
+    def q_dedup_groups(sf_dir: str):
+        """MinHash near-dup pairs → connected dedup clusters (min-label
+        propagation, ops/components.py). Rows-only: iterative algorithm."""
+        from osm2gtfs_ray.ops.components import connected_components
+        from osm2gtfs_ray.pipelines.sim_queries import q_minhash_pairs
+
+        pairs = q_minhash_pairs(sf_dir).select_columns(["a", "b"])
+        return connected_components(pairs)
+
     def q_tile_rasterize(sf_dir: str):
         import ray.data
 
@@ -82,10 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_not_purchase": so.q_click_not_purchase,
         "union_actors": so.q_union_actors,
         "normalize_names": so.q_normalize_names,
+        "sessionize": so.q_sessionize,
         # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
         "tile_rasterize": q_tile_rasterize,
+        "dedup_groups": q_dedup_groups,
     }
 
 
@@ -100,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "click_not_purchase": so.SQL_CLICK_NOT_PURCHASE,
         "union_actors": so.SQL_UNION_ACTORS,
         "normalize_names": so.SQL_NORMALIZE_NAMES,
+        "sessionize": so.SQL_SESSIONIZE,
         "nation_centroid": gq.SQL_NATION_CENTROID,
         "bbox_events": gq.SQL_BBOX_EVENTS,
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,

@@ -108,7 +108,7 @@ def run_bench() -> dict:
     pool = max(2, ncpu // 4)
 
     t0 = time.perf_counter()
-    pages = pgen.pages_dataset(n_pages, override_num_blocks=max(2 * ncpu, 16))
+    pages = pgen.pages_dataset(n_pages, override_num_blocks=256)
     res = fl.run_flagship(pages, tiles, concurrency=pool, batch_size=2048)
     join_mat = res["join_rows"].materialize()
     join_rows = join_mat.count()
@@ -159,7 +159,7 @@ def run_scaling() -> dict:
     at sf0.1 is latency-bound (1-3 s/query irreducible startup), so it
     is reported but not part of the efficiency criterion."""
     lo, hi = 8, 32
-    pages = os.environ.get("GRAFT_SCALING_PAGES", "800000")
+    pages = os.environ.get("GRAFT_SCALING_PAGES", "3000000")
     out = {}
     for ncpu in (lo, hi):
         env = dict(

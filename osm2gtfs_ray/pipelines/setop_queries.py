@@ -3,6 +3,7 @@ M13) with SQL oracles."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -117,4 +118,49 @@ SQL_NORMALIZE_NAMES = r"""
 SELECT replace(upper(regexp_replace(p_name, '^(\w+)\s.*$', '\1')), 'BLUSH', 'PINK') AS name_code,
        COUNT(*) AS n
 FROM part GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (streaming-shaped; SQL window oracle)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q_sessionize(sf_dir: str):
+    """Per-user gap sessionization (30 min): session boundaries where
+    the inter-event gap exceeds the threshold, then per-session stats.
+    Batch re-expression of a session window: groupby(user) →
+    sorted map_groups cumsum (order carried by ts, ray_guide
+    'Streaming-shaped workloads')."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy() // 1_000_000
+        new = np.zeros(len(g), dtype=np.int64)
+        new[1:] = (np.diff(us) > _SESSION_GAP_S).astype(np.int64)
+        sid = new.cumsum()
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid, "n": 1})
+        agg = out.groupby(["user_id", "session_id"], as_index=False)["n"].sum()
+        return agg.rename(columns={"n": "n_events"})
+
+    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_SESSIONIZE = f"""
+SELECT user_id, session_id, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > {_SESSION_GAP_S} THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
 """
