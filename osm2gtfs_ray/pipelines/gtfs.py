@@ -668,14 +668,25 @@ def filter_blacklist(ds, col: str, blacklist: list):
 def assign_direction_ids(itineraries_ds):
     """M21 (trips_creator_gh_accra.py:44-47): alternate direction_id
     0/1 per line, deterministic by ascending variant_id within each
-    route (the rebuild of 'index % 2' with order carried as data)."""
+    route (the rebuild of 'index % 2' with order carried as data).
+
+    The group pass runs on a SCALAR projection (route_id, variant_id)
+    — itinerary list columns (stop_refs/shape) don't round-trip
+    through pandas blocks — and the ids join back broadcast."""
+    from osm2gtfs_ray.ops.joins import broadcast_join
 
     def per_route(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("variant_id", kind="mergesort").reset_index(drop=True)
         g["direction_id"] = (g.index % 2).astype("int64")
         return g
 
-    return itineraries_ds.groupby("route_id").map_groups(per_route, batch_format="pandas")
+    dirs = (
+        itineraries_ds.select_columns(["route_id", "variant_id"])
+        .groupby("route_id")
+        .map_groups(per_route, batch_format="pandas")
+        .select_columns(["variant_id", "direction_id"])
+    )
+    return broadcast_join(itineraries_ds, dirs, keys="variant_id")
 
 
 def build_agencies(relations_ds):
@@ -791,3 +802,58 @@ def remove_unused(stops_ds, routes_ds, stop_times_ds):
     kept_stops = broadcast_semi(stops_ds, used_stops, key="stop_id")
     kept_routes = broadcast_semi(routes_ds, used_routes, key="route_id")
     return kept_stops, kept_routes
+
+
+# --------------------------------------------------------------------------
+# Full chain (the reference's creator lifecycle, osm2gtfs.py:42-95)
+# --------------------------------------------------------------------------
+
+def run_gtfs_pipeline(nodes_ds, ways_ds, relations_ds, ways_coords: pa.Table,
+                      stops_table: pa.Table | None, schedule_table: pa.Table,
+                      selector: str = "default"):
+    """stops → stations → routes → trips → cleanup, as lazy Datasets.
+
+    ``ways_coords``: way id → coordinate sequences (driver-resolved at
+    fixture scale; the distributed path is the hash join in
+    build_way_stops). ``stops_table``: materialized stops for the
+    broadcast lookups in the trip builder (computed here if None).
+    """
+    import ray
+
+    stops = build_stops(nodes_ds, ways_ds)
+    if stops_table is None:
+        stops_table = pa.Table.from_pandas(stops.to_pandas(), preserve_index=False)
+
+    stations, membership = build_stations(relations_ds, stops)
+    stops_parented = assign_parent_stations(stops, membership)
+
+    itineraries = build_lines_and_itineraries(relations_ds, ways_coords)
+    itineraries = assign_direction_ids(itineraries)
+
+    stop_times = build_trips(itineraries, stops_table, schedule_table)
+    shapes = shape_rows(itineraries)
+    frequencies = build_frequencies(relations_ds)
+    agencies = build_agencies(relations_ds)
+
+    def routes_rows(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["route_id", "route_name", "route_type", "route_color", "route_text_color"]
+        )
+
+    routes = (
+        itineraries.map_batches(routes_rows, batch_format="pyarrow")
+        .groupby("route_id")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    kept_stops, kept_routes = remove_unused(stops_parented, routes, stop_times)
+    return {
+        "stops": kept_stops.sort("stop_id"),
+        "stations": stations,
+        "routes": kept_routes.sort("route_id"),   # O1 deterministic order
+        "itineraries": itineraries,
+        "stop_times": stop_times.sort(["trip_id", "stop_sequence"]),
+        "shapes": shapes.sort(["shape_id", "shape_pt_sequence"]),
+        "frequencies": frequencies.sort(["variant_id", "service_id", "start_s"]),
+        "agencies": agencies,
+    }

@@ -141,6 +141,7 @@ def make_osm_tables(n_lines: int = N_LINES, stops_per_line: int = STOPS_PER_LINE
                 "route_master": "bus" if ln != 1 else "tram",
                 "ref": f"L{ln}",
                 "name": f"Line {ln}",
+                "network": "MetroCo" if ln < 2 else "BusCo",  # J11 fixture
             }
             rels.append((rid, members, _tags(tags)))
             rid += 1
