@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the geometry kernels + the
+OSM XML source round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from osm2gtfs_ray.geo import cells, haversine, pip
+from osm2gtfs_ray.sources import osm_fixtures as fx
+from osm2gtfs_ray.sources.osm_xml import parse_osm_xml, to_osm_xml
+
+
+lat_s = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+lon_s = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_s, lon=lon_s, level=st.integers(min_value=4, max_value=24))
+def test_cell_roundtrip_property(lat, lon, level):
+    key = cells.cell_of(np.array([lat]), np.array([lon]), level)
+    clat, clon = cells.cell_to_center(key, level)
+    # re-keying the center is idempotent
+    assert cells.cell_of(clat, clon, level)[0] == key[0]
+    # center is within one cell size of the input
+    sz = cells.cell_size_deg(level)
+    assert abs(clat[0] - lat) <= sz and abs(clon[0] - lon) <= sz
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat=lat_s, lon=lon_s, level=st.integers(min_value=4, max_value=20),
+       steps=st.integers(min_value=1, max_value=3))
+def test_parent_prefix_property(lat, lon, level, steps):
+    if level - steps < 2:
+        return
+    fine = cells.cell_of(np.array([lat]), np.array([lon]), level)
+    coarse = cells.cell_of(np.array([lat]), np.array([lon]), level - steps)
+    assert cells.parent_cell(fine, steps)[0] == coarse[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=st.tuples(lat_s, lon_s), b=st.tuples(lat_s, lon_s))
+def test_haversine_metric_properties(a, b):
+    d_ab = haversine.haversine_m(a[0], a[1], b[0], b[1])
+    d_ba = haversine.haversine_m(b[0], b[1], a[0], a[1])
+    assert abs(d_ab - d_ba) < 1e-6  # symmetry
+    assert d_ab >= 0
+    assert d_ab <= np.pi * haversine.EARTH_RADIUS_M + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    pts=st.lists(st.tuples(lat_s, lon_s), min_size=1, max_size=20),
+    nv=st.integers(min_value=3, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_pip_convex_polygon_property(pts, nv, seed):
+    """For a convex polygon, the even-odd test must agree with the
+    half-plane (cross-product sign) test for interior points."""
+    rng = np.random.default_rng(seed)
+    clat, clon = rng.uniform(-10, 10), rng.uniform(-10, 10)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    if len(np.unique(ang)) < 3:
+        return
+    r = rng.uniform(1.0, 5.0)
+    ring_lat = clat + r * np.sin(ang)
+    ring_lon = clon + r * np.cos(ang)
+    plat = np.array([p[0] for p in pts])
+    plon = np.array([p[1] for p in pts])
+    got = pip.points_in_polygon(plat, plon, ring_lat, ring_lon)
+    # convex half-plane oracle (CCW winding by construction)
+    x1, y1 = ring_lon, ring_lat
+    x2, y2 = np.roll(ring_lon, -1), np.roll(ring_lat, -1)
+    cross = (x2 - x1)[None, :] * (plat[:, None] - y1[None, :]) - (y2 - y1)[None, :] * (
+        plon[:, None] - x1[None, :]
+    )
+    strict_inside = (cross > 1e-12).all(axis=1)
+    strict_outside = (cross < -1e-12).any(axis=1)
+    assert not (got & strict_outside).any()
+    assert not (~got & strict_inside).any()
+
+
+def test_osm_xml_roundtrip():
+    tables = fx.make_osm_tables()
+    xml = to_osm_xml(tables)
+    back = parse_osm_xml(xml)
+    for name in tables:
+        assert back[name].equals(tables[name]), name
