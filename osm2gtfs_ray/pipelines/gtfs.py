@@ -190,8 +190,8 @@ def build_way_stops(ways_ds, nodes_ds, num_partitions: int = 8):
     return joined.groupby("way_id").map_groups(centroid, batch_format="pandas")
 
 
-def build_stops(nodes_ds, ways_ds):
-    return build_node_stops(nodes_ds).union(build_way_stops(ways_ds, nodes_ds))
+def build_stops(nodes_ds, ways_ds, selector: str = "default"):
+    return build_node_stops(nodes_ds, selector).union(build_way_stops(ways_ds, nodes_ds))
 
 
 # --------------------------------------------------------------------------
@@ -776,8 +776,21 @@ def write_gtfs_tables(tables: dict, out_dir: str) -> dict:
     counts per table."""
     import os
 
+    def flatten_lists(t: pa.Table) -> pa.Table:
+        # CSV has no list type: join list columns as ';'-separated text
+        for idx, f in enumerate(t.schema):
+            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+                joined = pa.array(
+                    [None if v is None else ";".join(str(x) for x in v)
+                     for v in t[f.name].to_pylist()],
+                    pa.string(),
+                )
+                t = t.set_column(idx, f.name, joined)
+        return t
+
     counts = {}
     for name, ds in tables.items():
+        ds = ds.map_batches(flatten_lists, batch_format="pyarrow")
         if name == "stop_times":
             def fmt(t: pa.Table) -> pa.Table:
                 t = t.append_column("arrival_time", sec_to_gtfs_time(t["arrival_sec"]))
@@ -820,7 +833,7 @@ def run_gtfs_pipeline(nodes_ds, ways_ds, relations_ds, ways_coords: pa.Table,
     """
     import ray
 
-    stops = build_stops(nodes_ds, ways_ds)
+    stops = build_stops(nodes_ds, ways_ds, selector)
     if stops_table is None:
         stops_table = pa.Table.from_pandas(stops.to_pandas(), preserve_index=False)
 

@@ -249,3 +249,51 @@ class TestScheduleLoader:
             }
         )
         assert got == {"Mo-Fr": ["06:00"], "Sa": ["07:00"], "Su": ["08:00"]}
+
+
+class TestCLI:
+    """Reference CLI parity: config → XML input → GTFS CSV output."""
+
+    def test_cli_end_to_end(self, ray_session, tmp_path):
+        import json
+
+        from osm2gtfs_ray import cli
+        from osm2gtfs_ray.sources.osm_xml import to_osm_xml
+
+        tables = fx.make_osm_tables()
+        xml_path = tmp_path / "city.xml"
+        xml_path.write_text(to_osm_xml(tables))
+        sched_rows = fx.make_schedule_table().to_pylist()
+        lines: dict = {}
+        for r in sched_rows:
+            entries = lines.setdefault(r["route_id"], [])
+            for e in entries:
+                if e["from"] == r["from_stop"] and e["to"] == r["to_stop"]:
+                    if r["service"] not in e["services"]:
+                        e["services"].append(r["service"])
+                    break
+            else:
+                entries.append(
+                    {"from": r["from_stop"], "to": r["to_stop"],
+                     "services": [r["service"]], "stations": r["station_names"],
+                     "times": r["times"]}
+                )
+        sched_path = tmp_path / "timetable.json"
+        sched_path.write_text(json.dumps({"lines": lines}))
+        cfg = {
+            "query": {"bbox": {"n": 1.0, "s": -2.0, "e": 38.0, "w": 36.0}},
+            "input": str(xml_path),
+            "schedule_source": str(sched_path),
+            "output_file": str(tmp_path / "gtfs_out"),
+        }
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(json.dumps(cfg))
+        rc = cli.main(["-c", str(cfg_path)])
+        assert rc == 0
+        out = tmp_path / "gtfs_out"
+        assert {p.name for p in out.iterdir()} >= {
+            "stops", "routes", "stop_times", "shapes", "frequencies", "agencies"
+        }
+        st = pd.concat(pd.read_csv(f) for f in (out / "stop_times").iterdir())
+        assert len(st) == 147
+        assert st["arrival_time"].str.match(r"^\d{2}:\d{2}:\d{2}$").all()
