@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": tq.q_exact_dedup,
         "doc_quality": tq.q_doc_quality,
         "lang_id": tq.q_lang_id,
+        "fingerprint": tq.q_fingerprint,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "cosine_pairs": sq.q_cosine_pairs,

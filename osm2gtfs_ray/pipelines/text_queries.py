@@ -11,7 +11,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Sum
 
 from osm2gtfs_ray.sources.tables import read_table
-from osm2gtfs_ray.stages.text import LangId, QualityScore, token_count_arrow
+from osm2gtfs_ray.stages.text import Fingerprint, LangId, QualityScore, token_count_arrow
 
 
 # --------------------------------------------------------------------------
@@ -118,3 +118,14 @@ def q_lang_id(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (rolling hash; rows-only — determinism
+# asserted in tests, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+def q_fingerprint(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "fp64"])

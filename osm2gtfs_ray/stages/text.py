@@ -69,19 +69,40 @@ class QualityScore:
 
 class Fingerprint:
     """Deterministic 64-bit document fingerprint: polynomial rolling
-    hash over utf-8 bytes (order-sensitive, partition-independent)."""
+    hash over utf-8 bytes, h = h0·B^n + Σ bᵢ·B^(n-1-i) (mod 2^64) —
+    order-sensitive and partition-independent. Vectorized: per doc one
+    numpy dot against a precomputed power table (mod-2^64 wraparound
+    is exactly uint64 overflow); the power table is per-actor state
+    grown on demand."""
 
     B = np.uint64(1_000_003)
+    H0 = np.uint64(1469598103934665603)  # FNV offset basis
+
+    def __init__(self, max_len: int = 4096):
+        self.powers = self._grow(max_len)
+
+    def _grow(self, n: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            p = np.empty(n + 1, dtype=np.uint64)
+            p[0] = np.uint64(1)
+            for k in range(1, n + 1):
+                p[k] = p[k - 1] * self.B
+        return p
+
+    def fingerprint(self, data: bytes) -> int:
+        n = len(data)
+        if n + 1 > len(self.powers):
+            self.powers = self._grow(max(n, 2 * len(self.powers)))
+        b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (b * self.powers[n - 1 :: -1][:n]).sum(dtype=np.uint64)
+            h += self.H0 * self.powers[n]
+        return int(h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = np.zeros(len(batch), dtype=np.uint64)
-        texts = batch["text"].to_pylist()
-        for i, t in enumerate(texts):
-            h = np.uint64(1469598103934665603)  # FNV offset
-            with np.errstate(over="ignore"):
-                for byte in t.encode("utf-8"):
-                    h = h * self.B + np.uint64(byte)
-            out[i] = h
+        for i, t in enumerate(batch["text"].to_pylist()):
+            out[i] = self.fingerprint(t.encode("utf-8"))
         return batch.append_column("fp64", pa.array(out, pa.uint64()))
 
 
