@@ -409,18 +409,30 @@ def spatial_join_shuffle(
         plon = probes["lon"].to_numpy()
         urls = probes["url"].to_numpy()
         ents = probes["entity"].to_numpy()
-        rows = []
         hit_any = np.zeros(len(probes), dtype=bool)
-        for tid in tls:
+        sel_idx, sel_tid = [], []
+        for tid in tls:  # tiles per group are few; PIP fully vectorized
             rla, rlo = rings[tid]
             inside = points_in_polygon(plat, plon, rla, rlo)
             hit_any |= inside
-            for i in np.nonzero(inside)[0]:
-                rows.append((urls[i], ents[i], plat[i], plon[i], tid, "pip"))
-        for i in np.nonzero(~hit_any)[0]:
-            rows.append((urls[i], ents[i], plat[i], plon[i], None, "none"))
+            hits = np.nonzero(inside)[0]
+            sel_idx.append(hits)
+            sel_tid.append(np.full(len(hits), tid, dtype=object))
+        miss = np.nonzero(~hit_any)[0]
+        sel_idx.append(miss)
+        sel_tid.append(np.full(len(miss), None, dtype=object))
+        idx = np.concatenate(sel_idx).astype(np.int64)
+        tid_col = np.concatenate(sel_tid)
+        method = np.where(pd.notna(tid_col), "pip", "none")
         return pd.DataFrame(
-            rows, columns=["url", "entity", "lat", "lon", "tile_id", "method"]
+            {
+                "url": urls[idx],
+                "entity": ents[idx],
+                "lat": plat[idx],
+                "lon": plon[idx],
+                "tile_id": tid_col,
+                "method": method,
+            }
         )
 
     both = probe_ds.union(tiles_ds)
