@@ -130,9 +130,7 @@ def flagship_to_checkpoint(
     (north_rule checkpoint/resume; see state/lineage.py)."""
     from osm2gtfs_ray.geo.cells import parent_cell
     from osm2gtfs_ray.stages.geocode import COARSE_LEVEL
-    from osm2gtfs_ray.state.lineage import write_partitioned
-
-    res = run_flagship(pages_ds, tiles, concurrency=concurrency, batch_size=batch_size)
+    from osm2gtfs_ray.state.lineage import done_partitions, write_partitioned
 
     def add_part(t: pa.Table) -> pa.Table:
         part = parent_cell(
@@ -140,8 +138,27 @@ def flagship_to_checkpoint(
         )
         return t.append_column("part", pa.array(part, pa.uint64()))
 
-    keyed = res["join_rows"].map_batches(add_part, batch_format="pyarrow")
-    manifest = write_partitioned(keyed, out_dir, "part", resume=resume)
+    extracted = extract_stage(pages_ds, concurrency=concurrency, batch_size=batch_size)
+    entities = entities_stage(extracted).map_batches(add_part, batch_format="pyarrow")
+
+    # resume pruning BEFORE the join: entities whose partition already
+    # has a lineage record never reach the spatial join (the rerun =
+    # anti-join-done-partitions plan, SURVEY.md §4). Extraction still
+    # runs (entities must be recomputed to know their keys); at real
+    # scale the entity table itself would be a checkpointed stage.
+    done = done_partitions(out_dir) if resume else set()
+    if done:
+        done_arr = pa.array(np.array(sorted(int(d) for d in done), dtype=np.uint64))
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(pc.is_in(t["part"], value_set=done_arr))
+            )
+
+        entities = entities.map_batches(prune, batch_format="pyarrow")
+
+    join_rows = join_stage(entities, tiles, concurrency=concurrency)
+    manifest = write_partitioned(join_rows, out_dir, "part", resume=resume)
     return manifest
 
 

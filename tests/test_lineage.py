@@ -85,13 +85,13 @@ def test_flagship_checkpoint_resume(ray_session, tmp_path):
     # full rerun: everything skipped
     pages2 = pg.pages_dataset(200, seed=42, override_num_blocks=4)
     m2 = flagship_to_checkpoint(pages2, tiles, out, concurrency=1, batch_size=64)
-    assert m2["skipped"].all()
+    assert len(m2) == 0 or m2["skipped"].all()  # pruned before the join
 
     # damage one partition → only it is rewritten, content identical
     victim = sorted(hashes)[0]
     os.remove(os.path.join(out, f"part={victim}", lineage.LINEAGE_FILE))
     pages3 = pg.pages_dataset(200, seed=42, override_num_blocks=4)
     m3 = flagship_to_checkpoint(pages3, tiles, out, concurrency=1, batch_size=64)
-    redone = m3[~m3["skipped"]]
+    redone = m3[~m3["skipped"]] if "skipped" in m3.columns else m3
     assert redone["partition"].tolist() == [victim]
     assert lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict() == hashes
