@@ -122,6 +122,7 @@ def flagship_to_checkpoint(
     batch_size: int = 1024,
     part_level: int = 4,
     resume: bool = True,
+    entity_ckpt_dir: str | None = None,
 ):
     """Run the flagship join and write join rows as RESUMABLE
     partitioned Parquet: one partition per level-`part_level` cell
@@ -138,8 +139,18 @@ def flagship_to_checkpoint(
         )
         return t.append_column("part", pa.array(part, pa.uint64()))
 
-    extracted = extract_stage(pages_ds, concurrency=concurrency, batch_size=batch_size)
-    entities = entities_stage(extracted).map_batches(add_part, batch_format="pyarrow")
+    def build_entities():
+        extracted = extract_stage(pages_ds, concurrency=concurrency, batch_size=batch_size)
+        return entities_stage(extracted).map_batches(add_part, batch_format="pyarrow")
+
+    if entity_ckpt_dir:
+        # per-stage checkpoint: a resumed run reads the entity table
+        # instead of re-extracting every page (state/lineage.py)
+        from osm2gtfs_ray.state.lineage import checkpoint_stage
+
+        entities = checkpoint_stage(build_entities, entity_ckpt_dir, refresh=not resume)
+    else:
+        entities = build_entities()
 
     # resume pruning BEFORE the join: entities whose partition already
     # has a lineage record never reach the spatial join (the rerun =

@@ -103,6 +103,30 @@ def write_partitioned(ds, out_dir: str, part_col: str, resume: bool = True):
     return ds.groupby(part_col).map_groups(write_group, batch_format="pandas").to_pandas()
 
 
+def checkpoint_stage(ds_factory, ckpt_dir: str, refresh: bool = False):
+    """Per-stage Parquet checkpoint (the reference's pickle-cache
+    semantics made Arrow-native + resumable, cache.py:13-40 /
+    osm_connector.py:107-118): if a completed checkpoint exists, READ
+    it instead of recomputing the stage; otherwise run ``ds_factory()``,
+    write it, and read back. ``refresh=True`` mirrors the reference's
+    --refresh-* flags (recompute + overwrite)."""
+    import ray.data
+
+    done_marker = os.path.join(ckpt_dir, "_COMPLETE")
+    if refresh and os.path.isdir(ckpt_dir):
+        import shutil
+
+        shutil.rmtree(ckpt_dir)
+    if not os.path.exists(done_marker):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ds = ds_factory()
+        ds.write_parquet(os.path.join(ckpt_dir, "data"))
+        with open(done_marker + ".tmp", "w") as f:
+            f.write(ENGINE_VERSION)
+        os.replace(done_marker + ".tmp", done_marker)
+    return ray.data.read_parquet(os.path.join(ckpt_dir, "data"))
+
+
 def read_manifest(out_dir: str) -> pd.DataFrame:
     """All lineage records currently on disk (the run manifest)."""
     rows = []

@@ -95,3 +95,28 @@ def test_flagship_checkpoint_resume(ray_session, tmp_path):
     redone = m3[~m3["skipped"]] if "skipped" in m3.columns else m3
     assert redone["partition"].tolist() == [victim]
     assert lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict() == hashes
+
+
+def test_stage_checkpoint_and_full_resume(ray_session, tmp_path):
+    """entity checkpoint + partition lineage: a full resume re-reads
+    the entity table (no re-extraction) and skips every partition."""
+    import time
+
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.pipelines.flagship import flagship_to_checkpoint
+    from osm2gtfs_ray.state.lineage import checkpoint_stage
+
+    out = str(tmp_path / "out")
+    eck = str(tmp_path / "entities")
+    tiles = pg.make_tiles_table(20, seed=42)
+    pages = pg.pages_dataset(200, seed=42, override_num_blocks=4)
+    flagship_to_checkpoint(pages, tiles, out, concurrency=1, batch_size=64,
+                           entity_ckpt_dir=eck)
+    assert (tmp_path / "entities" / "_COMPLETE").exists()
+    h1 = lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict()
+
+    pages2 = pg.pages_dataset(200, seed=42, override_num_blocks=4)
+    m2 = flagship_to_checkpoint(pages2, tiles, out, concurrency=1, batch_size=64,
+                                entity_ckpt_dir=eck)
+    assert len(m2) == 0  # everything pruned pre-join
+    assert lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict() == h1
