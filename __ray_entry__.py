@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_actors": so.q_union_actors,
         "normalize_names": so.q_normalize_names,
         "sessionize": so.q_sessionize,
+        "asof_last_order": so.q_asof_last_order,
         # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "union_actors": so.SQL_UNION_ACTORS,
         "normalize_names": so.SQL_NORMALIZE_NAMES,
         "sessionize": so.SQL_SESSIONIZE,
+        "asof_last_order": so.SQL_ASOF_LAST_ORDER,
         "nation_centroid": gq.SQL_NATION_CENTROID,
         "bbox_events": gq.SQL_BBOX_EVENTS,
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,

@@ -164,3 +164,50 @@ FROM (
 )
 GROUP BY user_id, session_id
 """
+
+
+# --------------------------------------------------------------------------
+# As-of join (general operator; DuckDB native ASOF JOIN oracle)
+# --------------------------------------------------------------------------
+
+def q_asof_last_order(sf_dir: str):
+    """Each event joined to the user's most recent order at-or-before
+    the event time (ops/asof.py; the J10 cursor as a relational
+    operator). Emits the matched order DATE (ties on identical
+    (custkey, date) are value-equal, keeping the result deterministic)."""
+    import pyarrow.parquet as pq
+
+    from osm2gtfs_ray.ops.asof import asof_join_broadcast
+    from osm2gtfs_ray.sources.tables import table_path
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = (
+        pq.read_table(table_path(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+        .to_pandas()
+        .rename(columns={"o_custkey": "user_id"})
+    )
+
+    joined = asof_join_broadcast(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=[],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "last_order_epoch": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("s")), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_LAST_ORDER = """
+SELECT e.event_id,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS last_order_epoch
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
