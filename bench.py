@@ -127,6 +127,8 @@ def run_bench() -> dict:
         "join_rows_per_sec": round(join_rows / t_join, 1),
         "assign_groups": n_assign,
         "assign_sec": round(t_assign, 3),
+        # tile assignments counted = matched join rows aggregated
+        "assignments_per_sec": round(join_rows / max(t_assign, 1e-9), 1),
     }
     timings["flagship_spatial_join"] = round(t_join + t_assign, 3)
 
