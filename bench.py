@@ -107,6 +107,15 @@ def run_bench() -> dict:
     tiles = pgen.make_tiles_table(64, seed=42)
     pool = max(2, ncpu // 4)
 
+    # warm the Ray worker pool (processes spawn lazily on first use —
+    # an O(ncpu) one-time cost that would otherwise bias the timed
+    # region against higher parallelism levels)
+    import ray.data as _rd
+
+    _rd.range(ncpu * 8, override_num_blocks=ncpu * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
     t0 = time.perf_counter()
     pages = pgen.pages_dataset(n_pages, override_num_blocks=256)
     res = fl.run_flagship(pages, tiles, concurrency=pool, batch_size=2048)
@@ -162,7 +171,7 @@ def run_scaling() -> dict:
     is reported but not part of the efficiency criterion."""
     lo, hi = 8, 32
     pages = os.environ.get("GRAFT_SCALING_PAGES", "3000000")
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     out = {}
     for ncpu in (lo, hi):
         env = dict(
