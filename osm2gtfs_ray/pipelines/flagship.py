@@ -104,11 +104,19 @@ def run_flagship(
     tiles: pa.Table,
     concurrency: int = 4,
     batch_size: int = 1024,
+    join_concurrency: int | None = None,
 ):
-    """Full pipeline; returns dict of (lazy) Datasets."""
+    """Full pipeline; returns dict of (lazy) Datasets.
+
+    Pool sizing: the extractor does ~4× the per-row work of the join
+    stage (BASELINE.md per-stage profile), so the join pool defaults to
+    a quarter of the extract pool — sizing both equal starves the
+    extractor and idles join actors."""
+    if join_concurrency is None:
+        join_concurrency = max(2, concurrency // 4)
     extracted = extract_stage(pages_ds, concurrency=concurrency, batch_size=batch_size)
     entities = entities_stage(extracted)
-    join_rows = join_stage(entities, tiles, concurrency=concurrency)
+    join_rows = join_stage(entities, tiles, concurrency=join_concurrency)
     assignments = assignments_stage(join_rows)
     return {"extracted": extracted, "entities": entities, "join_rows": join_rows,
             "assignments": assignments}
