@@ -153,8 +153,8 @@ SQL_SESSIONIZE = f"""
 SELECT user_id, session_id, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts, event_id,
            CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))

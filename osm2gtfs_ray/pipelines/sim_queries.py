@@ -175,7 +175,7 @@ def q_props_extract(sf_dir: str):
 
 SQL_PROPS_EXTRACT = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """

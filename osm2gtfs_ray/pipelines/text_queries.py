@@ -48,8 +48,8 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = r"""
 SELECT lang,
-       SUM(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """

@@ -99,12 +99,20 @@ def main():
             print(f"okro {name}: rows-only, {len(ray_df)} rows")
             continue
         try:
-            sql_df = con.execute(sqls[name]).df()
+            sql_arrow = con.execute(sqls[name]).arrow()
+            sql_df = sql_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: sql error: {e}")
             n_fail += 1
             continue
         problems = compare(name, ray_df, sql_df)
+        # Driver value-hash is dtype-sensitive: flag any oracle column whose
+        # arrow type isn't a plain int64/double/string/bool/timestamp match.
+        import pyarrow as pa
+
+        for f in sql_arrow.schema:
+            if pa.types.is_decimal(f.type):
+                problems.append(f"col {f.name}: DuckDB returned {f.type} (un-cast SUM?) — driver hash will fail")
         if problems:
             n_fail += 1
             print(f"FAIL {name}:")
