@@ -33,13 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import text_queries as tq
     from osm2gtfs_ray.pipelines import sim_queries as sq
     from osm2gtfs_ray.pipelines import setop_queries as so
-    from osm2gtfs_ray.pipelines.flagship import flagship_from_documents
+    from osm2gtfs_ray.pipelines import flagship_oracle as fo
 
-    def q_spatial_join_rows(sf_dir: str):
-        return flagship_from_documents(sf_dir, concurrency=2)["join_rows"]
-
-    def q_tile_assignments(sf_dir: str):
-        return flagship_from_documents(sf_dir, concurrency=2)["assignments"]
+    q_spatial_join_rows = fo.q_spatial_join_rows
+    q_tile_assignments = fo.q_tile_assignments
 
     def q_dedup_groups(sf_dir: str):
         """MinHash near-dup pairs → connected dedup clusters (min-label
@@ -108,8 +105,13 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import text_queries as tq
     from osm2gtfs_ray.pipelines import sim_queries as sq
     from osm2gtfs_ray.pipelines import setop_queries as so
+    from osm2gtfs_ray.pipelines import flagship_oracle as fo
 
     return {
+        # flagship spatial join: PIP + kNN fully re-derived in SQL
+        # (splitmix64 entity synthesis + crossing-number + haversine argmin)
+        "spatial_join_rows": fo.sql_spatial_join(),
+        "tile_assignments": fo.sql_tile_assignments(),
         "click_not_purchase": so.SQL_CLICK_NOT_PURCHASE,
         "union_actors": so.SQL_UNION_ACTORS,
         "normalize_names": so.SQL_NORMALIZE_NAMES,
