@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": tq.q_doc_quality,
         "lang_id": tq.q_lang_id,
         "fingerprint": tq.q_fingerprint,
+        "dup_components": tq.q_dup_components,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "cosine_pairs": sq.q_cosine_pairs,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
+        "dup_components": tq.SQL_DUP_COMPONENTS,
         "exact_dedup": tq.SQL_EXACT_DEDUP,
         "doc_quality": tq.SQL_DOC_QUALITY,
         "ann_topk": sq.SQL_ANN_TOPK,

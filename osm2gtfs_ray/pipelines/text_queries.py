@@ -129,3 +129,87 @@ def q_fingerprint(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "fp64"])
+
+
+# --------------------------------------------------------------------------
+# Dedup components (connected clusters) with a WITH RECURSIVE SQL oracle
+# --------------------------------------------------------------------------
+
+def q_dup_components(sf_dir: str):
+    """Duplicate-cluster grouping: star edges to the min doc_id of each
+    exact-text group UNION star edges to the min doc_id of each
+    (lang, token_count) group, merged by distributed connected
+    components (ops/components.py). Exercises chain merging across the
+    two keys — the same cluster semantics as the MinHash dedup path
+    (SURVEY.md §2.7) but over SQL-expressible edges, so the driver can
+    hash-verify the components operator end to end.
+
+    Scale note: the root tables (one row per distinct text / per
+    (lang, ntok) bucket) join back via broadcast here; at corpus scale
+    both sides stream through ops.joins.hash_join instead.
+    """
+    from ray.data.aggregate import Min
+
+    from osm2gtfs_ray.ops.components import connected_components
+    from osm2gtfs_ray.ops.joins import broadcast_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def with_ntok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "text": t["text"],
+                "ntok": token_count_arrow(t["text"]),
+            }
+        )
+
+    base = docs.map_batches(with_ntok, batch_format="pyarrow", zero_copy_batch=True)
+    text_roots = base.groupby("text").aggregate(Min("doc_id", alias_name="b"))
+    e1 = broadcast_join(
+        base.select_columns(["doc_id", "text"]), text_roots, keys="text"
+    ).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "b": t["b"]}), batch_format="pyarrow"
+    )
+    grp_roots = base.groupby(["lang", "ntok"]).aggregate(Min("doc_id", alias_name="b"))
+    e2 = broadcast_join(
+        base.select_columns(["doc_id", "lang", "ntok"]), grp_roots, keys=["lang", "ntok"]
+    ).map_batches(
+        lambda t: pa.table({"a": t["doc_id"], "b": t["b"]}), batch_format="pyarrow"
+    )
+    comp = connected_components(e1.union(e2))
+    return comp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["node"], pa.int64()),
+                "component": pc.cast(t["component"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DUP_COMPONENTS = r"""
+WITH RECURSIVE
+tok AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+  FROM documents
+),
+e1 AS (SELECT doc_id AS a, MIN(doc_id) OVER (PARTITION BY text) AS b FROM documents),
+e2 AS (SELECT doc_id AS a, MIN(doc_id) OVER (PARTITION BY lang, ntok) AS b FROM tok),
+edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges
+),
+reach(node, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(m) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""

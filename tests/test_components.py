@@ -53,3 +53,24 @@ def test_chain_converges(ray_session):
     got = connected_components(ray.data.from_items(pairs)).to_pandas()
     assert (got["component"] == 0).all()
     assert len(got) == 16
+
+
+def test_shuffle_plan_matches_broadcast(ray_session):
+    """broadcast=False (hash-join plan) must produce identical labels."""
+    import ray.data
+
+    pairs = [{"a": i, "b": i + 1} for i in range(9)] + [
+        {"a": 20, "b": 21},
+        {"a": 21, "b": 22},
+    ]
+    ds = ray.data.from_items(pairs)
+    got_b = (
+        connected_components(ds, broadcast=True).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    got_s = (
+        connected_components(ds, broadcast=False).to_pandas()
+        .sort_values("node").reset_index(drop=True)
+    )
+    assert got_b.equals(got_s)
+    assert (got_b["component"].iloc[:10] == 0).all()
