@@ -1,4 +1,4 @@
-"""Exact dedup / keep-first operators.
+"""Exact dedup / keep-first operators (shard-keyed, vectorized).
 
 The reference's first-wins semantics (SURVEY.md §2.7): consume-once
 variant join (osm_connector.py:133-165), route_id uniqueness guard
@@ -6,36 +6,43 @@ variant join (osm_connector.py:133-165), route_id uniqueness guard
 agency (trips_creator_ci_abidjan.py:99-117) — all are
 hash-partition-by-key + deterministic per-group first. Determinism
 comes from an explicit order column, never block order.
+
+Physical plan (round-2 rewrite): per-batch local first/distinct (map-
+side combine — the shuffle moves at most one row per key per batch),
+then a key-hash SHARD groupby with one vectorized pandas pass per
+shard (ops/sharded.py) — never one Python call per distinct key.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 
+from osm2gtfs_ray.ops.sharded import DEFAULT_SHARDS, sharded_map_groups
 
-def keep_first(ds, key, order_by, ascending: bool = True):
-    """One row per key: the first under ``order_by`` (deterministic).
 
-    Shuffle = groupby(key); per group a vectorized pandas sort+head.
-    """
+def keep_first(ds, key, order_by, ascending: bool = True, n_shards: int = DEFAULT_SHARDS):
+    """One row per key: the first under ``order_by`` (deterministic)."""
     key = [key] if isinstance(key, str) else list(key)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_by, ascending=ascending, kind="mergesort").head(1)
+    def local_first(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(order_by, ascending=ascending, kind="mergesort").drop_duplicates(
+            key, keep="first"
+        )
 
-    return ds.groupby(key[0] if len(key) == 1 else key).map_groups(
-        first, batch_format="pandas"
-    )
+    return sharded_map_groups(ds, key, local_first, n_shards=n_shards, local_pre=local_first)
 
 
-def distinct(ds, cols):
-    """Distinct rows over `cols` (exact dedup, hash shuffle)."""
+def distinct(ds, cols, n_shards: int = DEFAULT_SHARDS):
+    """Distinct rows over `cols` (exact dedup, sharded hash shuffle)."""
     cols = [cols] if isinstance(cols, str) else list(cols)
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g[cols].drop_duplicates().sort_values(cols, kind="mergesort")
+    def local_uniq(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[cols].drop_duplicates()
 
-    return ds.select_columns(cols).groupby(cols[0] if len(cols) == 1 else cols).map_groups(
-        uniq, batch_format="pandas"
+    def shard_uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().sort_values(cols, kind="mergesort")
+
+    return sharded_map_groups(
+        ds.select_columns(cols), cols, shard_uniq, n_shards=n_shards, local_pre=local_uniq
     )

@@ -393,20 +393,26 @@ def q_prev_order_gap(sf_dir: str):
     the customer's previous order (the as-of pattern re-expressing
     J10's monotone cursor, trips_creator.py:195-245) as sorted
     map_groups — order carried as data, not block order."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def prev(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        ep = (g["o_orderdate"].astype("int64") // 1_000_000).astype("int64")
-        out = pd.DataFrame(
-            {
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "prev_odate": ep.shift(1).to_numpy(),
-            }
+    def prev_shard(g: pd.DataFrame) -> pd.DataFrame:
+        """All customers of one hash shard in a single vectorized pass:
+        sort (cust, date, key); prev = shift(1) masked at customer
+        boundaries — no per-customer Python dispatch."""
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ep = (g["o_orderdate"].astype("int64") // 1_000_000).to_numpy()
+        cust = g["o_custkey"].to_numpy()
+        prev = np.empty(len(g), dtype=np.float64)
+        prev[0] = np.nan
+        if len(g) > 1:
+            prev[1:] = np.where(cust[1:] == cust[:-1], ep[:-1], np.nan)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "prev_odate": prev}
         )
-        return out
 
-    res = orders.groupby("o_custkey").map_groups(prev, batch_format="pandas")
+    res = sharded_map_groups(orders, "o_custkey", prev_shard)
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

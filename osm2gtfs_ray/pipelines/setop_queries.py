@@ -134,19 +134,33 @@ def q_sessionize(sf_dir: str):
     Batch re-expression of a session window: groupby(user) →
     sorted map_groups cumsum (order carried by ts, ray_guide
     'Streaming-shaped workloads')."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
     ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def sess_shard(g: pd.DataFrame) -> pd.DataFrame:
+        """All users of one hash shard in a single vectorized pass:
+        sort (user, ts, event_id), flag gaps > threshold OR user
+        boundaries, per-user cumsum via pandas groupby (C-level)."""
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         us = g["ts"].astype("int64").to_numpy() // 1_000_000
+        uid = g["user_id"].to_numpy()
         new = np.zeros(len(g), dtype=np.int64)
-        new[1:] = (np.diff(us) > _SESSION_GAP_S).astype(np.int64)
-        sid = new.cumsum()
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "session_id": sid, "n": 1})
-        agg = out.groupby(["user_id", "session_id"], as_index=False)["n"].sum()
+        if len(g) > 1:
+            new[1:] = ((np.diff(us) > _SESSION_GAP_S) & (uid[1:] == uid[:-1])).astype(
+                np.int64
+            )
+        sid = (
+            pd.Series(new)
+            .groupby(pd.Series(uid), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        out = pd.DataFrame({"user_id": uid, "session_id": sid, "n": 1})
+        agg = out.groupby(["user_id", "session_id"], as_index=False, sort=False)["n"].sum()
         return agg.rename(columns={"n": "n_events"})
 
-    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return sharded_map_groups(ev, "user_id", sess_shard)
 
 
 SQL_SESSIONIZE = f"""

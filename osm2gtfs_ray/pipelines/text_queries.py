@@ -60,16 +60,28 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------------------
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup: hash-partition on content, keep-first (min doc_id)
-    — the J1/J3/G7 first-wins semantics applied to documents."""
+    """Exact dedup: content-hash sharded shuffle, keep-first (min
+    doc_id) + copy count — the J1/J3/G7 first-wins semantics applied to
+    documents. Map-side combine: each batch reduces to one partial per
+    distinct text BEFORE the shuffle; each shard then aggregates all
+    its texts in one vectorized pandas groupby (never one Python call
+    per distinct text)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_copies": [len(g)]}
+    def local_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("text", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
 
-    return docs.groupby("text").map_groups(first, batch_format="pandas")
+    def shard_agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")
+        )
+        return out[["doc_id", "n_copies"]]
+
+    return sharded_map_groups(docs, "text", shard_agg, local_pre=local_part)
 
 
 SQL_EXACT_DEDUP = """
