@@ -113,8 +113,7 @@ def q_minhash_pairs(sf_dir: str):
     ≥ 0.5 (shingle→minhash→band→bucket-groupby→verify)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = lsh_candidate_pairs(docs, num_perm=64, n_bands=16, n_shingle=3)
-    docs_table = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
-    return verify_jaccard(cand, docs_table, n_shingle=3, threshold=0.5)
+    return verify_jaccard(cand, docs, n_shingle=3, threshold=0.5)
 
 
 # --------------------------------------------------------------------------

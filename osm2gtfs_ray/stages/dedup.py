@@ -190,34 +190,121 @@ def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingl
     return cand.groupby("pair_shard").map_groups(dedup_pairs, batch_format="pandas")
 
 
-def verify_jaccard(pairs_ds, docs_table: pa.Table, n_shingle: int = 3, threshold: float = 0.5):
+def verify_jaccard(pairs_ds, docs, n_shingle: int = 3, threshold: float = 0.5,
+                   n_shards: int = N_SHARDS):
     """Exact shingle-set Jaccard for each candidate pair; keeps pairs
-    ≥ threshold. Doc shingle sets broadcast (ray.put once) — at corpus
-    scale this becomes a join against a shingle-set table instead."""
-    import ray
+    ≥ threshold.
 
-    docs_ref = ray.put(docs_table)
+    FULLY DISTRIBUTED (round-2 rewrite — no whole-corpus broadcast):
 
-    class Verify:
-        def __init__(self):
-            t = ray.get(docs_ref)
-            self.sets = {
-                int(d): set(shingle_hashes(x, n_shingle).tolist())
-                for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    1. candidate doc ids = distinct endpoints of the pair set (a slim
+       uint64 set; broadcast as an ``is_in`` filter — at 10^9+
+       candidates this one filter would switch to a hash semi-join);
+    2. shingle signatures are computed ONLY for candidate docs, packed
+       as raw bytes (np.uint64.tobytes — flat binary column, no nested
+       types through the shuffle);
+    3. shuffle 1: pair-endpoint rows and signature rows co-locate by
+       doc-hash shard; one vectorized pandas merge per shard attaches
+       each endpoint's signature;
+    4. shuffle 2: rows re-key by pair-hash shard so both endpoints of
+       a pair meet; per shard, sorted-array intersections produce the
+       exact Jaccard.
+
+    Everything that moves is O(|pairs| + |candidate docs|); nothing is
+    ever materialized corpus-wide in a single process.
+
+    ``docs`` may be a Dataset(doc_id, text) or a pa.Table (wrapped).
+    """
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import broadcast_semi
+    from osm2gtfs_ray.ops.sharded import stable_row_hash
+
+    docs_ds = ray.data.from_arrow(docs) if isinstance(docs, pa.Table) else docs
+    pairs = pairs_ds.materialize()  # consumed twice: id set + side rows
+
+    def _flat(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [t["a"].to_numpy().astype(np.int64), t["b"].to_numpy().astype(np.int64)]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids))})
+
+    flat_ids = pairs.map_batches(_flat, batch_format="pyarrow")
+    cand_docs = broadcast_semi(docs_ds, flat_ids, "doc_id")
+
+    def sig_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy()
+        sigs = [
+            shingle_hashes(x, n_shingle).tobytes() for x in t["text"].to_pylist()
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": ids.astype(np.int64),
+                "a": np.int64(-1),
+                "b": np.int64(-1),
+                "sig": pd.Series(sigs, dtype=object),
             }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for a, b in zip(batch["a"], batch["b"]):
-                sa, sb = self.sets[int(a)], self.sets[int(b)]
-                inter = len(sa & sb)
-                union = len(sa | sb) or 1
-                j = inter / union
-                if j >= threshold:
-                    out.append((int(a), int(b), int(round(j * 1e6))))
-            return pd.DataFrame(out, columns=["a", "b", "jaccard_e6"])
+    def side_rows(t: pa.Table) -> pd.DataFrame:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([b, b]),
+                "sig": pd.Series([None] * (2 * len(a)), dtype=object),
+            }
+        )
 
-    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    mixed = cand_docs.map_batches(sig_rows, batch_format="pyarrow").union(
+        pairs.map_batches(side_rows, batch_format="pyarrow")
+    )
+
+    def add_doc_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy(deep=False)
+        out["shard"] = (
+            stable_row_hash(batch, ["doc_id"]) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out
+
+    def attach_sig(g: pd.DataFrame) -> pd.DataFrame:
+        """Per doc-shard: left-merge side rows with their doc's sig."""
+        sigs = g[g["a"] < 0][["doc_id", "sig"]]
+        sides = g[g["a"] >= 0].drop(columns=["sig", "shard"])
+        out = sides.merge(sigs, on="doc_id", how="left")
+        out["pair_shard"] = (
+            stable_row_hash(out, ["a", "b"]) % np.uint64(n_shards)
+        ).astype(np.int64)
+        return out
+
+    attached = (
+        mixed.map_batches(add_doc_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(attach_sig, batch_format="pandas")
+    )
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        """Per pair-shard: both endpoints of each pair are present;
+        sorted-unique array intersection per pair."""
+        g = g.sort_values(["a", "b", "doc_id"], kind="mergesort")
+        out = []
+        for (a, b), grp in g.groupby(["a", "b"], sort=False):
+            row_a = grp[grp["doc_id"] == a]["sig"].iloc[0]
+            row_b = grp[grp["doc_id"] == b]["sig"].iloc[0]
+            sa = np.frombuffer(row_a, dtype=np.uint64) if row_a else np.empty(0, np.uint64)
+            sb = np.frombuffer(row_b, dtype=np.uint64) if row_b else np.empty(0, np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / (union or 1)
+            if j >= threshold:
+                out.append((int(a), int(b), int(round(j * 1e6))))
+        return pd.DataFrame(out, columns=["a", "b", "jaccard_e6"]).astype(
+            {"a": "int64", "b": "int64", "jaccard_e6": "int64"}
+        )
+
+    return attached.groupby("pair_shard").map_groups(pair_jaccard, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ simhash
