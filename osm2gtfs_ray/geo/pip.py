@@ -64,7 +64,13 @@ def bbox_contains(
     north: float,
     east: float,
 ) -> np.ndarray:
-    """Vectorized bbox predicate (the reference's G6 semantics)."""
+    """Vectorized bbox predicate (the reference's G6 semantics).
+
+    A wrapped box (west > east) crosses the antimeridian: the lon test
+    becomes a disjunction of the two half-ranges."""
     plat = np.asarray(plat, dtype=np.float64)
     plon = np.asarray(plon, dtype=np.float64)
-    return (plat >= south) & (plat <= north) & (plon >= west) & (plon <= east)
+    lat_ok = (plat >= south) & (plat <= north)
+    if west > east:
+        return lat_ok & ((plon >= west) | (plon <= east))
+    return lat_ok & (plon >= west) & (plon <= east)

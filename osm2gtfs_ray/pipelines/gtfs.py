@@ -74,13 +74,14 @@ def normalize_color(c: str | None) -> str | None:
 
 
 def text_color_for(c: str | None) -> str | None:
-    """M12 contrast color (helper.py:95-114): perceived brightness →
-    black or white text."""
+    """M12 contrast color (helper.py:95-114): sqrt-weighted perceived
+    brightness (.241/.691/.068) with the reference's <=130 white
+    threshold and lowercase output, for byte parity."""
     if not c:
         return None
     r, g, b = int(c[1:3], 16), int(c[3:5], 16), int(c[5:7], 16)
-    brightness = (r * 299 + g * 587 + b * 114) / 1000.0
-    return "#000000" if brightness >= 128 else "#FFFFFF"
+    brightness = (r * r * 0.241 + g * g * 0.691 + b * b * 0.068) ** 0.5
+    return "#ffffff" if brightness <= 130 else "#000000"
 
 
 # --------------------------------------------------------------------------
@@ -610,6 +611,13 @@ def build_trips(itineraries_ds, stops_table: pa.Table, schedule_table: pa.Table)
                         times = interpolate_times(secs)
                         trip_id = f"{r['route_id']}.{r['variant_id']}.{cand['service']}.{k}"
                         for seq, (sid, sec) in enumerate(zip(gtfs_ids, times)):
+                            if sec < 0:
+                                # leading stops before the first matched
+                                # schedule station have no time; the
+                                # reference refuses to add them
+                                # (trips_creator.py:237-241 warn+skip) —
+                                # emitting would render "00:00:-1"
+                                continue
                             out.append(
                                 {
                                     "trip_id": trip_id,

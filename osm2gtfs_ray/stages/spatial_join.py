@@ -72,16 +72,32 @@ def _unpack_tiles(tiles: pa.Table):
         lo = lon[starts[t] : starts[t + 1]]
         lats.append(la)
         lons.append(lo)
-        bboxes[t] = (la.min(), lo.min(), la.max(), lo.max())
+        if lo.max() - lo.min() > 180.0 and (lo > 0).any() and (lo < 0).any():
+            # antimeridian-crossing ring (heuristic: raw lon span >
+            # 180° with vertices on both signs): store a WRAPPED bbox
+            # with west > east; covering_cells / bbox prefilter split
+            # the range at ±180 instead of returning zero cells
+            bboxes[t] = (la.min(), lo[lo > 0].min(), la.max(), lo[lo < 0].max())
+        else:
+            bboxes[t] = (la.min(), lo.min(), la.max(), lo.max())
     return tile_ids, lats, lons, bboxes
 
 
 def covering_cells(bbox: np.ndarray, level: int) -> np.ndarray:
-    """All level-`level` cells whose area intersects a (s,w,n,e) bbox."""
+    """All level-`level` cells whose area intersects a (s,w,n,e) bbox.
+
+    A wrapped bbox (west > east, i.e. crossing the antimeridian) splits
+    the x-range into [ix0, nx-1] and [0, ix1] — without the split such
+    boxes cover zero cells and their tiles silently vanish from the
+    index (tiles would fall through to kNN/none)."""
     (s, w, n, e) = bbox
+    nx = 1 << level
     ix0, iy0 = latlon_to_ij(np.array([s]), np.array([w]), level)
     ix1, iy1 = latlon_to_ij(np.array([n]), np.array([e]), level)
-    xs = np.arange(ix0[0], ix1[0] + 1)
+    if ix0[0] > ix1[0]:
+        xs = np.concatenate([np.arange(ix0[0], nx), np.arange(0, ix1[0] + 1)])
+    else:
+        xs = np.arange(ix0[0], ix1[0] + 1)
     ys = np.arange(iy0[0], iy1[0] + 1)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return ij_to_cell(gx.ravel(), gy.ravel())
@@ -145,12 +161,13 @@ class TileIndex:
         if len(p_idx) == 0:
             return p_idx, t_idx
         bb = self.bboxes[t_idx]
-        keep = (
-            (lat[p_idx] >= bb[:, 0])
-            & (lon[p_idx] >= bb[:, 1])
-            & (lat[p_idx] <= bb[:, 2])
-            & (lon[p_idx] <= bb[:, 3])
+        wrapped = bb[:, 1] > bb[:, 3]  # antimeridian-crossing tiles
+        lon_ok = np.where(
+            wrapped,
+            (lon[p_idx] >= bb[:, 1]) | (lon[p_idx] <= bb[:, 3]),
+            (lon[p_idx] >= bb[:, 1]) & (lon[p_idx] <= bb[:, 3]),
         )
+        keep = (lat[p_idx] >= bb[:, 0]) & (lat[p_idx] <= bb[:, 2]) & lon_ok
         p_idx, t_idx = p_idx[keep], t_idx[keep]
         if len(p_idx) == 0:
             return p_idx, t_idx
@@ -161,9 +178,13 @@ class TileIndex:
         bounds = np.nonzero(np.diff(t_idx))[0] + 1
         for seg_p, seg_t in zip(np.split(p_idx, bounds), np.split(t_idx, bounds)):
             t = seg_t[0]
-            inside = points_in_polygon(
-                lat[seg_p], lon[seg_p], self.ring_lats[t][:-1], self.ring_lons[t][:-1]
-            )
+            rlo = self.ring_lons[t][:-1]
+            plo = lon[seg_p]
+            if self.bboxes[t, 1] > self.bboxes[t, 3]:
+                # crossing tile: cast rays in a continuous +360 frame
+                rlo = np.where(rlo < 0, rlo + 360.0, rlo)
+                plo = np.where(plo < 0, plo + 360.0, plo)
+            inside = points_in_polygon(lat[seg_p], plo, self.ring_lats[t][:-1], rlo)
             hits_p.append(seg_p[inside])
             hits_t.append(seg_t[inside])
         return np.concatenate(hits_p), np.concatenate(hits_t)
@@ -186,7 +207,12 @@ class TileIndex:
             return best_t, best_d
         cells0 = cell_of(lat, lon, self.index_level)
         cell_deg = 360.0 / (1 << self.index_level)
-        cell_m = cell_deg * 111_320.0
+        # longitude cell width shrinks by cos(lat): size the ring for
+        # the worst latitude in the batch (clamped near the poles) so
+        # the E-W reach still covers radius_m at high latitudes
+        max_abs_lat = min(89.0, float(np.max(np.abs(lat))))
+        cos_lat = max(np.cos(np.radians(max_abs_lat)), 0.02)
+        cell_m = cell_deg * 111_320.0 * cos_lat
         k_max = int(np.ceil(radius_m / cell_m)) + 1
         ring = neighbor_ring(cells0, k=k_max, level=self.index_level)  # (n, K)
         K = ring.shape[1]

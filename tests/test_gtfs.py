@@ -179,7 +179,7 @@ class TestLines:
         assert colored.loc["L0", "route_color"] == "#A2F3B1"  # hex normalized upper
         assert colored.loc["L1", "route_color"] == "#FF0000"  # css name
         assert colored.loc["L0", "route_text_color"] == "#000000"  # light bg → black
-        assert colored.loc["L1", "route_text_color"] == "#FFFFFF"  # red bg → white
+        assert colored.loc["L1", "route_text_color"] == "#ffffff"  # red bg → white
 
     def test_shape_stitching(self, itins):
         # lines 0-2: all 5 segments stitched despite mixed orientation

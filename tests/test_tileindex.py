@@ -81,3 +81,60 @@ class TestKnnTieBreak:
         idx = TileIndex(_tiles(("t", SQUARE)))
         t, d = idx.knn_nearest(np.array([-80.0]), np.array([170.0]), radius_m=50_000)
         assert t[0] == -1 and np.isinf(d[0])
+
+
+def test_antimeridian_tile_pip_and_knn():
+    """A tile crossing ±180 must be indexed (covering_cells split) and
+    match points on BOTH sides of the antimeridian via PIP."""
+    import pyarrow as pa
+
+    from osm2gtfs_ray.stages.spatial_join import TileIndex, covering_cells
+
+    ring = [
+        {"lat": -1.0, "lon": 179.5},
+        {"lat": -1.0, "lon": -179.5},
+        {"lat": 1.0, "lon": -179.5},
+        {"lat": 1.0, "lon": 179.5},
+        {"lat": -1.0, "lon": 179.5},
+    ]
+    ring_type = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+    tiles = pa.table(
+        {"tile_id": pa.array(["t_am"]), "ring": pa.array([ring], ring_type)}
+    )
+    idx = TileIndex(tiles, index_level=8)
+    # wrapped bbox registered with west > east
+    assert idx.bboxes[0, 1] > idx.bboxes[0, 3]
+    # covering cells nonzero (split across the seam)
+    assert len(covering_cells(idx.bboxes[0], 8)) > 0
+    lat = np.array([0.0, 0.0, 0.0, 0.0])
+    lon = np.array([179.8, -179.8, 178.0, -178.0])  # in, in, out, out
+    from osm2gtfs_ray.geo.cells import cell_of
+
+    coarse = cell_of(lat, lon, 8)
+    p, t = idx.pip_matches(lat, lon, coarse)
+    assert set(p.tolist()) == {0, 1}
+    assert all(ti == 0 for ti in t)
+
+
+def test_knn_ring_covers_radius_at_high_latitude():
+    """At lat 75° the E-W cell width shrinks ~4×: a tile center 90 km
+    due east must still be found within a 100 km radius."""
+    import pyarrow as pa
+
+    from osm2gtfs_ray.geo.haversine import haversine_m
+    from osm2gtfs_ray.stages.spatial_join import TileIndex
+
+    clat, clon = 75.0, 10.0 + 90_000.0 / (111_320.0 * np.cos(np.radians(75.0)))
+    ring = [
+        {"lat": clat + dy, "lon": clon + dx}
+        for dy, dx in [(-0.01, -0.01), (-0.01, 0.01), (0.01, 0.01), (0.01, -0.01), (-0.01, -0.01)]
+    ]
+    ring_type = pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))
+    tiles = pa.table(
+        {"tile_id": pa.array(["t_hi"]), "ring": pa.array([ring], ring_type)}
+    )
+    idx = TileIndex(tiles, index_level=8)
+    d = haversine_m(75.0, 10.0, idx.center_lat[0], idx.center_lon[0])
+    assert d < 100_000.0  # fixture sanity: within the kNN radius
+    best_t, best_d = idx.knn_nearest(np.array([75.0]), np.array([10.0]), 100_000.0)
+    assert best_t[0] == 0
