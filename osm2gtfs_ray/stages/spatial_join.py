@@ -359,7 +359,7 @@ def spatial_join_shuffle(
     import ray
     import ray.data
 
-    from osm2gtfs_ray.sources.pages import mix64
+    from osm2gtfs_ray.sources.pages import _flat_ranges
 
     # geometry broadcast: tile_id → packed ring arrays (open ring)
     tile_ids, ring_lats, ring_lons, _ = _unpack_tiles(tiles)
@@ -370,51 +370,63 @@ def spatial_join_shuffle(
 
     # 1. probe rows per coarse cell (pre-aggregated count) → hot set
     counts = entities_ds.groupby("cell_coarse").count().to_pandas()
-    hot = set(counts.loc[counts["count()"] > hot_threshold, "cell_coarse"].tolist())
+    hot = counts.loc[counts["count()"] > hot_threshold, "cell_coarse"].to_numpy(
+        dtype=np.uint64
+    )
 
-    tdf = replicate_tiles_to_cells(tiles, index_level).to_pandas()
-    salted = []
-    for _, row in tdf.iterrows():
-        for s in range(n_salt) if row["cell_coarse"] in hot else (0,):
-            salted.append((f"{row['cell_coarse']}#{s}", row["tile_id"]))
-    tiles_ds = ray.data.from_pandas(
-        pd.DataFrame(
+    # numeric shuffle key: cell * n_salt + salt (cheaper groupby than
+    # formatted strings; cell_coarse < 2^(2*level) so no overflow)
+    n_salt_u = np.uint64(n_salt)
+
+    # 2. tile side: vectorized salt fan-out (np.repeat, no iterrows)
+    tt = replicate_tiles_to_cells(tiles, index_level)
+    cc_t = tt["cell_coarse"].to_numpy()
+    tid_t = tt["tile_id"].to_numpy(zero_copy_only=False)
+    reps = np.where(np.isin(cc_t, hot), n_salt, 1).astype(np.int64)
+    cc_r = np.repeat(cc_t, reps).astype(np.uint64)
+    key_t = cc_r * n_salt_u + _flat_ranges(reps).astype(np.uint64)
+    n_t = len(key_t)
+    tiles_ds = ray.data.from_arrow(
+        pa.table(
             {
-                "key": [k for k, _ in salted],
-                "tile_id": [t for _, t in salted],
-                "side": "tile",
-                "url": pd.Series([None] * len(salted), dtype=object),
-                "entity": pd.Series([None] * len(salted), dtype=object),
-                "lat": np.nan,
-                "lon": np.nan,
+                "key": pa.array(key_t, pa.uint64()),
+                "tile_id": pa.array(np.repeat(tid_t, reps), pa.string()),
+                "side": pa.array(["tile"] * n_t, pa.string()),
+                "url": pa.nulls(n_t, pa.string()),
+                "entity": pa.nulls(n_t, pa.string()),
+                "lat": pa.array(np.full(n_t, np.nan)),
+                "lon": pa.array(np.full(n_t, np.nan)),
             }
         )
     )
 
-    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        cc = batch["cell_coarse"].to_numpy(dtype=np.uint64)
-        salt = np.zeros(len(batch), dtype=np.int64)
-        is_hot = (
-            np.isin(cc, np.array(list(hot), dtype=np.uint64))
-            if hot
-            else np.zeros(len(batch), bool)
-        )
+    def add_key(batch: pa.Table) -> pa.Table:
+        cc = batch["cell_coarse"].to_numpy().astype(np.uint64)
+        salt = np.zeros(len(cc), dtype=np.uint64)
+        is_hot = np.isin(cc, hot) if len(hot) else np.zeros(len(cc), bool)
         if is_hot.any():
-            # stable per-row salt (url hash), NOT position-dependent
-            h = mix64(
-                np.array(
-                    [np.uint64(hash(u) & 0xFFFFFFFFFFFFFFFF) for u in batch["url"]],
-                    dtype=np.uint64,
-                )
-            )
-            salt[is_hot] = (h[is_hot] % np.uint64(n_salt)).astype(np.int64)
-        out = batch[["url", "entity", "lat", "lon"]].copy()
-        out["key"] = [f"{c}#{s}" for c, s in zip(cc, salt)]
-        out["side"] = "probe"
-        out["tile_id"] = pd.Series([None] * len(batch), dtype=object, index=batch.index)
-        return out
+            # stable per-row salt: pandas' fixed-key SipHash of the url
+            # (process-stable; Python hash() is salted per process and
+            # would make grouping run-dependent)
+            h = pd.util.hash_pandas_object(
+                batch["url"].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            salt[is_hot] = h[is_hot] % n_salt_u
+        return pa.table(
+            {
+                "key": pa.array(cc * n_salt_u + salt, pa.uint64()),
+                "tile_id": pa.nulls(len(cc), pa.string()),
+                "side": pa.array(["probe"] * len(cc), pa.string()),
+                "url": batch["url"],
+                "entity": batch["entity"],
+                "lat": batch["lat"],
+                "lon": batch["lon"],
+            }
+        )
 
-    probe_ds = entities_ds.map_batches(add_key, batch_format="pandas")
+    probe_ds = entities_ds.map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         probes = g[g["side"] == "probe"]
