@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import sim_queries as sq
     from osm2gtfs_ray.pipelines import setop_queries as so
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
+    from osm2gtfs_ray.pipelines import media_queries as mq
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -97,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignments": q_tile_assignments,
         "tile_rasterize": q_tile_rasterize,
         "dedup_groups": q_dedup_groups,
+        # multimodal: real BMP/PPM/PNG decode, dims verified vs splitmix oracle
+        "media_decode": mq.q_media_decode,
     }
 
 
@@ -107,8 +110,10 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import sim_queries as sq
     from osm2gtfs_ray.pipelines import setop_queries as so
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
+    from osm2gtfs_ray.pipelines import media_queries as mq
 
     return {
+        "media_decode": mq.sql_media_decode(),
         # flagship spatial join: PIP + kNN fully re-derived in SQL
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),

@@ -1,17 +1,16 @@
-"""Multimodal column stages: opaque binary payloads + typed metadata.
+"""Multimodal column stages: binary image payloads + typed metadata.
 
-Images/audio/video ride through the pipeline as `binary` columns with
-typed metadata columns alongside (the web-scale pattern for the
-`html: binary` column generalizes to any media payload). The Ray-side
-plumbing — schema, small batch sizes for wide rows, actor-pool
-signature, output layout — is real and tested; the actual codec work
-is STUBBED because no image/audio libraries exist in this container:
+Images ride through the pipeline as `binary` columns with typed
+metadata columns alongside (the web-scale pattern for the
+`html: binary` column generalizes to any media payload).
 
-* ``DecodeImage`` raises NotImplementedError unless
-  ``fake_decoder=True``, in which case a deterministic fake decoder
-  (seeded from the payload bytes) produces a fixed-size feature map —
-  letting the distributed plumbing and downstream feature stages be
-  exercised end to end.
+Round-2: the decode stage is REAL — pure-numpy codecs for BMP24,
+PPM P6 and PNG8 (stages/codecs.py; zlib is stdlib) decode actual
+bytes-on-disk formats into pixel arrays, then an 8×8 block-mean luma
+thumbnail becomes the feature vector. ``fake_decoder=True`` keeps the
+old byte-seeded stand-in for plumbing tests. Formats beyond the three
+(JPEG etc.) still raise — a deployment would plug a C codec into the
+same actor ``__init__``.
 
 Batch-size guidance (SURVEY.md §7.4 'wide binary rows'): payload
 bytes × batch_size × concurrency must fit the worker heap — callers
@@ -24,72 +23,112 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from osm2gtfs_ray.sources.pages import mix64
+from osm2gtfs_ray.sources.pages import _uint, mix64
+from osm2gtfs_ray.stages.codecs import (
+    decode_image,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    luma_features,
+)
 
-FEATURE_DIM = 64
+FEATURE_DIM = 64  # 8×8 luma grid
+
+_FORMATS = ("bmp", "ppm", "png")
+_MIMES = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap", "png": "image/png"}
+_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
 
 
-def synthesize_media_batch(start: int, count: int, payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table: (media_id, payload: binary,
-    mime, width, height)."""
+def media_dims_for_ids(ids: np.ndarray, seed: int = 42):
+    """(width, height, fmt_idx) per id — the pure-splitmix metadata
+    formula (streams 7/8/9), mirrored by the SQL oracle."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    w = (16 + _uint(ids, 7, seed, 48)).astype(np.int32)
+    h = (16 + _uint(ids, 8, seed, 48)).astype(np.int32)
+    fmt = _uint(ids, 9, seed, len(_FORMATS))
+    return w, h, fmt
+
+
+def _pixels_for_id(i: int, w: int, h: int, seed: int) -> np.ndarray:
+    n_bytes = h * w * 3
+    words = mix64(
+        np.arange((n_bytes + 7) // 8, dtype=np.uint64)
+        ^ np.uint64(i)
+        ^ (np.uint64(seed) << np.uint64(17))
+    )
+    return (
+        words.view(np.uint8)[:n_bytes].reshape(h, w, 3).copy()
+    )
+
+
+def synthesize_media_batch(start: int, count: int, payload_bytes: int = 0, seed: int = 42) -> pa.Table:
+    """Deterministic media table: (media_id, payload: binary, mime,
+    width, height) with REAL encoded image payloads (format cycles
+    BMP/PPM/PNG per id). ``payload_bytes`` is accepted for backward
+    compatibility and ignored — payload size is dims-driven."""
     return synthesize_media_for_ids(
         np.arange(start, start + count, dtype=np.uint64), payload_bytes, seed
     )
 
 
-def synthesize_media_for_ids(ids: np.ndarray, payload_bytes: int = 4096, seed: int = 42) -> pa.Table:
+def synthesize_media_for_ids(ids: np.ndarray, payload_bytes: int = 0, seed: int = 42) -> pa.Table:
     """Rows for arbitrary ids (pure per-id function — batch-shape
     independent, see pages.make_pages_for_ids)."""
     ids = np.asarray(ids, dtype=np.uint64)
-    count = len(ids)
-    payloads = []
-    for i in ids:
-        h = mix64(np.arange(payload_bytes // 8, dtype=np.uint64) ^ i ^ np.uint64(seed))
-        payloads.append(h.tobytes())
-    w = (mix64(ids ^ np.uint64(7)) % np.uint64(1920)).astype(np.int32) + 16
-    hgt = (mix64(ids ^ np.uint64(11)) % np.uint64(1080)).astype(np.int32) + 16
+    w, h, fmt = media_dims_for_ids(ids, seed)
+    payloads, mimes = [], []
+    for k, i in enumerate(ids):
+        img = _pixels_for_id(int(i), int(w[k]), int(h[k]), seed)
+        name = _FORMATS[fmt[k]]
+        payloads.append(_ENCODERS[name](img))
+        mimes.append(_MIMES[name])
     return pa.table(
         {
             "media_id": pa.array(ids.astype(np.int64)),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/fake"] * count, pa.string()),
+            "mime": pa.array(mimes, pa.string()),
             "width": pa.array(w, pa.int32()),
-            "height": pa.array(hgt, pa.int32()),
+            "height": pa.array(h, pa.int32()),
         }
     )
 
 
 class DecodeImage:
-    """Actor-pool decode stage. Real pipelines plug a codec library in
-    ``__init__`` (loaded once per actor); this container has none, so
-    the decode is a clearly-marked stub. With ``fake_decoder=True`` a
-    deterministic byte-seeded feature extractor stands in."""
+    """Actor-pool decode stage: payload bytes → decoded dims + an 8×8
+    luma-grid feature vector. The codec dispatch table is built once
+    per actor; ``fake_decoder=True`` swaps in the deterministic
+    byte-seeded stand-in (plumbing tests / unsupported formats)."""
 
     def __init__(self, fake_decoder: bool = False):
         self.fake = fake_decoder
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires a codec library not present in "
-                "this environment; construct with fake_decoder=True for "
-                "the deterministic test decoder"
-            )
+    def _fake(self, payload: bytes) -> np.ndarray:
         raw = np.frombuffer(payload[: FEATURE_DIM * 8], dtype=np.uint64)
         h = mix64(raw[:FEATURE_DIM])
         return (h >> np.uint64(11)).astype(np.float32) * np.float32(2.0**-53)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode(p) for p in batch["payload"].to_pylist()]
+        feats, dw, dh = [], [], []
+        for p in batch["payload"].to_pylist():
+            if self.fake:
+                feats.append(self._fake(p))
+                dw.append(-1)
+                dh.append(-1)
+            else:
+                img = decode_image(p)
+                feats.append(luma_features(img, grid=8))
+                dh.append(img.shape[0])
+                dw.append(img.shape[1])
         out = {n: batch[n] for n in batch.column_names if n != "payload"}
+        out["decoded_width"] = pa.array(dw, pa.int32())
+        out["decoded_height"] = pa.array(dh, pa.int32())
         out["features"] = pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
         return pa.table(out)
 
 
 class ResizeMeta:
-    """Resize stage (stub): recomputes target dims preserving aspect
-    ratio — the metadata math is real; pixel work would happen in the
-    codec stage."""
+    """Resize planning stage: target dims preserving aspect ratio (the
+    pixel resample itself would run in the decode actor)."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
@@ -103,7 +142,7 @@ class ResizeMeta:
         ).append_column("target_height", pa.array(np.rint(h * scale).astype(np.int32)))
 
 
-def media_dataset(n: int, payload_bytes: int = 4096, seed: int = 42, override_num_blocks=None):
+def media_dataset(n: int, payload_bytes: int = 0, seed: int = 42, override_num_blocks=None):
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:

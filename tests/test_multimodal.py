@@ -1,4 +1,4 @@
-"""Multimodal stage plumbing tests (decode stubbed per environment)."""
+"""Multimodal stage tests: real pure-numpy codecs + pipeline plumbing."""
 
 from __future__ import annotations
 
@@ -6,12 +6,89 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from osm2gtfs_ray.stages.codecs import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    luma_features,
+)
 from osm2gtfs_ray.stages.multimodal import (
     DecodeImage,
     ResizeMeta,
     media_dataset,
+    media_dims_for_ids,
     synthesize_media_batch,
 )
+
+
+def _rand_img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (16, 33), (40, 17)])
+def test_bmp_roundtrip(h, w):
+    img = _rand_img(h, w, h * 100 + w)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (16, 33)])
+def test_ppm_roundtrip(h, w):
+    img = _rand_img(h, w, h * 100 + w)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 5), (16, 33), (64, 48)])
+def test_png_roundtrip(h, w):
+    img = _rand_img(h, w, h * 100 + w)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_all_filters_decode():
+    """Hand-build a PNG using every filter type (0-4) and check the
+    unfilter path against the reference reconstruction."""
+    import struct
+    import zlib
+
+    from osm2gtfs_ray.stages.codecs import _PNG_SIG, _chunk
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    ch, stride = 3, 4 * 3
+    rows = img.reshape(5, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = rows[y]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - a) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        else:
+            a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            c = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            pred = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                p = a[x] + prev[x] - c[x]
+                pa_, pb, pc_ = abs(p - a[x]), abs(p - prev[x]), abs(p - c[x])
+                pred[x] = a[x] if (pa_ <= pb and pa_ <= pc_) else (prev[x] if pb <= pc_ else c[x])
+            enc = (cur - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    png = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    assert np.array_equal(decode_png(png), img)
 
 
 def test_synthesize_deterministic():
@@ -22,10 +99,29 @@ def test_synthesize_deterministic():
     assert a.slice(5, 2).to_pydict() == c.to_pydict()
 
 
-def test_decode_stub_raises_without_fake():
-    t = synthesize_media_batch(0, 2)
-    with pytest.raises(NotImplementedError):
-        DecodeImage()(t)
+def test_real_decode_roundtrips_dims_and_is_real_bytes():
+    t = synthesize_media_batch(0, 12)
+    # all three formats appear
+    assert set(t["mime"].to_pylist()) == {
+        "image/bmp", "image/x-portable-pixmap", "image/png"
+    }
+    out = DecodeImage()(t)
+    assert out["decoded_width"].to_pylist() == t["width"].to_pylist()
+    assert out["decoded_height"].to_pylist() == t["height"].to_pylist()
+    f = np.array(out["features"].to_pylist())
+    assert f.shape[1] == 64
+    assert (f >= 0.0).all() and (f <= 1.0).all()
+    # decoded pixels byte-equal the generator's pixel array
+    from osm2gtfs_ray.stages.multimodal import _pixels_for_id
+
+    img0 = decode_image(t["payload"][0].as_py())
+    w, h, _ = media_dims_for_ids(np.array([0], dtype=np.uint64))
+    assert np.array_equal(img0, _pixels_for_id(0, int(w[0]), int(h[0]), 42))
+
+
+def test_unknown_format_raises():
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a not supported")
 
 
 def test_fake_decode_deterministic_features():
@@ -35,31 +131,36 @@ def test_fake_decode_deterministic_features():
     f2 = d(t)["features"].to_pylist()
     assert f1 == f2
     assert len(f1[0]) == 64
-    assert all(0.0 <= x < 1.0 for x in f1[0])
+
+
+def test_luma_features_constant_image():
+    img = np.full((32, 32, 3), 128, dtype=np.uint8)
+    f = luma_features(img)
+    np.testing.assert_allclose(f, 128 / 255.0, atol=1e-6)
 
 
 def test_resize_meta_aspect():
     t = synthesize_media_batch(0, 16)
-    out = ResizeMeta(max_side=256)(t)
+    out = ResizeMeta(max_side=24)(t)
     w = out["target_width"].to_numpy()
     h = out["target_height"].to_numpy()
-    assert (np.maximum(w, h) <= 256).all()
-    # aspect preserved within rounding
+    assert (np.maximum(w, h) <= 24).all()
     w0 = out["width"].to_numpy().astype(float)
     h0 = out["height"].to_numpy().astype(float)
-    big = np.maximum(w0, h0) > 256
-    np.testing.assert_allclose((w / h)[big], (w0 / h0)[big], rtol=0.05)
+    big = np.maximum(w0, h0) > 24
+    np.testing.assert_allclose((w / h)[big], (w0 / h0)[big], rtol=0.2)
 
 
 def test_pipeline_end_to_end(ray_session):
-    ds = media_dataset(200, payload_bytes=2048, override_num_blocks=4)
+    ds = media_dataset(200, override_num_blocks=4)
     out = (
         ds.map_batches(ResizeMeta, batch_format="pyarrow", batch_size=64,
                        concurrency=(1, 2), fn_constructor_kwargs={"max_side": 128})
         .map_batches(DecodeImage, batch_format="pyarrow", batch_size=64,
-                     concurrency=(1, 2), fn_constructor_kwargs={"fake_decoder": True})
+                     concurrency=(1, 2))
     )
     df = out.to_pandas()
     assert len(df) == 200
     assert "payload" not in df.columns  # wide binary dropped at decode
-    assert set(["media_id", "features", "target_width"]) <= set(df.columns)
+    assert set(["media_id", "features", "target_width", "decoded_width"]) <= set(df.columns)
+    assert (df["decoded_width"] == df["width"]).all()
