@@ -24,7 +24,13 @@ def main(argv=None) -> int:
     p.add_argument("--config", "-c", required=True)
     p.add_argument("--refresh-routes", action="store_true")
     p.add_argument("--refresh-stops", action="store_true")
+    p.add_argument("--refresh-schedule", action="store_true",
+                   help="refetch schedule_source, bypassing the disk cache")
     p.add_argument("--selector", default=None, help="profile override")
+    p.add_argument("--zip", dest="zip_out", default=None,
+                   help="assemble the CSV tables into a GTFS .zip at this path")
+    p.add_argument("--validate", action="store_true",
+                   help="run referential-integrity validation and print the report")
     args = p.parse_args(argv)
 
     import ray
@@ -75,7 +81,15 @@ def _run(args) -> int:
             for name in ("osm_nodes", "osm_ways", "osm_relations")
         }
 
-    schedule = load_schedule(cfg["schedule_source"])
+    sched_src = cfg["schedule_source"]
+    if ckpt and isinstance(sched_src, str):
+        # URL-or-path source with disk cache (configuration.py:40-90)
+        from osm2gtfs_ray.sources.schedule import fetch_schedule_source
+
+        sched_src = fetch_schedule_source(
+            sched_src, ckpt, selector, refresh=args.refresh_schedule
+        )
+    schedule = load_schedule(sched_src)
     coords = gtfs.ways_coord_table(tables["osm_ways"], tables["osm_nodes"])
     out = gtfs.run_gtfs_pipeline(
         ray.data.from_arrow(tables["osm_nodes"]),
@@ -86,11 +100,27 @@ def _run(args) -> int:
         schedule,
         selector=selector,
     )
+    if args.validate:
+        from osm2gtfs_ray.pipelines.gtfs_feed import validate_feed
+
+        report = validate_feed(out)
+        for k, v in sorted(report.items()):
+            print(f"validate {k}: {v}")
+        if not report["ok"]:
+            print("validation FAILED", file=sys.stderr)
+            return 2
+
     counts = gtfs.write_gtfs_tables(
         {k: v for k, v in out.items() if k != "itineraries"}, out_dir
     )
     for name, n in sorted(counts.items()):
         print(f"{name}: {n} rows")
+
+    if args.zip_out:
+        from osm2gtfs_ray.pipelines.gtfs_feed import zip_feed
+
+        path = zip_feed(out_dir, args.zip_out)
+        print(f"feed zip: {path}")
     return 0
 
 

@@ -43,6 +43,12 @@ def load_schedule(path_or_dict) -> pa.Table:
     ScheduleError (the reference exits, schedule_creator.py:44-54)."""
     if isinstance(path_or_dict, dict):
         doc = path_or_dict
+    elif isinstance(path_or_dict, str) and path_or_dict.lstrip()[:1] == "{":
+        # raw JSON text (the fetch_schedule_source output)
+        try:
+            doc = json.loads(path_or_dict)
+        except json.JSONDecodeError as e:
+            raise ScheduleError(f"invalid schedule JSON: {e}") from e
     else:
         with open(path_or_dict) as f:
             try:
@@ -99,3 +105,53 @@ def partition_horarios(horarios: dict) -> dict[str, list]:
                 out.setdefault(service, []).extend(times)
                 break
     return out
+
+
+# --------------------------------------------------------------------------
+# Schedule source fetch + disk cache (configuration.py:40-90)
+# --------------------------------------------------------------------------
+
+def fetch_schedule_source(
+    source: str,
+    cache_dir: str,
+    selector: str,
+    refresh: bool = False,
+    fetcher=None,
+) -> str:
+    """Schedule source text from a local path or URL, with disk cache.
+
+    Mirrors the reference's get_schedule_source
+    (configuration.py:40-90): prefer the cached copy unless ``refresh``
+    is set; a local file path is read directly; otherwise the source is
+    treated as a URL and fetched via the pluggable ``fetcher(url) ->
+    str`` (this sandbox has no network, so the default fetcher raises
+    ScheduleError — deployments pass e.g. urllib). The fetched text is
+    written to ``{cache_dir}/{selector}-schedule`` after every
+    non-cached load (Cache.write_file semantics).
+    """
+    import os
+
+    cached_file = os.path.join(cache_dir, f"{selector}-schedule")
+    if not refresh and os.path.isfile(cached_file):
+        with open(cached_file) as f:
+            text = f.read()
+        if text:
+            return text
+
+    if os.path.isfile(source):
+        with open(source) as f:
+            text = f.read()
+    else:
+        if fetcher is None:
+            raise ScheduleError(
+                f"schedule_source {source!r} is not a local file and no "
+                "fetcher was provided (no network in this environment)"
+            )
+        text = fetcher(source)
+        if isinstance(text, bytes):
+            text = text.decode("utf-8")
+
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(cached_file, "w") as f:
+        f.write(text)
+    return text

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import json
 import os
 
 import pandas as pd
@@ -297,3 +298,120 @@ class TestCLI:
         st = pd.concat(pd.read_csv(f) for f in (out / "stop_times").iterdir())
         assert len(st) == 147
         assert st["arrival_time"].str.match(r"^\d{2}:\d{2}:\d{2}$").all()
+
+
+class TestFeedZipValidate:
+    """Zip sink + referential validation + schedule fetch cache."""
+
+    def _write_config(self, tmp_path, extra=None):
+        import json
+
+        from osm2gtfs_ray.sources.osm_xml import to_osm_xml
+
+        tables = fx.make_osm_tables()
+        xml_path = tmp_path / "city.xml"
+        xml_path.write_text(to_osm_xml(tables))
+        sched_rows = fx.make_schedule_table().to_pylist()
+        lines: dict = {}
+        for r in sched_rows:
+            entries = lines.setdefault(r["route_id"], [])
+            for e in entries:
+                if e["from"] == r["from_stop"] and e["to"] == r["to_stop"]:
+                    if r["service"] not in e["services"]:
+                        e["services"].append(r["service"])
+                    break
+            else:
+                entries.append(
+                    {"from": r["from_stop"], "to": r["to_stop"],
+                     "services": [r["service"]], "stations": r["station_names"],
+                     "times": r["times"]}
+                )
+        sched_path = tmp_path / "timetable.json"
+        sched_path.write_text(json.dumps({"lines": lines}))
+        cfg = {
+            "query": {"bbox": {"n": 1.0, "s": -2.0, "e": 38.0, "w": 36.0}},
+            "input": str(xml_path),
+            "schedule_source": str(sched_path),
+            "output_file": str(tmp_path / "gtfs_out"),
+        }
+        if extra:
+            cfg.update(extra)
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(json.dumps(cfg))
+        return cfg_path
+
+    def test_zip_and_validate_end_to_end(self, ray_session, tmp_path):
+        import io
+        import zipfile
+
+        from osm2gtfs_ray import cli
+
+        cfg_path = self._write_config(tmp_path)
+        zip_path = tmp_path / "feed.zip"
+        rc = cli.main(["-c", str(cfg_path), "--validate", "--zip", str(zip_path)])
+        assert rc == 0
+        with zipfile.ZipFile(zip_path) as zf:
+            names = set(zf.namelist())
+            assert {"stops.txt", "routes.txt", "stop_times.txt"} <= names
+            st = pd.read_csv(io.BytesIO(zf.read("stop_times.txt")))
+            assert len(st) == 147
+            stops = pd.read_csv(io.BytesIO(zf.read("stops.txt")))
+            # every stop_time references a stop present in the zip
+            assert set(st["stop_id"]) <= set(stops["stop_id"])
+
+    def test_validate_catches_dangling_reference(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.pipelines.gtfs_feed import validate_feed
+
+        tables = {
+            "stops": ray.data.from_items([{"stop_id": "s1"}]),
+            "routes": ray.data.from_items([{"route_id": "r1"}]),
+            "stop_times": ray.data.from_items(
+                [
+                    {"trip_id": "t", "route_id": "r1", "stop_id": "s1"},
+                    {"trip_id": "t", "route_id": "rX", "stop_id": "sX"},
+                ]
+            ),
+        }
+        report = validate_feed(tables)
+        assert report["stop_times_missing_stop"] == 1
+        assert report["stop_times_missing_route"] == 1
+        assert report["ok"] is False
+
+    def test_schedule_fetch_cache_and_refresh(self, tmp_path):
+        from osm2gtfs_ray.sources.schedule import (
+            ScheduleError,
+            fetch_schedule_source,
+        )
+
+        src = tmp_path / "sched.json"
+        src.write_text('{"lines": {}}')
+        cache = tmp_path / "cache"
+        # first load reads the file and caches
+        t1 = fetch_schedule_source(str(src), str(cache), "city")
+        assert t1 == '{"lines": {}}'
+        assert (cache / "city-schedule").read_text() == t1
+        # source changes; cached copy still served without refresh
+        src.write_text('{"lines": {"A": []}}')
+        assert fetch_schedule_source(str(src), str(cache), "city") == t1
+        # refresh bypasses the cache and rewrites it
+        t3 = fetch_schedule_source(str(src), str(cache), "city", refresh=True)
+        assert t3 == '{"lines": {"A": []}}'
+        assert (cache / "city-schedule").read_text() == t3
+        # URL-shaped source without a fetcher raises; with one, fetches
+        with pytest.raises(ScheduleError):
+            fetch_schedule_source(
+                "https://example.org/sched.json", str(cache), "web"
+            )
+        got = fetch_schedule_source(
+            "https://example.org/sched.json", str(cache), "web",
+            fetcher=lambda url: b'{"lines": {}}',
+        )
+        assert got == '{"lines": {}}'
+
+    def test_load_schedule_accepts_raw_json_text(self):
+        from osm2gtfs_ray.sources.schedule import load_schedule
+
+        t = load_schedule('{"lines": {}}')
+        assert t.num_rows == 0
