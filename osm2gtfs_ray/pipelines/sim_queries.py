@@ -49,11 +49,11 @@ LIMIT 5
 # variant below is the corpus-scale path)
 # --------------------------------------------------------------------------
 
-_PAIR_TAU = 0.5
+_PAIR_TAU = 0.3  # gives ~1000 verified pairs at sf0.01 (0.5 gave 1 — too thin a check)
 
 
 def q_cosine_pairs(sf_dir: str):
-    """All pairs (a < b) with cosine ≥ 0.5: embedding near-dup.
+    """All pairs (a < b) with cosine ≥ _PAIR_TAU: embedding near-dup.
 
     Physical plan: full matrix broadcast once (ray.put), each batch
     computes its rows' sims against it — O(n²/B) per batch, no
