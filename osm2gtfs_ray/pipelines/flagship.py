@@ -191,17 +191,41 @@ def pages_from_documents(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
+    seed = 42
+
     def render(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
+        """Entity metadata (count, names, positions, highlight index)
+        is derived VECTORIZED across the batch with the same splitmix
+        streams as the scalar oracle (pages._page_text_and_entities);
+        only the final string assembly is per row."""
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist()
+
+        n_ent = pg._uint(ids, 3, seed, 4)
+        e_off = np.concatenate([[0], np.cumsum(n_ent)])
+        eidx = np.repeat(ids, n_ent) * np.uint64(8) + pg._flat_ranges(n_ent).astype(
+            np.uint64
+        )
+        name_ids = pg._uint(eidx, 4, seed, len(pg.ENTITY_NAMES))
+        elat, elon = pg._entity_latlon(eidx, seed)
+        elat_r, elon_r = np.round(elat, 6), np.round(elon, 6)
+        ent_names = np.array(pg.ENTITY_NAMES, dtype=object)[name_ids]
+        k_hash = pg._uhash(ids, 5, seed)
+
         urls, ts, htmls = [], [], []
-        for i, text in zip(ids, texts):
+        for n, i in enumerate(ids):
             i = int(i)
-            _, ents = pg._page_text_and_entities(i, seed=42)
+            words = texts[n].split(" ")
+            ents = [
+                (ent_names[e], float(elat_r[e]), float(elon_r[e]))
+                for e in range(e_off[n], e_off[n + 1])
+            ]
+            esc = [pg._escape(w) for w in words]
+            k = int(k_hash[n] % np.uint64(max(1, len(words))))
             urls.append(f"https://docs.example/{i:010d}")
             ts.append(pg.BASE_TS + np.timedelta64(i, "s"))
-            htmls.append(pg._render_html(i, text, ents, seed=42))
+            htmls.append(pg._render_html_fast(i, esc, ents, seed, k))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
