@@ -122,6 +122,76 @@ def run_flagship(
             "assignments": assignments}
 
 
+class FusedExtractJoin:
+    """Single actor-pool stage fusing extract → explode → geocode →
+    spatial join per batch.
+
+    Rationale (BASELINE.md plasma note): the two-pool layout ships the
+    full extractor output — including the wide text columns — through
+    the object store twice (extract write + entities read), and on a
+    single node the shared plasma store becomes the bottleneck past ~8
+    actors. Fusing the four per-batch transforms into ONE actor keeps
+    the wide columns inside the actor heap; only narrow join-row
+    batches ever hit the store. On a real multi-node cluster the same
+    fusion removes a cross-node exchange of corpus-sized text.
+
+    The per-row invariant (byte-identical extracted text per url,
+    BASELINE.json input_hint) is enforced INLINE when the oracle
+    ``text`` column is present: any mismatch raises, so a fused run
+    that completes has verified every page.
+    """
+
+    def __init__(self, tiles_ref=None, tiles=None, knn_radius_m=None,
+                 verify_text: bool = True):
+        self.extractor = TextExtractor()
+        kwargs = {}
+        if knn_radius_m is not None:
+            kwargs["knn_radius_m"] = knn_radius_m
+        self.joiner = SpatialJoiner(tiles_ref=tiles_ref, tiles=tiles, **kwargs)
+        self.verify_text = verify_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ext = self.extractor(batch)
+        if self.verify_text and "text" in ext.column_names:
+            bad = pc.sum(
+                pc.cast(pc.invert(pc.equal(ext["text_extracted"], ext["text"])), pa.int64())
+            ).as_py()
+            if bad:
+                raise ValueError(
+                    f"per-row text invariant violated for {bad} rows in batch"
+                )
+        ents = explode_entities(ext.select(["url", "entities"]))
+        return self.joiner(assign_cells(ents))
+
+
+def run_flagship_fused(
+    pages_ds,
+    tiles: pa.Table,
+    concurrency: int = 8,
+    batch_size: int = 1024,
+    knn_radius_m=None,
+    verify_text: bool = True,
+):
+    """Flagship via the fused single-pool stage. Same join rows and
+    assignments as run_flagship (tests assert equality); one actor pool
+    sized to the whole node since all per-row work is co-located."""
+    import ray
+
+    tiles_ref = ray.put(tiles)
+    kwargs = {"tiles_ref": tiles_ref, "verify_text": verify_text}
+    if knn_radius_m is not None:
+        kwargs["knn_radius_m"] = knn_radius_m
+    join_rows = pages_ds.map_batches(
+        FusedExtractJoin,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool(concurrency),
+        fn_constructor_kwargs=kwargs,
+        zero_copy_batch=True,
+    )
+    return {"join_rows": join_rows, "assignments": assignments_stage(join_rows)}
+
+
 def flagship_to_checkpoint(
     pages_ds,
     tiles: pa.Table,

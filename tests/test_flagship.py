@@ -95,3 +95,46 @@ def test_flagship_hot_cells_present(ray_session):
     join = res["join_rows"].to_pandas()
     hot = join[join["tile_id"].astype(str).str.startswith("tile_hot")]
     assert len(hot) > 0.3 * len(join)
+
+
+def test_flagship_fused_equals_unfused(ray_session):
+    """FusedExtractJoin must produce exactly the join rows + assignments
+    of the two-pool layout (fusion is an execution optimization, not a
+    semantic change)."""
+    tiles = pg.make_tiles_table(40, seed=42)
+
+    pages_a = pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=8)
+    base = flagship.run_flagship(pages_a, tiles, concurrency=1, batch_size=128)
+    want = base["join_rows"].to_pandas()
+
+    pages_b = pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=8)
+    fused = flagship.run_flagship_fused(pages_b, tiles, concurrency=2, batch_size=96)
+    got = fused["join_rows"].to_pandas()
+
+    key = ["url", "entity", "method", "tile_id"]
+    want_s = want.fillna({"tile_id": ""}).sort_values(key).reset_index(drop=True)
+    got_s = got.fillna({"tile_id": ""}).sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    for col in ["url", "entity", "method", "tile_id", "cell", "cell_coarse"]:
+        assert (got_s[col].values == want_s[col].values).all(), col
+
+    asn_a = base["assignments"].to_pandas().sort_values(["entity_cell", "tile_id"]).reset_index(drop=True)
+    asn_b = fused["assignments"].to_pandas().sort_values(["entity_cell", "tile_id"]).reset_index(drop=True)
+    assert asn_a.equals(asn_b)
+
+
+def test_flagship_fused_invariant_raises(ray_session):
+    """Fused path enforces the per-row text invariant inline: a page
+    whose oracle text disagrees with the extraction must fail the run."""
+    import pytest as _pytest
+    import ray.data
+
+    tiles = pg.make_tiles_table(8, seed=42)
+    tbl = pg.make_pages_for_ids(np.arange(64, dtype=np.uint64), 42)
+    texts = tbl["text"].to_pylist()
+    texts[13] = texts[13] + " CORRUPTED"
+    tbl = tbl.set_column(tbl.schema.get_field_index("text"), "text", pa.array(texts))
+    ds = ray.data.from_arrow(tbl)
+    res = flagship.run_flagship_fused(ds, tiles, concurrency=1, batch_size=32)
+    with _pytest.raises(Exception, match="invariant"):
+        res["join_rows"].materialize()
