@@ -48,14 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = q_minhash_pairs(sf_dir).select_columns(["a", "b"])
         return connected_components(pairs)
 
-    def q_tile_rasterize(sf_dir: str):
-        import ray.data
-
-        from osm2gtfs_ray.sources.pages import make_tiles_table
-        from osm2gtfs_ray.stages.rasterize import rasterize_tiles
-
-        tiles = make_tiles_table(64, seed=42)
-        return rasterize_tiles(ray.data.from_arrow(tiles))
+    q_tile_rasterize = fo.q_tile_rasterize
 
     return {
         # relational / aggregate operators (SQL-oracled)
@@ -86,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": sq.q_minhash_pairs,
         "simhash": sq.q_simhash,
         "ann_ivf": sq.q_ann_ivf,
+        "cosine_lsh": sq.q_cosine_lsh,
         "props_extract": sq.q_props_extract,
         # set ops + string normalization
         "click_not_purchase": so.q_click_not_purchase,
@@ -93,7 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_names": so.q_normalize_names,
         "sessionize": so.q_sessionize,
         "asof_last_order": so.q_asof_last_order,
-        # spatial flagship (rows-only: PIP/kNN not SQL-expressible)
+        # spatial flagship (SQL-oracled via crossing-number PIP)
         "spatial_join_rows": q_spatial_join_rows,
         "tile_assignments": q_tile_assignments,
         "tile_rasterize": q_tile_rasterize,
@@ -118,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),
         "tile_assignments": fo.sql_tile_assignments(),
+        "tile_rasterize": fo.sql_tile_rasterize(),
         "click_not_purchase": so.SQL_CLICK_NOT_PURCHASE,
         "union_actors": so.SQL_UNION_ACTORS,
         "normalize_names": so.SQL_NORMALIZE_NAMES,
@@ -128,10 +123,13 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
+        "lang_id": tq.SQL_LANG_ID,
+        "fingerprint": tq.SQL_FINGERPRINT,
         "dup_components": tq.SQL_DUP_COMPONENTS,
         "exact_dedup": tq.SQL_EXACT_DEDUP,
         "doc_quality": tq.SQL_DOC_QUALITY,
         "ann_topk": sq.SQL_ANN_TOPK,
+        "ann_ivf": sq.SQL_ANN_IVF,
         "cosine_pairs": sq.SQL_COSINE_PAIRS,
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,

@@ -78,16 +78,26 @@ def join_stage(entities_ds, tiles: pa.Table, concurrency=4, batch_size=4096, knn
     )
 
 
-def assignments_stage(join_rows_ds):
+def assignments_stage(join_rows_ds, keep_unmatched: bool = False):
     """tile_assignments(entity_cell, tile_id, count): partial count per
     batch inside map_batches, then a tiny groupby over partials — the
-    pre-aggregated shuffle pattern (SURVEY.md §7.3)."""
+    pre-aggregated shuffle pattern (SURVEY.md §7.3).
+
+    With ``keep_unmatched=True`` the null-tile (method='none') rows are
+    kept as tile_id='' groups, so the single aggregate also carries the
+    TOTAL join-row count — the fully-streaming consumption shape (no
+    join-row materialization anywhere; bench uses this)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["cell_coarse", "tile_id"]).rename_columns(
             ["entity_cell", "tile_id"]
         )
-        t = t.filter(pc.is_valid(t["tile_id"]))
+        if keep_unmatched:
+            t = t.set_column(
+                1, "tile_id", pc.fill_null(t["tile_id"], "")
+            )
+        else:
+            t = t.filter(pc.is_valid(t["tile_id"]))
         g = t.group_by(["entity_cell", "tile_id"]).aggregate([([], "count_all")])
         return g.rename_columns(["entity_cell", "tile_id", "partial"])
 
@@ -142,13 +152,16 @@ class FusedExtractJoin:
     """
 
     def __init__(self, tiles_ref=None, tiles=None, knn_radius_m=None,
-                 verify_text: bool = True):
+                 verify_text: bool = True, emit: str = "join_rows"):
         self.extractor = TextExtractor()
         kwargs = {}
         if knn_radius_m is not None:
             kwargs["knn_radius_m"] = knn_radius_m
         self.joiner = SpatialJoiner(tiles_ref=tiles_ref, tiles=tiles, **kwargs)
         self.verify_text = verify_text
+        if emit not in ("join_rows", "assignments"):
+            raise ValueError(f"emit must be join_rows|assignments, got {emit!r}")
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ext = self.extractor(batch)
@@ -161,7 +174,21 @@ class FusedExtractJoin:
                     f"per-row text invariant violated for {bad} rows in batch"
                 )
         ents = explode_entities(ext.select(["url", "entities"]))
-        return self.joiner(assign_cells(ents))
+        joined = self.joiner(assign_cells(ents))
+        if self.emit == "join_rows":
+            return joined
+        # emit='assignments': map-side combine — per-batch partial group
+        # counts ((cell, tile) plus tile_id='' for unmatched rows, so the
+        # partials also carry the total join-row count); join rows never
+        # leave the actor at all. The tiny partials are reduced by a
+        # small groupby (or driver-side concat when the group space is
+        # known-small, see reduce_assignment_partials).
+        t = joined.select(["cell_coarse", "tile_id"]).rename_columns(
+            ["entity_cell", "tile_id"]
+        )
+        t = t.set_column(1, "tile_id", pc.fill_null(t["tile_id"], ""))
+        g = t.group_by(["entity_cell", "tile_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["entity_cell", "tile_id", "partial"])
 
 
 def run_flagship_fused(
@@ -171,17 +198,22 @@ def run_flagship_fused(
     batch_size: int = 1024,
     knn_radius_m=None,
     verify_text: bool = True,
+    emit: str = "join_rows",
 ):
     """Flagship via the fused single-pool stage. Same join rows and
     assignments as run_flagship (tests assert equality); one actor pool
-    sized to the whole node since all per-row work is co-located."""
+    sized to the whole node since all per-row work is co-located.
+
+    emit='assignments' returns {'partials': Dataset} of per-batch
+    partial counts instead (map-side combine inside the actor; see
+    reduce_assignment_partials)."""
     import ray
 
     tiles_ref = ray.put(tiles)
-    kwargs = {"tiles_ref": tiles_ref, "verify_text": verify_text}
+    kwargs = {"tiles_ref": tiles_ref, "verify_text": verify_text, "emit": emit}
     if knn_radius_m is not None:
         kwargs["knn_radius_m"] = knn_radius_m
-    join_rows = pages_ds.map_batches(
+    out = pages_ds.map_batches(
         FusedExtractJoin,
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -189,7 +221,24 @@ def run_flagship_fused(
         fn_constructor_kwargs=kwargs,
         zero_copy_batch=True,
     )
-    return {"join_rows": join_rows, "assignments": assignments_stage(join_rows)}
+    if emit == "assignments":
+        return {"partials": out}
+    return {"join_rows": out, "assignments": assignments_stage(out)}
+
+
+def reduce_assignment_partials(partials_ds) -> pa.Table:
+    """Final reduce of the per-batch partial counts: the partial table
+    is tiny (≤ blocks × |cells×tiles| rows), so a driver-side Arrow
+    group_by beats a distributed sort-shuffle by seconds of fixed
+    latency. Returns (entity_cell, tile_id, count) with tile_id='' rows
+    carrying the unmatched join-row count; at a group cardinality where
+    this wouldn't fit one process, use assignments_stage instead."""
+    import ray
+
+    tables = [ray.get(r) for r in partials_ds.to_arrow_refs()]
+    t = pa.concat_tables([t for t in tables if t.num_rows] or tables)
+    g = t.group_by(["entity_cell", "tile_id"]).aggregate([("partial", "sum")])
+    return g.rename_columns(["entity_cell", "tile_id", "count"])
 
 
 def flagship_to_checkpoint(

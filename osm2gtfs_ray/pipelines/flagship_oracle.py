@@ -255,3 +255,82 @@ def q_tile_assignments(sf_dir: str):
         )
 
     return asn.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# raster↔vector oracle (north_rule raster surface)
+# ---------------------------------------------------------------------------
+
+def sql_tile_rasterize(level: int | None = None) -> str:
+    """tile_rasterize oracle: every level-`level` grid cell whose CENTER
+    is inside a tile ring, re-derived with the same half-open
+    crossing-number predicate as the spatial-join oracle (and thus the
+    same rule as ``geo/pip.py:52-56``). The per-tile bbox→grid-range
+    quantization is computed in Python with the engine's own
+    ``latlon_to_ij`` (same floor+clamp), embedded as literals; the fill
+    test itself (grid fan-out + PIP) runs entirely in SQL."""
+    from osm2gtfs_ray.geo.cells import latlon_to_ij
+    from osm2gtfs_ray.stages.rasterize import RASTER_LEVEL
+    from osm2gtfs_ray.stages.spatial_join import _unpack_tiles
+
+    if level is None:
+        level = RASTER_LEVEL
+    tiles = pg.make_tiles_table(64, seed=_SEED)
+    tile_ids, lats, lons, _ = _unpack_tiles(tiles)
+    trows, erows = [], []
+    for t, tid in enumerate(tile_ids):
+        la, lo = lats[t][:-1], lons[t][:-1]
+        ix0, iy0 = latlon_to_ij(np.array([la.min()]), np.array([lo.min()]), level)
+        ix1, iy1 = latlon_to_ij(np.array([la.max()]), np.array([lo.max()]), level)
+        trows.append(
+            f"('{tid}', {int(ix0[0])}, {int(ix1[0])}, {int(iy0[0])}, {int(iy1[0])})"
+        )
+        m = len(la)
+        for i in range(m):
+            erows.append(
+                f"('{tid}', {float(la[i])!r}, {float(lo[i])!r},"
+                f" {float(la[(i + 1) % m])!r}, {float(lo[(i + 1) % m])!r})"
+            )
+    nx, ny = 1 << level, 1 << (level - 1)
+    return f"""WITH rt(tile_id, ix0, ix1, iy0, iy1) AS (VALUES {",".join(trows)}),
+re(tile_id, y1, x1, y2, x2) AS (VALUES {",".join(erows)}),
+cand AS (
+  SELECT rt.tile_id, gx.ix, gy.iy,
+         (gx.ix + 0.5) / {nx}.0 * 360.0 - 180.0 AS lon,
+         (gy.iy + 0.5) / {ny}.0 * 180.0 - 90.0 AS lat
+  FROM rt,
+       LATERAL (SELECT unnest(range(rt.ix0, rt.ix1 + 1)) AS ix) gx,
+       LATERAL (SELECT unnest(range(rt.iy0, rt.iy1 + 1)) AS iy) gy
+)
+SELECT c.tile_id, CAST(c.ix AS BIGINT) AS ix, CAST(c.iy AS BIGINT) AS iy
+FROM cand c JOIN re e ON e.tile_id = c.tile_id
+WHERE ((e.y1 > c.lat) != (e.y2 > c.lat))
+  AND c.lon < e.x1 + ((c.lat - e.y1) / (e.y2 - e.y1)) * (e.x2 - e.x1)
+GROUP BY 1, 2, 3
+HAVING COUNT(*) % 2 = 1
+"""
+
+
+def q_tile_rasterize(sf_dir: str):
+    """Engine-side rasterize projected to the oracle encoding: Morton
+    cell decoded to (ix, iy) grid coords (cell_to_ij bijection is
+    pytest-covered)."""
+    import ray.data
+
+    from osm2gtfs_ray.geo.cells import cell_to_ij
+    from osm2gtfs_ray.stages.rasterize import rasterize_tiles
+
+    tiles = pg.make_tiles_table(64, seed=_SEED)
+    ds = rasterize_tiles(ray.data.from_arrow(tiles))
+
+    def decode(t: pa.Table) -> pa.Table:
+        ix, iy = cell_to_ij(t["cell"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "ix": pa.array(ix, pa.int64()),
+                "iy": pa.array(iy, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)

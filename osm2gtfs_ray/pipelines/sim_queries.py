@@ -127,8 +127,58 @@ def q_simhash(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# IVF approximate top-k (rows-only; recall vs brute measured in tests)
+# LSH-bucketed cosine near-dup (the 10^12-scale path: banded
+# random-hyperplane signatures -> sharded bucket shuffle -> distributed
+# exact verify; rows-only — recall/precision vs the brute scan are
+# pytest-asserted in tests/test_ops.py)
 # --------------------------------------------------------------------------
+
+def q_cosine_lsh(sf_dir: str):
+    """tau=0.4 with 10 bands × 3 bits: hyperplane collision p=0.631 at
+    θ(0.4), band recall 1-(1-p³)^10 ≈ 0.94 — sized so the driver check
+    covers the ~59 true pairs the sf0.01 embeddings contain (max
+    pairwise cosine there is 0.51; at corpus scale near-dup thresholds
+    are 0.7+ where the buckets are far more selective)."""
+
+    def factory():
+        return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    return ann_mod.cosine_lsh_pairs(factory, tau=0.4, n_bits=30, n_bands=10)
+
+
+# --------------------------------------------------------------------------
+# IVF approximate top-k, with an exact SQL oracle: centroids are the
+# deterministic first-16 vectors by vec_id, assignment is argmax
+# cosine with first-max tie-break (np.argmax ↔ ORDER BY sim DESC, cid
+# LIMIT 1), probe = top-4 centroids for the query — every step is
+# order-deterministic, so DuckDB (list_cosine_similarity) reproduces
+# the probe set and the pruned top-5 bit-for-bit at e6 rounding.
+# --------------------------------------------------------------------------
+
+SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents, q ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 4
+),
+assign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(cents.c, CAST(e.embedding AS DOUBLE[])) DESC, cid
+          LIMIT 1) AS cell
+  FROM embeddings e
+)
+SELECT a.vec_id,
+       CAST(ROUND(list_cosine_similarity(a.emb, q.qe) * 1000000) AS BIGINT) AS sim_e6
+FROM assign a, q
+WHERE a.cell IN (SELECT cid FROM probe)
+ORDER BY sim_e6 DESC, a.vec_id
+LIMIT 5
+"""
+
 
 def q_ann_ivf(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

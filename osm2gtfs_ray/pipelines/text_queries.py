@@ -117,8 +117,50 @@ FROM documents WHERE lang = 'en'
 
 
 # --------------------------------------------------------------------------
-# Language-ID accuracy (heuristic; rows-only — not SQL-expressible)
+# Language-ID confusion matrix, with an exact SQL oracle: the heuristic
+# is argmax of |distinct(words) ∩ stopwords(lang)| with hits>0 and
+# lexicographically-first tie-break (stages/text.py LangId) — all of
+# which SQL can express (the corpus is pure ASCII, so re2's \w and
+# Python's unicode \w agree; verified over the testdata tables).
 # --------------------------------------------------------------------------
+
+def _sql_lang_id() -> str:
+    from osm2gtfs_ray.stages.text import _STOPWORDS
+
+    sw_rows = ",\n".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lang])
+        if "'" not in w
+    )
+    return rf"""
+WITH sw(slang, sword) AS (VALUES {sw_rows}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[\w'']+'))) AS w
+  FROM documents
+),
+hits AS (
+  SELECT t.doc_id, s.slang, COUNT(*) AS h
+  FROM toks t JOIN sw s ON t.w = s.sword
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, slang AS lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, slang ASC) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.lang, COALESCE(b.lang_pred, 'und') AS lang_pred
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, lang_pred FROM best WHERE rn = 1) b USING (doc_id)
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
 
 def q_lang_id(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
@@ -133,9 +175,51 @@ def q_lang_id(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# Document fingerprinting (rolling hash; rows-only — determinism
-# asserted in tests, not SQL-expressible)
+# Document fingerprinting with an exact SQL oracle: the polynomial
+# rolling hash h = H0·B^n + Σ bᵢ·B^(n-1-i) (mod 2^64) re-derived in
+# DuckDB — powers via a recursive CTE with HUGEINT mod-2^64 arithmetic,
+# per-byte terms via lateral range unnest (corpus is ASCII so
+# ord(char) == utf-8 byte), and the one variable×constant 64-bit
+# multiply (H0·B^n) split at 2^32 like flagship_oracle._s_mul.
 # --------------------------------------------------------------------------
+
+def _sql_fingerprint() -> str:
+    from osm2gtfs_ray.stages.text import Fingerprint
+
+    u64 = 1 << 64
+    h0 = int(Fingerprint.H0)
+    b = int(Fingerprint.B)
+    return f"""
+WITH RECURSIVE pw(k, v) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT k + 1, (v * {b}) % {u64} FROM pw
+    WHERE k < (SELECT MAX(length(text)) FROM documents)
+),
+byts AS (
+  SELECT d.doc_id, length(d.text) AS n, t.i,
+         ord(substr(d.text, CAST(t.i AS INT) + 1, 1)) AS b
+  FROM documents d, LATERAL (SELECT unnest(range(length(d.text))) AS i) t
+),
+terms AS (
+  SELECT doc_id, n, (CAST(b AS HUGEINT) * pw.v) % {u64} AS term
+  FROM byts JOIN pw ON pw.k = n - 1 - i
+),
+sums AS (
+  SELECT doc_id, n, SUM(term) AS s FROM terms GROUP BY 1, 2
+)
+SELECT d.doc_id,
+  CAST((COALESCE(s.s, 0)
+    + ((CAST(pn.v AS HUGEINT) // 4294967296 * {h0}) % 4294967296) * 4294967296
+    + (CAST(pn.v AS HUGEINT) % 4294967296) * {h0}) % {u64} AS UBIGINT) AS fp64
+FROM documents d
+LEFT JOIN sums s USING (doc_id)
+JOIN pw pn ON pn.k = length(d.text)
+"""
+
+
+SQL_FINGERPRINT = _sql_fingerprint()
+
 
 def q_fingerprint(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -116,3 +116,212 @@ def ivf_topk(embeddings_ds, query: np.ndarray, centroids: np.ndarray, k: int = 5
         batch_format="pyarrow",
     )
     return brute_topk(pruned, q, k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup over embeddings (the corpus-scale path
+# replacing the O(n²) all-pairs cosine scan in sim_queries.q_cosine_pairs)
+# ---------------------------------------------------------------------------
+
+RHP_SHARDS = 64
+
+
+def _rhp_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane matrix — same bits on every worker and
+    at every parallelism level (np.random.default_rng(seed) is
+    process-stable by construction)."""
+    return np.random.default_rng(seed).standard_normal((dim, n_bits))
+
+
+class RHPSignature:
+    """Actor/task stage: embedding → n_bits sign-bit signature packed
+    into one uint64 (n_bits ≤ 64). sign(v·h) depends only on v's
+    direction, so P[bit match] = 1 - θ/π (Charikar's SimHash for
+    cosine)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 32, seed: int = 42):
+        self.planes = _rhp_planes(dim, n_bits, seed)
+        self.n_bits = n_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = stack_embeddings(batch["embedding"])
+        bits = (emb @ self.planes) > 0  # (n, n_bits) bool
+        weights = (np.uint64(1) << np.arange(self.n_bits, dtype=np.uint64))
+        sig = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "sig": pa.array(sig, pa.uint64()),
+            }
+        )
+
+
+def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
+                        dim: int = 64, seed: int = 42):
+    """embeddings(vec_id, embedding) → distinct candidate pairs (a < b)
+    whose signatures collide in ≥1 band.
+
+    Same sharded-bucket design as dedup.lsh_candidate_pairs: rows
+    shuffle on band_hash % RHP_SHARDS (64 groups, vectorized pandas per
+    shard) — never one Python call per bucket."""
+    import pandas as pd
+
+    from osm2gtfs_ray.sources.pages import mix64
+
+    bits_per_band = n_bits // n_bands
+    band_mask = np.uint64((1 << bits_per_band) - 1)
+
+    sig_stage = RHPSignature(dim=dim, n_bits=n_bits, seed=seed)
+
+    def bands_with_shard(t: pa.Table) -> pa.Table:
+        s = sig_stage(t)
+        sig = s["sig"].to_numpy()
+        vid = s["vec_id"].to_numpy()
+        n = len(sig)
+        out_vid, out_band, out_hash = [], [], []
+        for b in range(n_bands):
+            seg = (sig >> np.uint64(b * bits_per_band)) & band_mask
+            out_vid.append(vid)
+            out_band.append(np.full(n, b, dtype=np.int64))
+            out_hash.append(mix64(seg ^ (np.uint64(b) << np.uint64(56))))
+        h = np.concatenate(out_hash)
+        return pa.table(
+            {
+                "band_id": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(h, pa.uint64()),
+                "vec_id": pa.array(np.concatenate(out_vid)),
+                "shard": pa.array((h % np.uint64(RHP_SHARDS)).astype(np.int64)),
+            }
+        )
+
+    bands = emb_ds.map_batches(bands_with_shard, batch_format="pyarrow")
+
+    def shard_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a, out_b = [], []
+        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(grp["vec_id"].to_numpy())
+            i, j = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "pair_shard": pd.Series([], dtype="int64"),
+                }
+            )
+        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        df = df.drop_duplicates()
+        df["pair_shard"] = (df["a"].to_numpy() % RHP_SHARDS).astype("int64")
+        return df
+
+    cand = bands.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+
+    def dedup_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g[["a", "b"]].drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+
+    return cand.groupby("pair_shard").map_groups(dedup_pairs, batch_format="pandas")
+
+
+def _pack_f64(mat: np.ndarray) -> pa.Array:
+    """(n, d) float64 → fixed_size_binary(d*8) column (Arrow acero joins
+    reject list<> payloads but carry fixed-width binary fine)."""
+    n, d = mat.shape
+    return pa.Array.from_buffers(
+        pa.binary(d * 8), n, [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
+    )
+
+
+def _unpack_f64(col, d: int) -> np.ndarray:
+    """fixed_size_binary(d*8) column → (n, d) float64, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    data = np.frombuffer(col.buffers()[1], np.float64)
+    start = col.offset * d
+    return data[start : start + len(col) * d].reshape(-1, d)
+
+
+def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
+                        num_partitions: int = 4):
+    """Exact cosine for each candidate pair, keeping sim ≥ tau.
+
+    FULLY DISTRIBUTED: the pair table hash-joins each side against the
+    (vec_id → packed normalized embedding) table — two shuffle joins,
+    no broadcast of the embedding matrix anywhere (the verify-stage
+    analogue of dedup.verify_jaccard\'s round-2 rewrite). Embeddings
+    travel as fixed_size_binary (acero join payloads reject list<>).
+
+    num_partitions sizes the hash shuffle: each join spawns that many
+    aggregator actors, so keep 2·num_partitions well under cluster
+    CPUs or the shuffle waits forever for actor slots (observed with
+    two 16-partition joins on a 4-CPU cluster). Scale it with the
+    cluster, not the data.
+    """
+    from osm2gtfs_ray.ops.joins import hash_join
+
+    def norm_table(t: pa.Table) -> pa.Table:
+        e = stack_embeddings(t["embedding"])
+        n = np.linalg.norm(e, axis=1)
+        n[n == 0] = 1.0
+        return pa.table(
+            {"vec_id": t["vec_id"], "nemb": _pack_f64(e / n[:, None])}
+        )
+
+    normed = emb_ds.map_batches(norm_table, batch_format="pyarrow")
+
+    a_side = normed.map_batches(
+        lambda t: t.rename_columns(["a", "nemb_a"]), batch_format="pyarrow"
+    )
+    b_side = normed.map_batches(
+        lambda t: t.rename_columns(["b", "nemb_b"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        hash_join(pairs_ds, a_side, "a", num_partitions=num_partitions),
+        b_side,
+        "b",
+        num_partitions=num_partitions,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        ea = _unpack_f64(t["nemb_a"], dim)
+        eb = _unpack_f64(t["nemb_b"], dim)
+        sim = (ea * eb).sum(axis=1)
+        keep = sim >= tau
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()).filter(pa.array(keep)),
+                "b": pc.cast(t["b"], pa.int64()).filter(pa.array(keep)),
+                "sim_e6": pa.array(
+                    np.rint(sim[keep] * 1e6).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
+                     n_bands: int = 8, dim: int = 64, seed: int = 42):
+    """Near-dup pairs by cosine ≥ tau via random-hyperplane LSH:
+    candidates from banded sign-bit collisions (sharded bucket
+    groupby), then distributed exact-cosine verification. Recall is
+    1-(1-p^r)^b with p = 1-θ/π (tested ≥0.9 at tau=0.7 vs the brute
+    scan); precision is exact — every emitted pair is verified.
+
+    ``emb_ds_factory`` is a zero-arg callable returning a fresh
+    embeddings Dataset (the table is read twice: once for signatures,
+    once for verification embeddings)."""
+    pairs = rhp_candidate_pairs(
+        emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
+    )
+    return verify_cosine_pairs(pairs, emb_ds_factory(), tau, dim=dim)

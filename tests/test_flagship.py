@@ -138,3 +138,36 @@ def test_flagship_fused_invariant_raises(ray_session):
     res = flagship.run_flagship_fused(ds, tiles, concurrency=1, batch_size=32)
     with _pytest.raises(Exception, match="invariant"):
         res["join_rows"].materialize()
+
+
+def test_flagship_fused_emit_assignments(ray_session):
+    """emit='assignments' (map-side combine inside the actor + driver
+    reduce of the tiny partials) must reproduce assignments_stage
+    exactly, and its tile_id='' groups must account for every unmatched
+    join row."""
+    import pyarrow.compute as pc
+
+    tiles = pg.make_tiles_table(40, seed=42)
+
+    base = flagship.run_flagship(
+        pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=8),
+        tiles, concurrency=1, batch_size=128,
+    )
+    want_asn = base["assignments"].to_pandas().sort_values(
+        ["entity_cell", "tile_id"]).reset_index(drop=True)
+    join = base["join_rows"].to_pandas()
+
+    res = flagship.run_flagship_fused(
+        pg.pages_dataset(N_PAGES, seed=42, override_num_blocks=8),
+        tiles, concurrency=2, batch_size=96, emit="assignments",
+    )
+    tbl = flagship.reduce_assignment_partials(res["partials"])
+    assert int(pc.sum(tbl["count"]).as_py()) == len(join)
+    matched = tbl.filter(pc.not_equal(tbl["tile_id"], "")).to_pandas()
+    got = matched.sort_values(["entity_cell", "tile_id"]).reset_index(drop=True)
+    assert len(got) == len(want_asn)
+    for col in ("entity_cell", "tile_id", "count"):
+        assert (
+            got[col].to_numpy().astype(want_asn[col].to_numpy().dtype)
+            == want_asn[col].to_numpy()
+        ).all(), col

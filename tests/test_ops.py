@@ -179,3 +179,56 @@ class TestANN:
         exact = ann_mod.brute_topk(ds, q, k=5).to_pandas()
         recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 5
         assert recall >= 0.6
+
+
+class TestCosineLSH:
+    def _emb(self, n=300, d=32, seed=3):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(n, d))
+        # plant near-dups: every 10th vector is a jittered copy of its
+        # predecessor (cosine well above 0.7)
+        for i in range(10, n, 10):
+            base[i] = base[i - 1] + rng.normal(size=d) * 0.05
+        return base
+
+    def _brute_pairs(self, emb, tau):
+        m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        s = m @ m.T
+        i, j = np.triu_indices(len(emb), k=1)
+        keep = s[i, j] >= tau
+        return {(int(a), int(b)) for a, b in zip(i[keep], j[keep])}
+
+    def test_lsh_recall_and_exact_precision(self, rd):
+        emb = self._emb()
+        ds_items = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))]
+
+        def factory():
+            return rd.from_items(ds_items)
+
+        got = ann_mod.cosine_lsh_pairs(factory, tau=0.7, dim=32).to_pandas()
+        got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+        want = self._brute_pairs(emb, 0.7)
+        assert want, "fixture must contain true near-dup pairs"
+        # precision is exact by construction (every pair verified)
+        assert got_pairs <= want
+        # banded sign-bit recall at tau=0.7
+        assert len(got_pairs & want) / len(want) >= 0.9
+        # reported sims match the brute values at e6 rounding
+        m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        for _, r in got.iterrows():
+            assert int(r["sim_e6"]) == int(np.rint(m[int(r["a"])] @ m[int(r["b"])] * 1e6))
+
+    def test_signatures_deterministic_across_batching(self, rd):
+        emb = self._emb(n=64)
+        sig_stage = ann_mod.RHPSignature(dim=32, n_bits=32, seed=42)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(64), pa.int64()),
+                "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            }
+        )
+        whole = sig_stage(t)["sig"].to_numpy()
+        parts = np.concatenate(
+            [sig_stage(t.slice(o, 16))["sig"].to_numpy() for o in range(0, 64, 16)]
+        )
+        assert (whole == parts).all()
