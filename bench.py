@@ -81,12 +81,21 @@ def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        init_kwargs = {}
+        objstore = os.environ.get("GRAFT_OBJSTORE_BYTES")
+        if objstore:
+            # multi-cluster scaling legs run several independent Ray
+            # instances at once — cap each plasma store so 4 stores
+            # don't oversubscribe /dev/shm (4 × default 30% of RAM
+            # exceeds the host's tmpfs)
+            init_kwargs["object_store_memory"] = int(objstore)
         ray.init(
             address="local",
             num_cpus=ncpu,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **init_kwargs,
         )
     from ray.data import DataContext
 
@@ -154,10 +163,14 @@ def run_bench() -> dict:
     # bench session samples the pipeline GRAFT_INPROC_REPEATS times and
     # reports the best — a per-leg noise rejector for --scaling pairs.
     inproc = int(os.environ.get("GRAFT_INPROC_REPEATS", "1"))
+    page_offset = int(os.environ.get("GRAFT_PAGE_OFFSET", "0"))
     best = None
     for _ in range(inproc):
         t0 = time.perf_counter()
-        pages = pgen.pages_dataset(n_pages, override_num_blocks=n_blocks)
+        wall0 = time.time()
+        pages = pgen.pages_dataset(
+            n_pages, override_num_blocks=n_blocks, offset=page_offset
+        )
         if fused:
             # single fused actor pool (extract→explode→geocode→join→
             # partial-count per batch): wide text columns AND join rows
@@ -190,6 +203,8 @@ def run_bench() -> dict:
         cand = {
             "n_pages": n_pages,
             "join_rows": join_rows,
+            "t_start": wall0,
+            "t_end": wall0 + t_join,
             "join_sec": round(t_join, 3),
             "pages_per_sec": round(n_pages / t_join, 1),
             "join_rows_per_sec": round(join_rows / t_join, 1),
@@ -222,6 +237,46 @@ def run_bench() -> dict:
         "sf": sf,
         "num_cpus": ncpu,
     }
+
+
+def _udf_kernel_work(args):
+    """Multiprocessing worker: run the ACTUAL fused flagship kernel
+    (generate → extract → geocode → PIP/kNN join → partial counts) over
+    `n_batches` 4096-page batches, no Ray involved."""
+    n_batches, offset = args
+    import numpy as np
+
+    sys.path.insert(0, REPO)
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.pipelines.flagship import FusedExtractJoin
+
+    tiles = pg.make_tiles_table(64, seed=42)
+    fj = FusedExtractJoin(tiles=tiles, emit="assignments")
+    fj(pg.make_pages_for_ids(np.arange(512, dtype=np.uint64), 42))  # warm
+    t0 = time.perf_counter()
+    for b in range(n_batches):
+        ids = np.arange(4096, dtype=np.uint64) + np.uint64(offset + b * 4096)
+        fj(pg.make_pages_for_ids(ids, 42))
+    return time.perf_counter() - t0
+
+
+def _udf_kernel_scaling(levels=(3, 12, 24), n_batches: int = 30) -> dict:
+    """Engine-kernel scaling WITHOUT Ray: the exact per-batch flagship
+    computation via a bare multiprocessing pool. Shows what the kernels
+    themselves do as workers are added on this host — isolating Ray
+    runtime / shared-object-store effects from the computation."""
+    import multiprocessing as mp
+
+    out = {}
+    for nproc in levels:
+        with mp.Pool(nproc) as p:
+            durs = p.map(
+                _udf_kernel_work,
+                [(n_batches, i * n_batches * 4096) for i in range(nproc)],
+            )
+        pages = nproc * n_batches * 4096
+        out[str(nproc)] = round(pages / max(durs), 1)  # aggregate pages/s at full overlap
+    return out
 
 
 def _cpu_burn(n_iter: int):
@@ -293,8 +348,97 @@ def run_scaling() -> dict:
         "n_pairs": repeats,
         "pairings": {},
     }
+
+    # ---- multi-cluster pairing: N nodes vs 4N nodes (OFF by default) ---
+    # Tempting sandbox model of "N vs 4N Ray nodes": each "node" an
+    # INDEPENDENT Ray cluster (own raylet + object store) over a
+    # disjoint slice of one corpus. MEASURED UNUSABLE on one host: four
+    # co-located Ray control planes (4×{gcs, raylet, workers} ≈ 150
+    # processes, thousands of gRPC/io threads) contend on one kernel —
+    # per-node wall time degrades 3-4× vs the same node standalone,
+    # an artifact real separate machines don't have. Kept behind
+    # GRAFT_SCALING_CLUSTERS="cpus:nodes:per_node_pages" for reference.
+    cspec = os.environ.get("GRAFT_SCALING_CLUSTERS", "")
+    if cspec:
+        cpus_per_node, hi_nodes, per_node = (int(x) for x in cspec.split(":"))
+
+        def cluster_leg(nodes: int) -> dict:
+            # WEAK scaling: constant per-node input (the 100 TB regime —
+            # every node owns a fixed corpus shard). Each node is an
+            # independent Ray instance with a capped object store so
+            # `nodes` plasma tmpfs reservations fit the host.
+            procs = []
+            for i in range(nodes):
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(cpus_per_node),
+                    GRAFT_PAGES=str(per_node),
+                    GRAFT_PAGE_OFFSET=str(i * per_node),
+                    GRAFT_BENCH_MODE="flagship",
+                    GRAFT_INPROC_REPEATS="1",
+                    GRAFT_OBJSTORE_BYTES=str(4_000_000_000),
+                )
+                procs.append(
+                    subprocess.Popen(
+                        [sys.executable, os.path.join(REPO, "bench.py")],
+                        env=env,
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.DEVNULL,
+                        text=True,
+                    )
+                )
+            outs = []
+            for p in procs:
+                stdout, _ = p.communicate()
+                assert p.returncode == 0, "cluster-leg node failed"
+                outs.append(json.loads(stdout.strip().splitlines()[-1])["flagship"])
+            span = max(o["t_end"] for o in outs) - min(o["t_start"] for o in outs)
+            total = per_node * nodes
+            return {
+                "nodes": nodes,
+                "join_rows": sum(o["join_rows"] for o in outs),
+                "join_rows_node0": outs[0]["join_rows"],
+                "span_sec": round(span, 3),
+                "pages_per_sec": round(total / span, 1),
+                "join_rows_per_sec": round(sum(o["join_rows"] for o in outs) / span, 1),
+                "per_node_join_sec": [o["join_sec"] for o in outs],
+            }
+
+        cpairs = []
+        for _ in range(repeats):
+            leg1, leg4 = cluster_leg(1), cluster_leg(hi_nodes)
+            # determinism: node 0 of the big leg processes exactly the
+            # 1-node leg's page range — outputs must be identical
+            assert leg1["join_rows"] == leg4["join_rows_node0"], "nondeterministic node output"
+            cpairs.append((leg1, leg4))
+        ceffs = sorted(
+            (p[1]["join_rows_per_sec"] / p[0]["join_rows_per_sec"]) / hi_nodes
+            for p in cpairs
+        )
+        cmed = ceffs[len(ceffs) // 2] if len(ceffs) % 2 else sum(ceffs[len(ceffs) // 2 - 1 : len(ceffs) // 2 + 1]) / 2
+        b1, b4 = max(cpairs, key=lambda p: p[1]["join_rows_per_sec"] / p[0]["join_rows_per_sec"])
+        out["pairings"][f"nodes_1x{cpus_per_node}_to_{hi_nodes}x{cpus_per_node}"] = {
+            "model": (
+                "weak scaling over independent Ray clusters (own raylet+plasma "
+                "per node; constant per-node input, disjoint id ranges of one corpus)"
+            ),
+            "per_node_pages": per_node,
+            "sec_1node": b1["span_sec"],
+            f"sec_{hi_nodes}node": b4["span_sec"],
+            "join_rows_per_sec_1node": b1["join_rows_per_sec"],
+            f"join_rows_per_sec_{hi_nodes}node": b4["join_rows_per_sec"],
+            "best_join_rows_per_sec_1node": max(p[0]["join_rows_per_sec"] for p in cpairs),
+            f"best_join_rows_per_sec_{hi_nodes}node": max(p[1]["join_rows_per_sec"] for p in cpairs),
+            "efficiency_median": round(cmed, 3),
+            "efficiency_best": round(ceffs[-1], 3),
+            "efficiency_best_legs": round(
+                (max(p[1]["join_rows_per_sec"] for p in cpairs)
+                 / max(p[0]["join_rows_per_sec"] for p in cpairs)) / hi_nodes, 3),
+            "efficiency_all": [round(e, 3) for e in ceffs],
+            f"per_node_join_sec_{hi_nodes}node": b4["per_node_join_sec"],
+        }
     burn_levels = set()
-    for spec in levels.split(","):
+    for spec in (s for s in levels.split(",") if s.strip()):
         lo, hi, pages = (int(x) for x in spec.split(":"))
         burn_levels.update((lo, hi))
         pairs = []
@@ -330,7 +474,18 @@ def run_scaling() -> dict:
 
     cycles = {n: _delivered_cycles(n) for n in sorted(burn_levels)}
     out["host_delivered_cycles"] = {str(n): round(c, 2) for n, c in cycles.items()}
+    # engine-kernel scaling with NO Ray (worker counts = the actor-pool
+    # sizes of the 4/16/32-CPU legs): isolates the computation's own
+    # scalability from single-host Ray-runtime effects
+    k = _udf_kernel_scaling()
+    out["udf_kernel_pages_per_sec"] = k
+    if "3" in k and "12" in k:
+        out["udf_kernel_efficiency_3_to_12"] = round(k["12"] / k["3"] / 4, 3)
+    if "3" in k and "24" in k:
+        out["udf_kernel_efficiency_3_to_24"] = round(k["24"] / k["3"] / 8, 3)
     for key, p in out["pairings"].items():
+        if key.startswith("nodes_"):
+            continue  # multi-cluster pairing needs no cycle normalization
         lo, hi = (int(x) for x in key.split("to"))
         cyc_ratio = cycles[hi] / cycles[lo]
         p["host_cycle_scaling"] = round(cyc_ratio, 3)

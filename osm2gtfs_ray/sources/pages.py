@@ -289,13 +289,19 @@ def make_entities_batch(start: int, count: int, seed: int = 42) -> pa.Table:
     )
 
 
-def pages_dataset(n: int, seed: int = 42, override_num_blocks: int | None = None):
+def pages_dataset(n: int, seed: int = 42, override_num_blocks: int | None = None,
+                  offset: int = 0):
     """Streaming synthetic pages Dataset — generation itself is a
-    map_batches over a range, so it scales out like a read."""
+    map_batches over a range, so it scales out like a read. ``offset``
+    shifts the id range to [offset, offset+n): a page's content depends
+    only on its id, so disjoint offsets partition one corpus exactly
+    (the multi-cluster scaling harness splits the input this way)."""
     import ray.data
 
+    off = np.uint64(offset)
+
     def gen(batch: pa.Table) -> pa.Table:
-        return make_pages_for_ids(batch["id"].to_numpy(), seed)
+        return make_pages_for_ids(batch["id"].to_numpy().astype(np.uint64) + off, seed)
 
     base = ray.data.range(n, override_num_blocks=override_num_blocks)
     return base.map_batches(gen, batch_format="pyarrow", batch_size=4096)
