@@ -260,7 +260,7 @@ def _udf_kernel_work(args):
     return time.perf_counter() - t0
 
 
-def _udf_kernel_scaling(levels=(3, 12, 24), n_batches: int = 30) -> dict:
+def _udf_kernel_scaling(levels=(3, 6, 12, 24), n_batches: int = 30) -> dict:
     """Engine-kernel scaling WITHOUT Ray: the exact per-batch flagship
     computation via a bare multiprocessing pool. Shows what the kernels
     themselves do as workers are added on this host — isolating Ray
@@ -324,7 +324,10 @@ def run_scaling() -> dict:
       The burn is measured in-session and reported alongside, with the
       cycle-normalized efficiency (speedup ÷ delivered-cycle ratio)."""
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
-    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4:16:1500000,8:32:3000000")
+    # leg sizes chosen so the hi leg runs >= ~15 s: fixed costs (actor
+    # pool startup, pipeline submit) amortize and single-sample host
+    # noise (±30% on this shared box) averages down
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4:16:3000000,8:32:6000000")
 
     def one_leg(ncpu: int, pages: int) -> dict:
         env = dict(
@@ -492,6 +495,27 @@ def run_scaling() -> dict:
         p["cycle_normalized_efficiency_median"] = round(
             p["efficiency_median"] * (hi / lo) / cyc_ratio, 3
         )
+        # hardware ceiling at MATCHED worker counts: the Ray legs run
+        # actor pools of 3/4·ncpu workers, so compare against the bare
+        # multiprocessing kernel at those same worker counts. On one
+        # host, shared memory bandwidth caps even the no-Ray kernel
+        # below 4.0x (a real 4N-node cluster adds private bandwidth
+        # per node); kernel_normalized divides that artifact out.
+        klo, khi = str(max(1, lo * 3 // 4)), str(max(1, hi * 3 // 4))
+        if klo in k and khi in k:
+            kern_eff = (k[khi] / k[klo]) / (hi / lo)
+            p["kernel_efficiency_same_workers"] = round(kern_eff, 3)
+            p["kernel_normalized_efficiency_median"] = round(
+                p["efficiency_median"] / kern_eff, 3
+            )
+            # Ray hi-leg absolute throughput as a fraction of the bare
+            # kernel at the same worker count (>=0.9 means the Ray
+            # stage overhead is <=10% of pure compute)
+            p["ray_over_kernel_hi_leg"] = round(
+                p[f"best_join_rows_per_sec_{hi}"]
+                / (k[khi] * p["join_rows"] / p["n_pages"]),
+                3,
+            )
 
     primary = out["pairings"][next(iter(out["pairings"]))]
     out["scaling_efficiency"] = primary["efficiency_median"]

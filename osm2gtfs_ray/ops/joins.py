@@ -35,12 +35,14 @@ def _as_arrow(small) -> pa.Table:
     if isinstance(small, pd.DataFrame):
         return pa.Table.from_pandas(small, preserve_index=False)
     if isinstance(small, ray.data.Dataset):
-        # caller asserts this side is small
-        tables = [
-            t if isinstance(t, pa.Table) else pa.Table.from_pandas(t, preserve_index=False)
-            for t in ray.get(small.to_arrow_refs())
-        ]
+        # caller asserts this side is small. iter_batches, not
+        # to_arrow_refs: the latter re-executes the upstream plan with
+        # limit=1 just to fetch the schema (see
+        # flagship.reduce_assignment_partials).
+        tables = list(small.iter_batches(batch_size=None, batch_format="pyarrow"))
         tables = [t for t in tables if t.num_rows > 0] or tables[:1]
+        if not tables:  # fully-empty dataset: schema via the (cached) plan
+            return pa.Table.from_pylist([], schema=small.schema().base_schema)
         return pa.concat_tables(tables, promote_options="default")
     raise TypeError(type(small))
 

@@ -232,10 +232,20 @@ def reduce_assignment_partials(partials_ds) -> pa.Table:
     group_by beats a distributed sort-shuffle by seconds of fixed
     latency. Returns (entity_cell, tile_id, count) with tile_id='' rows
     carrying the unmatched join-row count; at a group cardinality where
-    this wouldn't fit one process, use assignments_stage instead."""
-    import ray
+    this wouldn't fit one process, use assignments_stage instead.
 
-    tables = [ray.get(r) for r in partials_ds.to_arrow_refs()]
+    Consumes via iter_batches, NOT to_arrow_refs: to_arrow_refs calls
+    Dataset.schema(fetch_if_missing=True) after the streaming pass,
+    which for a non-materialized pipeline launches a second limit-1
+    execution of the whole upstream DAG (measured ~5 s — a fixed cost
+    that lands on every leg of the scaling bench)."""
+    tables = list(partials_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not tables:
+        return pa.table(
+            {"entity_cell": pa.array([], pa.uint64()),
+             "tile_id": pa.array([], pa.string()),
+             "count": pa.array([], pa.int64())}
+        )
     t = pa.concat_tables([t for t in tables if t.num_rows] or tables)
     g = t.group_by(["entity_cell", "tile_id"]).aggregate([("partial", "sum")])
     return g.rename_columns(["entity_cell", "tile_id", "count"])
