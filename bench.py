@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "cosine_lsh",
     "media_decode",
     "sessionize",
+    "dup_components",
 ]
 
 
@@ -327,7 +328,7 @@ def run_scaling() -> dict:
     # leg sizes chosen so the hi leg runs >= ~15 s: fixed costs (actor
     # pool startup, pipeline submit) amortize and single-sample host
     # noise (±30% on this shared box) averages down
-    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4:16:3000000,8:32:6000000")
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4:16:5000000,8:32:6000000")
 
     def one_leg(ncpu: int, pages: int) -> dict:
         env = dict(
