@@ -134,16 +134,32 @@ def q_simhash(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_cosine_lsh(sf_dir: str):
-    """tau=0.4 with 10 bands × 3 bits: hyperplane collision p=0.631 at
-    θ(0.4), band recall 1-(1-p³)^10 ≈ 0.94 — sized so the driver check
-    covers the ~59 true pairs the sf0.01 embeddings contain (max
-    pairwise cosine there is 0.51; at corpus scale near-dup thresholds
-    are 0.7+ where the buckets are far more selective)."""
+    """LSH band width sized to the corpus — the parameter that decides
+    whether banded LSH survives scale. Expected candidate volume is
+    ~n²/2 · b · E[p_rand^r] with p_rand ≈ 0.5 for unrelated vectors, so
+    bits-per-band r must grow with log2(n) to keep buckets selective:
+
+    - n ≤ 20k (sf ≤ 0.01 driver check): tau=0.4, 10 bands × 3 bits —
+      collision p=0.631 at θ(0.4), recall 1-(1-p³)^10 ≈ 0.94, sized so
+      the check covers the ~59 true pairs sf0.01 contains (max pairwise
+      cosine there is 0.51). 3-bit bands are affordable ONLY at this n
+      (8 buckets/band ⇒ ~n²/16 candidates per band).
+    - n > 20k: production near-dup point tau=0.7, 5 bands × 12 bits —
+      4096 buckets/band caps random collisions at ~0.5¹²·n²/2·5
+      (≈1.4M candidates at n=50k vs ~1.5B with 3-bit bands, measured
+      131 s → seconds). Recall concentrates where near-dups live:
+      ≈0.6 at cos 0.9, ≈0.8 at 0.95; raise n_bands to buy recall at
+      linear candidate cost. sig packs into one uint64, so r·b ≤ 64.
+    """
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = emb.count()  # parquet metadata — no scan
 
     def factory():
         return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    return ann_mod.cosine_lsh_pairs(factory, tau=0.4, n_bits=30, n_bands=10)
+    if n <= 20_000:
+        return ann_mod.cosine_lsh_pairs(factory, tau=0.4, n_bits=30, n_bands=10)
+    return ann_mod.cosine_lsh_pairs(factory, tau=0.7, n_bits=60, n_bands=5)
 
 
 # --------------------------------------------------------------------------

@@ -244,21 +244,31 @@ def _unpack_f64(col, d: int) -> np.ndarray:
 
 
 def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
-                        num_partitions: int = 4):
+                        num_partitions: int = 4,
+                        broadcast_threshold: int = 500_000):
     """Exact cosine for each candidate pair, keeping sim ≥ tau.
 
-    FULLY DISTRIBUTED: the pair table hash-joins each side against the
-    (vec_id → packed normalized embedding) table — two shuffle joins,
-    no broadcast of the embedding matrix anywhere (the verify-stage
-    analogue of dedup.verify_jaccard\'s round-2 rewrite). Embeddings
-    travel as fixed_size_binary (acero join payloads reject list<>).
+    Two execution shapes, picked by the size of the EMBEDDING side
+    (pairs always stream):
 
-    num_partitions sizes the hash shuffle: each join spawns that many
-    aggregator actors, so keep 2·num_partitions well under cluster
-    CPUs or the shuffle waits forever for actor slots (observed with
-    two 16-partition joins on a 4-CPU cluster). Scale it with the
-    cluster, not the data.
+    - ≤ broadcast_threshold vectors: ray.put the normalized matrix
+      ONCE and gather both sides per pair batch (vectorized take +
+      row-wise dot). 500k × 64 f32 ≈ 128 MB — comfortably one object;
+      this is the repo's standard broadcast-small-side rule and avoids
+      two actor-pool shuffle joins whose fixed cost (~2×40 s observed)
+      dwarfs the work at fixture scale.
+    - larger: FULLY DISTRIBUTED — the pair table hash-joins each side
+      against the (vec_id → packed normalized embedding) table, two
+      shuffle joins, no corpus-sized broadcast (the verify-stage
+      analogue of dedup.verify_jaccard's round-2 rewrite). Embeddings
+      travel as fixed_size_binary (acero join payloads reject list<>).
+      num_partitions sizes that hash shuffle: each join spawns that
+      many aggregator actors, so keep 2·num_partitions well under
+      cluster CPUs (observed deadlock-slow with two 16-partition joins
+      on a 4-CPU cluster). Scale it with the cluster, not the data.
     """
+    import ray
+
     from osm2gtfs_ray.ops.joins import hash_join
 
     def norm_table(t: pa.Table) -> pa.Table:
@@ -270,6 +280,37 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
         )
 
     normed = emb_ds.map_batches(norm_table, batch_format="pyarrow")
+
+    if emb_ds.count() <= broadcast_threshold:
+        ids_l, mats = [], []
+        for t in normed.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if t.num_rows:
+                ids_l.append(pc.cast(t["vec_id"], pa.int64()).to_numpy())
+                mats.append(_unpack_f64(t["nemb"], dim))
+        ids = np.concatenate(ids_l) if ids_l else np.array([], dtype=np.int64)
+        mat = np.vstack(mats) if mats else np.zeros((0, dim))
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], mat[order]))
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            sids, smat = ray.get(ref)  # zero-copy plasma view per task
+            a = pc.cast(t["a"], pa.int64()).to_numpy()
+            b = pc.cast(t["b"], pa.int64()).to_numpy()
+            ea = smat[np.searchsorted(sids, a)]
+            eb = smat[np.searchsorted(sids, b)]
+            sim = (ea * eb).sum(axis=1)
+            keep = sim >= tau
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "sim_e6": pa.array(
+                        np.rint(sim[keep] * 1e6).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return pairs_ds.map_batches(score_broadcast, batch_format="pyarrow")
 
     a_side = normed.map_batches(
         lambda t: t.rename_columns(["a", "nemb_a"]), batch_format="pyarrow"

@@ -218,6 +218,34 @@ class TestCosineLSH:
         for _, r in got.iterrows():
             assert int(r["sim_e6"]) == int(np.rint(m[int(r["a"])] @ m[int(r["b"])] * 1e6))
 
+    def test_verify_distributed_matches_broadcast(self, rd):
+        """The >threshold hash-join verify path must agree with the
+        broadcast path bit-for-bit (same pairs, same sim_e6)."""
+        emb = self._emb(n=80)
+        items = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))]
+        want = sorted(self._brute_pairs(emb, 0.7))
+        pairs = pa.table(
+            {
+                "a": pa.array([p[0] for p in want], pa.int64()),
+                "b": pa.array([p[1] for p in want], pa.int64()),
+            }
+        )
+
+        def run(threshold):
+            out = ann_mod.verify_cosine_pairs(
+                rd.from_arrow(pairs),
+                rd.from_items(items),
+                0.7,
+                dim=32,
+                num_partitions=2,
+                broadcast_threshold=threshold,
+            ).to_pandas()
+            return sorted(map(tuple, out[["a", "b", "sim_e6"]].to_numpy().tolist()))
+
+        bcast, dist = run(10_000), run(0)
+        assert bcast == dist
+        assert {(a, b) for a, b, _ in bcast} == set(want)
+
     def test_signatures_deterministic_across_batching(self, rd):
         emb = self._emb(n=64)
         sig_stage = ann_mod.RHPSignature(dim=32, n_bits=32, seed=42)
