@@ -63,11 +63,13 @@ def connected_components(
 ):
     """pairs(a: int64, b: int64) → (node, component) with component =
     min node id of the component. Deterministic."""
-    edges = pairs_ds.materialize()  # static; reused every round
+    edges = pairs_ds.materialize()  # static; reused every round AND by
+    # _initial_labels — deriving labels from the un-materialized input
+    # would re-execute the caller's whole edge-producing DAG a 2nd time
     if num_partitions is None:
         num_partitions = max(8, min(256, edges.num_blocks()))
     labels = (
-        _initial_labels(pairs_ds).repartition(num_partitions).materialize()
+        _initial_labels(edges).repartition(num_partitions).materialize()
     )
     if broadcast is None:
         broadcast = labels.count() <= BROADCAST_LABEL_ROWS

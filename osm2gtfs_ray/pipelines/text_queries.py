@@ -261,7 +261,13 @@ def q_dup_components(sf_dir: str):
             }
         )
 
-    base = docs.map_batches(with_ntok, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: base feeds four consumers (two groupbys + two join
+    # big sides); un-materialized each would re-run the read+tokenize.
+    # Blocks stay distributed in the object store (spillable) — this is
+    # block reuse, not a driver collect.
+    base = docs.map_batches(
+        with_ntok, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     text_roots = base.groupby("text").aggregate(Min("doc_id", alias_name="b"))
     e1 = broadcast_join(
         base.select_columns(["doc_id", "text"]), text_roots, keys="text"
