@@ -190,12 +190,79 @@ def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingl
     return cand.groupby("pair_shard").map_groups(dedup_pairs, batch_format="pandas")
 
 
+# candidate-pair sets at or below this size verify via the broadcast
+# plan (endpoint sigs ride the object store once); larger sets take the
+# two-shuffle distributed plan. Mirrors ops/components.BROADCAST_LABEL_ROWS
+# and the size-aware cosine_lsh verify — the broadcast side here is the
+# CANDIDATE ENDPOINTS only (bounded by 2x this), never the corpus.
+BROADCAST_VERIFY_PAIRS = 65_536
+
+
+def _verify_jaccard_broadcast(pairs, cand_docs, n_shingle: int, threshold: float):
+    """Small-pair-set plan: one pass computes endpoint sigs (candidate
+    docs only — already semi-filtered), the sig table rides the object
+    store, and a single shuffle-free map over the pairs emits exact
+    Jaccard. Two executions total vs the distributed plan's four."""
+    import ray
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+
+    def sig_tbl(t: pa.Table) -> pa.Table:
+        sigs = [shingle_hashes(x, n_shingle).tobytes() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+    st = _as_arrow(cand_docs.map_batches(sig_tbl, batch_format="pyarrow"))
+    st = st.combine_chunks()
+    ids = st["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    st = st.take(pa.array(order))
+    ref = ray.put(st)
+
+    def verify_batch(t: pa.Table, _ref=ref) -> pa.Table:
+        lookup = ray.get(_ref)
+        nid = lookup["doc_id"].to_numpy()
+        sigs = lookup["sig"].to_pylist()
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        pa_idx = np.searchsorted(nid, a)
+        pb_idx = np.searchsorted(nid, b)
+        out_a, out_b, out_j = [], [], []
+        for k in range(len(a)):
+            sa = np.frombuffer(sigs[pa_idx[k]] or b"", dtype=np.uint64)
+            sb = np.frombuffer(sigs[pb_idx[k]] or b"", dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / (union or 1)
+            if j >= threshold:
+                out_a.append(int(a[k]))
+                out_b.append(int(b[k]))
+                out_j.append(int(round(j * 1e6)))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard_e6": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify_batch, batch_format="pyarrow")
+
+
 def verify_jaccard(pairs_ds, docs, n_shingle: int = 3, threshold: float = 0.5,
-                   n_shards: int = N_SHARDS):
+                   n_shards: int = N_SHARDS, broadcast: bool | None = None):
     """Exact shingle-set Jaccard for each candidate pair; keeps pairs
     ≥ threshold.
 
-    FULLY DISTRIBUTED (round-2 rewrite — no whole-corpus broadcast):
+    Size-aware: pair sets ≤ BROADCAST_VERIFY_PAIRS verify via
+    `_verify_jaccard_broadcast` (endpoint sigs in one object store
+    entry, no shuffle); larger sets take the distributed plan below.
+
+    FULLY DISTRIBUTED plan (round-2 rewrite — no whole-corpus broadcast):
 
     1. candidate doc ids = distinct endpoints of the pair set (a slim
        uint64 set; broadcast as an ``is_in`` filter — at 10^9+
@@ -231,6 +298,11 @@ def verify_jaccard(pairs_ds, docs, n_shingle: int = 3, threshold: float = 0.5,
 
     flat_ids = pairs.map_batches(_flat, batch_format="pyarrow")
     cand_docs = broadcast_semi(docs_ds, flat_ids, "doc_id")
+
+    if broadcast is None:
+        broadcast = pairs.count() <= BROADCAST_VERIFY_PAIRS
+    if broadcast:
+        return _verify_jaccard_broadcast(pairs, cand_docs, n_shingle, threshold)
 
     def sig_rows(t: pa.Table) -> pd.DataFrame:
         ids = t["doc_id"].to_numpy()

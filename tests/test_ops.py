@@ -124,6 +124,12 @@ class TestMinHash:
             }
         )
         verified = verify_jaccard(cand, tbl, threshold=0.5).to_pandas()
+        # the distributed (shuffle) plan must produce the identical pair set
+        dist = verify_jaccard(cand, tbl, threshold=0.5, broadcast=False).to_pandas()
+        key = ["a", "b", "jaccard_e6"]
+        assert sorted(map(tuple, verified[key].values.tolist())) == sorted(
+            map(tuple, dist[key].values.tolist())
+        )
         got_pairs = set(zip(verified["a"], verified["b"]))
         # every planted near-dup pair with true jaccard >= .5 is found
         want = {
