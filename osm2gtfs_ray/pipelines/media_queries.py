@@ -28,9 +28,13 @@ def q_media_decode(sf_dir: str):
     def synth(t: pa.Table) -> pa.Table:
         return synthesize_media_for_ids(t["doc_id"].to_numpy().astype(np.uint64))
 
-    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=256)
+    # batch sizes are payload-aware: these synthetic rasters are ≤64×64
+    # (~12 KB encoded), so hundreds fit a batch; production-sized media
+    # (multi-MB) would drop batch_size back to O(16-64) to bound actor
+    # heap at batch_size × concurrency × payload.
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=2048)
     decoded = media.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
     )
 
     def proj(t: pa.Table) -> pa.Table:

@@ -163,9 +163,26 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_lang_id(sf_dir: str):
+    from ray.data.aggregate import Sum
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    pred = docs.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
-    agg = pred.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+    # stateless task (not an actor pool): LangId's derived state is a
+    # compiled regex + 5 tiny stopword sets — rebuild cost is nil, so
+    # pool startup would be pure overhead at any scale
+    lid = LangId()
+
+    def pred_counts(df):
+        out = lid(df)
+        # map-side combine: the confusion matrix has ≤ |langs|² cells,
+        # so per-batch partial counts shrink the shuffle to O(batches)
+        return (
+            out.groupby(["lang", "lang_pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = docs.map_batches(pred_counts, batch_format="pandas")
+    agg = parts.groupby(["lang", "lang_pred"]).aggregate(Sum("n", alias_name="n"))
     return agg.map_batches(
         lambda t: pa.table(
             {"lang": t["lang"], "lang_pred": t["lang_pred"], "n": pc.cast(t["n"], pa.int64())}

@@ -51,15 +51,16 @@ class CosineTopK:
 
 
 def brute_topk(embeddings_ds, query: np.ndarray, k: int = 5):
-    """Exact cosine top-k: local top-k per batch + tiny global sort."""
-    import ray
+    """Exact cosine top-k: local top-k per batch + tiny global sort.
 
-    qref = ray.put(np.asarray(query, dtype=np.float64))
+    Task mode (instance in the closure), not an actor pool: the state
+    is one d-vector, so per-task deserialization is nil and pool
+    startup would dominate. A BATCH of query vectors (the real ANN
+    serving shape) would flip this to an actor pool with the query
+    matrix broadcast via ray.put — that is the documented scale path."""
     parts = embeddings_ds.map_batches(
-        CosineTopK,
+        CosineTopK(query=query, k=k),
         batch_format="pyarrow",
-        fn_constructor_kwargs={"query_ref": qref, "k": k},
-        concurrency=(1, 4),
         zero_copy_batch=True,
     )
     return parts.sort(["sim_e6", "vec_id"], descending=[True, False]).limit(k)
@@ -90,9 +91,21 @@ class IVFIndexStage:
 
 def make_centroids(embeddings_ds, n_centroids: int = 16, sample: int = 4096) -> np.ndarray:
     """Deterministic centroids: first-N distinct sampled vectors by
-    vec_id order (stable across partitioning)."""
-    head = embeddings_ds.sort("vec_id").limit(n_centroids).to_pandas()
-    return np.array(head["embedding"].tolist(), dtype=np.float64)
+    vec_id order (stable across partitioning).
+
+    No global sort: each batch keeps its local N smallest vec_ids
+    (a per-block combiner), and the tiny union (N × n_blocks rows)
+    merges driver-side — same result as sort().limit(N) without the
+    all-to-all range exchange."""
+    def local_head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])[:n_centroids]
+        return t.take(idx)
+
+    parts = embeddings_ds.map_batches(
+        local_head, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    rows = sorted(parts, key=lambda r: r["vec_id"])[:n_centroids]
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
 
 
 def ivf_topk(embeddings_ds, query: np.ndarray, centroids: np.ndarray, k: int = 5, n_probe: int = 4):
@@ -102,12 +115,14 @@ def ivf_topk(embeddings_ds, query: np.ndarray, centroids: np.ndarray, k: int = 5
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     q = np.asarray(query, dtype=np.float64)
     probe = np.argsort(-(c @ (q / np.linalg.norm(q))))[:n_probe]
-    cref = ray.put(centroids)
+    # task mode: the coarse-centroid matrix is n_centroids × d floats
+    # (KBs) — closure shipping is cheaper than actor-pool startup. A
+    # production IVF index (10^5+ centroids + PQ codebooks) would use
+    # the actor-pool + ray.put(centroids_ref) constructor this class
+    # also supports.
     indexed = embeddings_ds.map_batches(
-        IVFIndexStage,
+        IVFIndexStage(centroids=centroids),
         batch_format="pyarrow",
-        fn_constructor_kwargs={"centroids_ref": cref},
-        concurrency=(1, 4),
         zero_copy_batch=True,
     )
     probe_set = pa.array(probe.astype(np.int64))
