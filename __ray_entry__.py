@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": sq.q_ann_topk,
         "cosine_pairs": sq.q_cosine_pairs,
         "minhash_pairs": sq.q_minhash_pairs,
+        "ngram_jaccard": sq.q_ngram_jaccard,
         "simhash": sq.q_simhash,
         "ann_ivf": sq.q_ann_ivf,
         "cosine_lsh": sq.q_cosine_lsh,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": sq.SQL_ANN_TOPK,
         "ann_ivf": sq.SQL_ANN_IVF,
         "cosine_pairs": sq.SQL_COSINE_PAIRS,
+        "ngram_jaccard": sq.SQL_NGRAM_JACCARD,
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,
         "top_orders": q.SQL_TOP_ORDERS,

@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "ann_topk",
     "minhash_pairs",
+    "ngram_jaccard",
     "simhash",
     "props_extract",
     "lang_id",

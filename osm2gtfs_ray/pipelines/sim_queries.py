@@ -10,7 +10,12 @@ import pyarrow.parquet as pq
 
 from osm2gtfs_ray.sources.tables import read_table, table_path
 from osm2gtfs_ray.stages import ann as ann_mod
-from osm2gtfs_ray.stages.dedup import SimHasher, lsh_candidate_pairs, verify_jaccard
+from osm2gtfs_ray.stages.dedup import (
+    SimHasher,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    verify_jaccard,
+)
 
 
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
@@ -114,6 +119,48 @@ def q_minhash_pairs(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = lsh_candidate_pairs(docs, num_perm=64, n_bands=16, n_shingle=3)
     return verify_jaccard(cand, docs, n_shingle=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (SQL-oracled: string-keyed shingles are
+# collision-free, so DuckDB's inverted-index self-join reproduces the
+# two-shuffle Ray plan bit-for-bit)
+# --------------------------------------------------------------------------
+
+def q_ngram_jaccard(sf_dir: str):
+    """All doc pairs with word-3-gram Jaccard ≥ 0.5 — the exact
+    inverted-index plan (vs minhash_pairs' LSH approximation of the
+    same similarity)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM ws WHERE len(w) >= 3
+),
+gr AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM idx
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) BETWEEN 1 AND 2
+),
+sh AS (SELECT DISTINCT doc_id, g FROM gr),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST((i.c * 1000000) // (sa.n + sb.n - i.c) AS BIGINT) AS jaccard_e6
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE (i.c * 1000000) // (sa.n + sb.n - i.c) >= 500000
+ORDER BY a, b
+"""
 
 
 # --------------------------------------------------------------------------

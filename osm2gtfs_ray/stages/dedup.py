@@ -379,6 +379,113 @@ def verify_jaccard(pairs_ds, docs, n_shingle: int = 3, threshold: float = 0.5,
     return attached.groupby("pair_shard").map_groups(pair_jaccard, batch_format="pandas")
 
 
+# ------------------------------------------------------------ n-gram Jaccard
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
+                        n_shards: int = N_SHARDS, max_df: int | None = None):
+    """Exact word-n-gram Jaccard near-dup — the inverted-index plan,
+    no LSH approximation (SURVEY §2.7 near-dup family; companion to
+    `lsh_candidate_pairs`+`verify_jaccard`, which trade exactness for
+    a bounded candidate volume).
+
+    Two-shuffle distributed plan, nothing corpus-sized in one place:
+
+    1. map_batches: per doc, DISTINCT shingle strings (n-gram of
+       lowercased ``\\S+`` words; docs shorter than n words contribute
+       their whole text as one shingle) with the doc's shingle-set
+       size carried on every row;
+    2. shuffle 1 (shard = hash(shingle) % n_shards): each shingle's
+       posting list meets in one shard → emit upper-triangle (a, b)
+       partial-intersection counts, pre-summed per shard;
+    3. shuffle 2 (shard = hash(a,b) % n_shards): sum partials →
+       jaccard_e6 = (c * 1e6) // (na + nb - c), keep >= threshold.
+
+    Shingles are keyed on the raw STRING (collision-free, so the
+    DuckDB oracle `SQL_NGRAM_JACCARD` reproduces it bit-for-bit); at
+    corpus scale swap the key for `shingle_hashes`' 64-bit hashes to
+    keep the shuffle narrow. ``max_df`` drops shingles appearing in
+    more than that many docs (the standard hot-shingle blowup guard —
+    a stopword shingle with df=k emits k²/2 pairs); None = exact
+    semantics matching the oracle.
+    """
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    thr_e6 = int(round(threshold * 1e6))
+
+    def explode(t: pa.Table) -> pd.DataFrame:
+        ids: list[int] = []
+        grams: list[str] = []
+        sizes: list[int] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = _words(text)
+            if not ws:
+                continue
+            if len(ws) < n:
+                gs = {" ".join(ws)}
+            else:
+                gs = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+            sizes.extend([len(gs)] * len(gs))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "g": pd.Series(grams, dtype=object),
+                "nd": np.asarray(sizes, dtype=np.int64),
+            }
+        )
+
+    exploded = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All shingles hashing to this shard: per-shingle posting
+        lists → partial pair counts, combined shard-locally."""
+        if max_df is not None:
+            g = g[g.groupby("g")["doc_id"].transform("size") <= max_df]
+        dup = g[g.duplicated("g", keep=False)]
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "na": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+            }
+        )
+        if dup.empty:
+            return empty
+        dup = dup.sort_values(["g", "doc_id"], kind="mergesort")
+        chunks = []
+        for _, grp in dup.groupby("g", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            nds = grp["nd"].to_numpy()
+            i, j = np.triu_indices(len(ids), k=1)
+            chunks.append(np.stack([ids[i], ids[j], nds[i], nds[j]], axis=1))
+        m = np.concatenate(chunks)
+        df = pd.DataFrame(m, columns=["a", "b", "na", "nb"]).astype("int64")
+        out = df.groupby(["a", "b", "na", "nb"], sort=False).size().reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    partials = sharded_map_groups(exploded, "g", shingle_pairs, n_shards=n_shards)
+
+    def pair_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b", "na", "nb"], sort=False)["c"].sum().reset_index()
+        c = agg["c"].to_numpy(np.int64)
+        union = agg["na"].to_numpy(np.int64) + agg["nb"].to_numpy(np.int64) - c
+        je6 = (c * 1_000_000) // union
+        keep = je6 >= thr_e6
+        return pd.DataFrame(
+            {
+                "a": agg["a"].to_numpy(np.int64)[keep],
+                "b": agg["b"].to_numpy(np.int64)[keep],
+                "jaccard_e6": je6[keep],
+            }
+        )
+
+    return sharded_map_groups(partials, ["a", "b"], pair_reduce, n_shards=n_shards)
+
+
 # ------------------------------------------------------------------ simhash
 
 def _stable_word_hash(w: str) -> int:

@@ -144,6 +144,58 @@ class TestMinHash:
         for a, b, j in zip(verified["a"], verified["b"], verified["jaccard_e6"]):
             assert j >= 500_000
 
+    def test_ngram_jaccard_exact_vs_brute(self, rd):
+        from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
+
+        docs = []
+        for i in range(30):
+            docs.append({"doc_id": 2 * i, "text": self._doc(i)})
+            docs.append({"doc_id": 2 * i + 1, "text": self._doc(i, mutate=2)})
+        docs.append({"doc_id": 1000, "text": "one two"})  # < n words
+        docs.append({"doc_id": 1001, "text": "one two"})  # exact short dup
+        docs.append({"doc_id": 1002, "text": ""})  # no shingles
+        ds = rd.from_items(docs)
+        got = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+
+        # brute-force string-shingle reference (same semantics as the
+        # operator docstring / SQL oracle)
+        def grams(text):
+            ws = text.lower().split()
+            if not ws:
+                return set()
+            if len(ws) < 3:
+                return {" ".join(ws)}
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        sets = {d["doc_id"]: grams(d["text"]) for d in docs}
+        want = []
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if not sets[a] or not sets[b]:
+                    continue
+                c = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                je6 = (c * 1_000_000) // u
+                if je6 >= 500_000:
+                    want.append((a, b, je6))
+        got_t = sorted(map(tuple, got[["a", "b", "jaccard_e6"]].values.tolist()))
+        assert got_t == sorted(want)
+        assert (1000, 1001, 1_000_000) in got_t  # short-doc whole-text shingle
+
+    def test_ngram_jaccard_max_df_guards_hot_shingles(self, rd):
+        from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
+
+        # every doc shares one hot shingle; only 0/1 are true near-dups
+        docs = [{"doc_id": i, "text": "the hot shingle " + self._doc(i)} for i in range(10)]
+        docs.append({"doc_id": 99, "text": docs[0]["text"]})
+        ds = rd.from_items(docs)
+        out = ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_df=5).to_pandas()
+        pairs = set(zip(out["a"], out["b"]))
+        assert (0, 99) in pairs  # exact dup still found via its other shingles
+        assert all(a != b for a, b in pairs)
+
     def test_simhash_deterministic_and_close_for_near_dups(self):
         sh = SimHasher()
         t = pa.table({"doc_id": [1, 2], "text": [self._doc(3), self._doc(3, mutate=1)]})
