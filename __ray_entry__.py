@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_order_per_customer": q.q_first_order_per_customer,
         "event_type_counts": q.q_event_type_counts,
         "hourly_event_stats": q.q_hourly_event_stats,
+        "window_event_stats": q.q_window_event_stats,
         "prev_order_gap": q.q_prev_order_gap,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_events": gq.q_nearest_events,
         # text analysis / dedup
         "token_stats": tq.q_token_stats,
+        "bpe_token_stats": tq.q_bpe_token_stats,
         "exact_dedup": tq.q_exact_dedup,
         "doc_quality": tq.q_doc_quality,
         "lang_id": tq.q_lang_id,
@@ -124,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
+        "bpe_token_stats": tq.SQL_BPE_TOKEN_STATS,
         "lang_id": tq.SQL_LANG_ID,
         "fingerprint": tq.SQL_FINGERPRINT,
         "dup_components": tq.SQL_DUP_COMPONENTS,
@@ -142,5 +145,6 @@ def oracle_sql() -> dict[str, str]:
         "first_order_per_customer": q.SQL_FIRST_ORDER,
         "event_type_counts": q.SQL_EVENT_TYPE_COUNTS,
         "hourly_event_stats": q.SQL_HOURLY_EVENT_STATS,
+        "window_event_stats": q.SQL_WINDOW_EVENT_STATS,
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
     }

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "cell_histogram",
     "nearest_events",
     "token_stats",
+    "bpe_token_stats",
+    "window_event_stats",
     "exact_dedup",
     "doc_quality",
     "ann_topk",

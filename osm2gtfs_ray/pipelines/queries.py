@@ -385,6 +385,86 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Sliding window via range join (overlapping intervals — each event
+# lands in up to ceil(7/3)=3 windows, so a plain groupby can't express
+# it; ops/range_join.py broadcast-interval operator)
+# --------------------------------------------------------------------------
+
+_WIN_EPOCH_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC, the events epoch
+_WIN_STRIDE_D, _WIN_LEN_D, _WIN_COUNT = 3, 7, 10
+
+
+def q_window_event_stats(sf_dir: str):
+    """7-day windows sliding by 3 days over January 2024: per window,
+    event count and scaled value sum. The overlap (each event in ~2.3
+    windows) exercises the interval-containment join; the aggregate is
+    map-side pre-combined into ≤10 partials per batch."""
+    from osm2gtfs_ray.ops.range_join import range_join
+
+    day_us = 86_400_000_000
+    w = np.arange(_WIN_COUNT, dtype=np.int64)
+    windows = pa.table(
+        {
+            "window_id": pa.array(w),
+            "start": pa.array(_WIN_EPOCH_S * 1_000_000 + w * _WIN_STRIDE_D * day_us),
+            "end": pa.array(
+                _WIN_EPOCH_S * 1_000_000 + (w * _WIN_STRIDE_D + _WIN_LEN_D) * day_us
+            ),
+        }
+    )
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    joined = range_join(ev, windows, ts_col="ts", range_id_col="window_id")
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"window_id": t["window_id"], "value": t["value"]})
+            .group_by("window_id")
+            .aggregate([("value", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["window_id", "val_part", "n_part"])
+
+    agg = (
+        joined.map_batches(pre, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n_part", alias_name="n"), Sum("val_part", alias_name="val_raw"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        wid = pc.cast(t["window_id"], pa.int64())
+        ws = pc.add(
+            pa.scalar(_WIN_EPOCH_S, pa.int64()),
+            pc.multiply(wid, pa.scalar(_WIN_STRIDE_D * 86_400, pa.int64())),
+        )
+        return pa.table(
+            {
+                "window_id": wid,
+                "window_start": ws,
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value": _scaled_int(t["val_raw"], 10_000),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WINDOW_EVENT_STATS = f"""
+WITH w AS (
+  SELECT CAST(x AS BIGINT) AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + x * INTERVAL {_WIN_STRIDE_D} DAY AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + x * INTERVAL {_WIN_STRIDE_D} DAY
+           + INTERVAL {_WIN_LEN_D} DAY AS we
+  FROM generate_series(0, {_WIN_COUNT - 1}) t(x)
+)
+SELECT w.window_id,
+       CAST(epoch(w.ws) AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(e.value) * 10000) AS BIGINT) AS sum_value
+FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # As-of / previous-row alignment (reference J10 ordered cursor alignment)
 # --------------------------------------------------------------------------
 

@@ -56,6 +56,73 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token estimate per language (GPT-2 pretokenizer regex, same
+# re2 pattern in the Arrow kernel and the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+def q_bpe_token_stats(sf_dir: str):
+    """Per language: BPE-ish (GPT-2 pretokenizer) token total next to
+    the whitespace total — the corpus-size estimate an LLM training
+    pipeline budgets by. Map-side per-batch combine → 5-group final
+    aggregate."""
+    from osm2gtfs_ray.stages.text import bpe_token_count_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "bpe": bpe_token_count_arrow(t["text"]),
+                    "ws": token_count_arrow(t["text"]),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("bpe", "sum"), ("ws", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["lang", "bpe_part", "ws_part", "doc_part"])
+
+    agg = (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("bpe_part", alias_name="bpe_tokens"),
+            Sum("ws_part", alias_name="ws_tokens"),
+            Sum("doc_part", alias_name="n_docs"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "bpe_tokens": pc.cast(t["bpe_tokens"], pa.int64()),
+                "ws_tokens": pc.cast(t["ws_tokens"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_bpe_token_stats() -> str:
+    from osm2gtfs_ray.stages.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return rf"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+SQL_BPE_TOKEN_STATS = _sql_bpe_token_stats()
+
+
+# --------------------------------------------------------------------------
 # Exact dedup by content (groupby text → keep min doc_id + copy count)
 # --------------------------------------------------------------------------
 

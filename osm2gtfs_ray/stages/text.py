@@ -113,3 +113,21 @@ def token_count_arrow(text_col: pa.ChunkedArray) -> pa.Array:
     import pyarrow.compute as pc
 
     return pc.cast(pc.count_substring_regex(text_col, r"\S+"), pa.int64())
+
+
+# GPT-2-style pretokenizer pattern, restricted to re2 syntax (no
+# lookahead — the original's `\s+(?!\S)` branch is dropped, so trailing
+# whitespace runs count as one token each). Both Arrow and DuckDB run
+# re2, so the SAME pattern string produces identical counts in the
+# engine and the SQL oracle.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_arrow(text_col: pa.ChunkedArray) -> pa.Array:
+    """BPE-ish token count (the "how many LLM tokens is this corpus"
+    estimator): counts matches of the GPT-2 pretokenizer regex —
+    contractions, letter runs, digit runs, punctuation runs — via the
+    same vectorized re2 kernel as token_count_arrow."""
+    import pyarrow.compute as pc
+
+    return pc.cast(pc.count_substring_regex(text_col, BPE_TOKEN_PATTERN), pa.int64())

@@ -83,6 +83,94 @@ class TestDedupe:
         assert len(out) == 6
 
 
+class TestRangeJoin:
+    def test_overlapping_windows_brute_parity(self, rd):
+        from osm2gtfs_ray.ops.range_join import range_join
+
+        rng = np.random.default_rng(7)
+        ts = rng.integers(0, 1000, 300)
+        facts = rd.from_arrow(
+            pa.table({"fact_id": np.arange(300, dtype=np.int64), "ts": ts})
+        )
+        # irregular, overlapping, duplicated-start intervals
+        starts = np.array([0, 0, 50, 100, 100, 400, 650, 980], dtype=np.int64)
+        ends = np.array([100, 30, 300, 101, 500, 401, 660, 2000], dtype=np.int64)
+        ranges = pa.table(
+            {
+                "range_id": pa.array(np.arange(8, dtype=np.int64)),
+                "start": pa.array(starts),
+                "end": pa.array(ends),
+            }
+        )
+        out = range_join(facts, ranges, ts_col="ts").to_pandas()
+        got = set(zip(out["fact_id"], out["range_id"]))
+        want = {
+            (f, r)
+            for f in range(300)
+            for r in range(8)
+            if starts[r] <= ts[f] < ends[r]
+        }
+        assert got == want
+
+    def test_no_match_and_empty(self, rd):
+        from osm2gtfs_ray.ops.range_join import range_join
+
+        facts = rd.from_items([{"ts": 5_000}])
+        ranges = pa.table(
+            {
+                "range_id": pa.array([0], pa.int64()),
+                "start": pa.array([0], pa.int64()),
+                "end": pa.array([10], pa.int64()),
+            }
+        )
+        assert range_join(facts, ranges, ts_col="ts").count() == 0
+        empty = pa.table(
+            {
+                "range_id": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "end": pa.array([], pa.int64()),
+            }
+        )
+        assert range_join(facts, empty, ts_col="ts").count() == 0
+
+    def test_timestamp_columns(self, rd):
+        import pandas as pd_
+
+        from osm2gtfs_ray.ops.range_join import range_join
+
+        t0 = pd_.Timestamp("2024-01-01")
+        facts = rd.from_arrow(
+            pa.table({"ts": pa.array([t0 + pd_.Timedelta(days=d) for d in (0, 5, 9)])})
+        )
+        ranges = pa.table(
+            {
+                "range_id": pa.array([0], pa.int64()),
+                "start": pa.array([t0 + pd_.Timedelta(days=1)]),
+                "end": pa.array([t0 + pd_.Timedelta(days=7)]),
+            }
+        )
+        out = range_join(facts, ranges, ts_col="ts").to_pandas()
+        assert len(out) == 1 and out["ts"].iloc[0] == t0 + pd_.Timedelta(days=5)
+
+
+def test_bpe_token_count_matches_manual():
+    from osm2gtfs_ray.stages.text import bpe_token_count_arrow
+
+    col = pa.chunked_array(
+        [["it's a test", "hello  world", "a1b2", "", "  ", "don't stop—now!"]]
+    )
+    # manual per GPT-2-ish pretokenizer: contraction split, letter runs,
+    # digit runs, punct runs, whitespace runs (no lookahead)
+    assert bpe_token_count_arrow(col).to_pylist() == [
+        4,  # "it" "'s" " a" " test"
+        3,  # "hello" "  " "world"  (double space = ws run token)
+        4,  # "a" "1" "b" "2"
+        0,
+        1,  # whitespace run
+        6,  # "don" "'t" " stop" "—" "now" "!"
+    ]
+
+
 def _jaccard(a: str, b: str, n=3) -> float:
     sa = set(shingle_hashes(a, n).tolist())
     sb = set(shingle_hashes(b, n).tolist())
