@@ -37,8 +37,9 @@ def main(argv=None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
+        # no explicit address: honors RAY_ADDRESS (preset "local" in the
+        # sandbox; the cluster address when run under `ray job submit`)
         ray.init(
-            address="local",
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",

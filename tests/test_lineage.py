@@ -120,3 +120,23 @@ def test_stage_checkpoint_and_full_resume(ray_session, tmp_path):
                                 entity_ckpt_dir=eck)
     assert len(m2) == 0  # everything pruned pre-join
     assert lineage.read_manifest(out).set_index("partition")["content_hash"].to_dict() == h1
+
+
+def test_job_entrypoint_metrics_and_resume(ray_session, tmp_path, capsys):
+    """`python -m osm2gtfs_ray.job` (the ray-job-submit entrypoint):
+    first run writes partitions + prints one JSON metrics line; the
+    same command resubmitted writes nothing and reports the skip count."""
+    import json as _json
+
+    from osm2gtfs_ray import job
+
+    out = str(tmp_path / "job_out")
+    assert job.main(["--pages", "500", "--out", out, "--concurrency", "1"]) == 0
+    m1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["rows_written"] > 0 and m1["partitions_written"] > 0
+    assert m1["partitions_skipped_resume"] == 0
+
+    assert job.main(["--pages", "500", "--out", out, "--concurrency", "1"]) == 0
+    m2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["rows_written"] == 0 and m2["partitions_written"] == 0
+    assert m2["partitions_skipped_resume"] == m1["partitions_written"]
