@@ -331,36 +331,69 @@ def q_dup_components(sf_dir: str):
     from ray.data.aggregate import Min
 
     from osm2gtfs_ray.ops.components import connected_components
-    from osm2gtfs_ray.ops.joins import broadcast_join
+    from osm2gtfs_ray.ops.joins import _as_arrow, broadcast_join
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
-    def with_ntok(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "lang": t["lang"],
-                "text": t["text"],
-                "ntok": token_count_arrow(t["text"]),
-            }
+    def with_keys(t: pa.Table) -> pa.Table:
+        ntok = token_count_arrow(t["text"])
+        gkey = pc.binary_join_element_wise(
+            t["lang"], pc.cast(ntok, pa.string()), "|"
         )
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"], "gkey": gkey})
 
-    # materialize: base feeds four consumers (two groupbys + two join
+    # materialize: base feeds three consumers (roots groupby + two join
     # big sides); un-materialized each would re-run the read+tokenize.
     # Blocks stay distributed in the object store (spillable) — this is
     # block reuse, not a driver collect.
     base = docs.map_batches(
-        with_ntok, batch_format="pyarrow", zero_copy_batch=True
+        with_keys, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    text_roots = base.groupby("text").aggregate(Min("doc_id", alias_name="b"))
+
+    # BOTH root tables out of ONE shuffle: rows (kind, key) with kind 0
+    # = exact text, kind 1 = lang|ntok bucket, map-side pre-min per
+    # batch, one groupby-min — instead of two full passes over base.
+    def key_rows(t: pa.Table) -> pa.Table:
+        doc2 = pa.concat_arrays(
+            [t["doc_id"].combine_chunks(), t["doc_id"].combine_chunks()]
+        )
+        stacked = pa.table(
+            {
+                "kind": pa.array(
+                    np.repeat(np.array([0, 1], np.int64), t.num_rows)
+                ),
+                "key": pa.concat_arrays(
+                    [
+                        t["text"].combine_chunks().cast(pa.string()),
+                        t["gkey"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "doc_id": doc2,
+            }
+        )
+        g = stacked.group_by(["kind", "key"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["kind", "key", "b"])
+
+    roots = _as_arrow(
+        base.map_batches(key_rows, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Min("b", alias_name="b"))
+    )
+    text_roots = (
+        roots.filter(pc.equal(roots["kind"], 0))
+        .select(["key", "b"]).rename_columns(["text", "b"])
+    )
+    grp_roots = (
+        roots.filter(pc.equal(roots["kind"], 1))
+        .select(["key", "b"]).rename_columns(["gkey", "b"])
+    )
     e1 = broadcast_join(
         base.select_columns(["doc_id", "text"]), text_roots, keys="text"
     ).map_batches(
         lambda t: pa.table({"a": t["doc_id"], "b": t["b"]}), batch_format="pyarrow"
     )
-    grp_roots = base.groupby(["lang", "ntok"]).aggregate(Min("doc_id", alias_name="b"))
     e2 = broadcast_join(
-        base.select_columns(["doc_id", "lang", "ntok"]), grp_roots, keys=["lang", "ntok"]
+        base.select_columns(["doc_id", "gkey"]), grp_roots, keys="gkey"
     ).map_batches(
         lambda t: pa.table({"a": t["doc_id"], "b": t["b"]}), batch_format="pyarrow"
     )
