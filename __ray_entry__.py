@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": tq.q_token_stats,
         "bpe_token_stats": tq.q_bpe_token_stats,
         "exact_dedup": tq.q_exact_dedup,
+        "sample_split": tq.q_sample_split,
         "doc_quality": tq.q_doc_quality,
         "lang_id": tq.q_lang_id,
         "fingerprint": tq.q_fingerprint,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": tq.SQL_FINGERPRINT,
         "dup_components": tq.SQL_DUP_COMPONENTS,
         "exact_dedup": tq.SQL_EXACT_DEDUP,
+        "sample_split": tq.SQL_SAMPLE_SPLIT,
         "doc_quality": tq.SQL_DOC_QUALITY,
         "ann_topk": sq.SQL_ANN_TOPK,
         "ann_ivf": sq.SQL_ANN_IVF,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "bpe_token_stats",
     "window_event_stats",
     "exact_dedup",
+    "sample_split",
     "doc_quality",
     "ann_topk",
     "minhash_pairs",

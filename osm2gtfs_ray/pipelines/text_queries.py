@@ -123,6 +123,73 @@ SQL_BPE_TOKEN_STATS = _sql_bpe_token_stats()
 
 
 # --------------------------------------------------------------------------
+# Leakage-safe deterministic train/val/test split: every doc in an
+# exact-duplicate group lands in the SAME split (split keyed on the
+# group root's hash, not the doc's), so a dup pair can never straddle
+# train and eval — the standard contamination guard in LLM data prep.
+# --------------------------------------------------------------------------
+
+_SPLIT_STREAM = 77
+_SPLIT_SEED = 42
+
+
+def q_sample_split(sf_dir: str):
+    """doc_id → (group_root, split) with split = splitmix64(group
+    root) % 100 bucketed 90/5/5. One text-sharded shuffle derives the
+    per-text root and attaches it to every member row (vectorized
+    transform per shard, ops/sharded.py); the hash is the same mix64
+    the page synthesizer uses, reproduced bit-exactly in the SQL
+    oracle (flagship_oracle._s_uint)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.sources.pages import _uint
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def attach_root(g: pd.DataFrame) -> pd.DataFrame:
+        root = g.groupby("text", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "group_root": root.to_numpy(np.int64),
+            }
+        )
+
+    rooted = sharded_map_groups(docs, "text", attach_root)
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        root = t["group_root"].to_numpy().astype(np.uint64)
+        h = _uint(root, _SPLIT_STREAM, _SPLIT_SEED, 100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "group_root": t["group_root"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return rooted.map_batches(assign_split, batch_format="pyarrow")
+
+
+def _sql_sample_split() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    h = _s_uint("CAST(group_root AS UBIGINT)", _SPLIT_STREAM, 100)
+    return f"""
+WITH roots AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS group_root
+  FROM documents
+)
+SELECT doc_id, CAST(group_root AS BIGINT) AS group_root,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, group_root, {h} AS h FROM roots)
+"""
+
+
+SQL_SAMPLE_SPLIT = _sql_sample_split()
+
+
+# --------------------------------------------------------------------------
 # Exact dedup by content (groupby text → keep min doc_id + copy count)
 # --------------------------------------------------------------------------
 

@@ -406,3 +406,20 @@ class TestCosineLSH:
             [sig_stage(t.slice(o, 16))["sig"].to_numpy() for o in range(0, 64, 16)]
         )
         assert (whole == parts).all()
+
+
+def test_sample_split_leakage_safe(ray_session):
+    """Exact-dup docs always land in the same split; buckets ~90/5/5."""
+    from osm2gtfs_ray.pipelines.text_queries import q_sample_split
+
+    df = q_sample_split("/root/testdata/sf0.001").to_pandas()
+    # same group_root -> same split, always
+    assert (df.groupby("group_root")["split"].nunique() == 1).all()
+    # deterministic across runs
+    df2 = q_sample_split("/root/testdata/sf0.001").to_pandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.75 <= frac.get("train", 0) <= 0.99
+    assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
