@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_event_stats": q.q_hourly_event_stats,
         "window_event_stats": q.q_window_event_stats,
         "prev_order_gap": q.q_prev_order_gap,
+        "quantile_qty": q.q_quantile_qty,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -149,4 +150,5 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_stats": q.SQL_HOURLY_EVENT_STATS,
         "window_event_stats": q.SQL_WINDOW_EVENT_STATS,
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
+        "quantile_qty": q.SQL_QUANTILE_QTY,
     }

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "first_order_per_customer",
     "hourly_event_stats",
     "prev_order_gap",
+    "quantile_qty",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",

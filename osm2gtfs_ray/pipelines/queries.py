@@ -385,6 +385,42 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Grouped quantiles via counting sketch (distributed order statistics
+# without a sort — ops/quantile.py; exact for the bounded l_quantity
+# domain, so DuckDB quantile_cont IS the oracle)
+# --------------------------------------------------------------------------
+
+def q_quantile_qty(sf_dir: str):
+    """Median + p95 of l_quantity per return flag: per-batch count
+    partials → one sketch-sized groupby — no distributed sort ever
+    touches the 6·SF-million-row fact table."""
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.ops.quantile import (
+        grouped_quantile_counts,
+        quantiles_from_counts,
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    sketch = _as_arrow(grouped_quantile_counts(li, ["l_returnflag"], "l_quantity"))
+    qdf = quantiles_from_counts(sketch, ["l_returnflag"], "l_quantity", [0.5, 0.95])
+    return pd.DataFrame(
+        {
+            "l_returnflag": qdf["l_returnflag"],
+            "med_qty": np.floor(qdf["q50"].to_numpy() * 100 + 0.5).astype(np.int64),
+            "p95_qty": np.floor(qdf["q95"].to_numpy() * 100 + 0.5).astype(np.int64),
+        }
+    )
+
+
+SQL_QUANTILE_QTY = """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS med_qty,
+       CAST(ROUND(quantile_cont(l_quantity, 0.95) * 100) AS BIGINT) AS p95_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # Sliding window via range join (overlapping intervals — each event
 # lands in up to ceil(7/3)=3 windows, so a plain groupby can't express
 # it; ops/range_join.py broadcast-interval operator)

@@ -423,3 +423,30 @@ def test_sample_split_leakage_safe(ray_session):
     frac = df["split"].value_counts(normalize=True)
     assert 0.75 <= frac.get("train", 0) <= 0.99
     assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
+
+
+def test_grouped_quantile_sketch_matches_numpy(ray_session):
+    """Counting-sketch quantiles == numpy linear interpolation (the
+    quantile_cont definition), incl. single-row groups and q=0/1."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.quantile import (
+        grouped_quantile_counts,
+        quantiles_from_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(["a", "b", "c", "solo"], [400, 300, 99, 1])
+    v = np.concatenate(
+        [rng.integers(0, 20, 400), rng.integers(5, 8, 300), rng.integers(0, 3, 99), [7]]
+    ).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"grp": g, "val": v})).repartition(7)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    sketch = grouped_quantile_counts(ds, ["grp"], "val")
+    got = quantiles_from_counts(
+        pa.concat_tables(sketch.iter_batches(batch_size=None, batch_format="pyarrow")),
+        ["grp"], "val", qs,
+    ).set_index("grp")
+    for grp in ("a", "b", "c", "solo"):
+        want = np.quantile(v[g == grp], qs, method="linear")
+        np.testing.assert_allclose(got.loc[grp].to_numpy(np.float64), want, atol=1e-12)
