@@ -233,7 +233,9 @@ def q_doc_quality(sf_dir: str):
     en = docs.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], pa.scalar("en"))), batch_format="pyarrow"
     )
-    scored = en.map_batches(QualityScore, batch_format="pandas", concurrency=(1, 4))
+    # stateless task: QualityScore holds no state at all (pure pandas
+    # str kernels) — an actor pool would be pure startup overhead
+    scored = en.map_batches(QualityScore(), batch_format="pandas")
     return scored.map_batches(
         lambda t: t.select(["doc_id", "n_tokens", "punct_ct", "upper_ct"]),
         batch_format="pyarrow",
@@ -374,7 +376,9 @@ SQL_FINGERPRINT = _sql_fingerprint()
 
 def q_fingerprint(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
+    # stateless task: Fingerprint's only state is a 32 KB power table
+    # (ships in the closure, regrown on demand) — no actor pool needed
+    out = docs.map_batches(Fingerprint(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "fp64"])
 
 
