@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": sq.q_ngram_jaccard,
         "simhash": sq.q_simhash,
         "ann_ivf": sq.q_ann_ivf,
+        "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
         "cosine_lsh": sq.q_cosine_lsh,
         "props_extract": sq.q_props_extract,
         # set ops + string normalization

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "lang_id",
     "fingerprint",
     "ann_ivf",
+    "ann_ivf_kmeans",
     "cosine_lsh",
     "media_decode",
     "sessionize",

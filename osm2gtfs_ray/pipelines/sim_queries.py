@@ -249,6 +249,18 @@ def q_ann_ivf(sf_dir: str):
     return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
 
 
+def q_ann_ivf_kmeans(sf_dir: str):
+    """IVF with Lloyd-refined spherical centroids (3 distributed
+    iterations over the materialized embedding table) — the production
+    training step ann_ivf's first-N shortcut stands in for. Rows-only:
+    the iterative refinement has no SQL expression; recall vs the
+    brute scan and objective improvement are pytest-asserted
+    (tests/test_ops.py::TestANN)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    cents = ann_mod.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
+
+
 # --------------------------------------------------------------------------
 # JSON prop extraction (M-family parser) — SQL-oracled
 # --------------------------------------------------------------------------

@@ -108,6 +108,65 @@ def make_centroids(embeddings_ds, n_centroids: int = 16, sample: int = 4096) -> 
     return np.array([r["embedding"] for r in rows], dtype=np.float64)
 
 
+def kmeans_centroids(
+    embeddings_ds, n_centroids: int = 16, n_iters: int = 5
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) refinement of the
+    deterministic first-N init — the production IVF training step
+    (make_centroids alone is the round-1 no-iteration shortcut).
+
+    Each iteration is ONE streaming pass: every batch assigns its
+    vectors to the nearest centroid (argmax cosine, first-max
+    tie-break — the same rule as IVFIndexStage) and emits a
+    KB-sized partial — per-centroid sums of the NORMALIZED members
+    (packed bytes) plus counts. Partials merge driver-side (k × d
+    floats, independent of corpus size); empty clusters keep their
+    previous centroid. The input is materialized once and re-streamed
+    per iteration — nothing corpus-sized ever lands in one process.
+    """
+    import ray
+
+    emb = embeddings_ds.materialize()
+    c = make_centroids(emb, n_centroids)
+    kk, d = c.shape
+
+    for _ in range(n_iters):
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        ref = ray.put(cn)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            cents = ray.get(_ref)
+            e = stack_embeddings(t["embedding"])
+            norm = np.linalg.norm(e, axis=1)
+            norm[norm == 0] = 1.0
+            en = e / norm[:, None]
+            assign = np.argmax(en @ cents.T, axis=1)
+            sums = np.zeros((len(cents), e.shape[1]))
+            np.add.at(sums, assign, en)
+            counts = np.bincount(assign, minlength=len(cents)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(cents), dtype=np.int64)),
+                    "vsum": pa.array([row.tobytes() for row in sums], pa.binary()),
+                    "n": pa.array(counts),
+                }
+            )
+
+        sums = np.zeros((kk, d))
+        counts = np.zeros(kk, dtype=np.int64)
+        for t in emb.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            cid = t["cid"].to_numpy()
+            counts[cid] += t["n"].to_numpy()
+            for i, buf in zip(cid, t["vsum"].to_pylist()):
+                sums[i] += np.frombuffer(buf, dtype=np.float64)
+        nonempty = counts > 0
+        c = c.copy()
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return c
+
+
 def ivf_topk(embeddings_ds, query: np.ndarray, centroids: np.ndarray, k: int = 5, n_probe: int = 4):
     """Approximate top-k probing the n_probe nearest IVF cells."""
     import ray

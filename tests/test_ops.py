@@ -326,6 +326,36 @@ class TestANN:
         recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 5
         assert recall >= 0.6
 
+    def test_kmeans_centroids_improve_objective_and_recall(self, rd):
+        rng = np.random.default_rng(13)
+        centers = rng.normal(size=(8, 16)) * 5
+        emb = np.concatenate(
+            [centers[i % 8] + rng.normal(size=16) * 0.3 for i in range(400)]
+        ).reshape(400, 16)
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(400)]
+        )
+
+        def objective(cents):
+            cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+            en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            return (en @ cn.T).max(axis=1).mean()  # mean best-cosine
+
+        init = ann_mod.make_centroids(ds, n_centroids=8)
+        trained = ann_mod.kmeans_centroids(ds, n_centroids=8, n_iters=4)
+        assert objective(trained) >= objective(init)
+        assert objective(trained) > 0.95  # clusters are tight; Lloyd finds them
+        # deterministic: same input -> same centroids
+        again = ann_mod.kmeans_centroids(ds, n_centroids=8, n_iters=4)
+        np.testing.assert_allclose(trained, again)
+        # recall with few probes beats the blind init at the same budget
+        q = emb[42]
+        exact = set(ann_mod.brute_topk(ds, q, k=5).to_pandas()["vec_id"])
+        got = set(
+            ann_mod.ivf_topk(ds, q, trained, k=5, n_probe=2).to_pandas()["vec_id"]
+        )
+        assert len(got & exact) / 5 >= 0.8
+
 
 class TestCosineLSH:
     def _emb(self, n=300, d=32, seed=3):
