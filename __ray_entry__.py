@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_event_stats": q.q_window_event_stats,
         "prev_order_gap": q.q_prev_order_gap,
         "quantile_qty": q.q_quantile_qty,
+        "daily_active_users": q.q_daily_active_users,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -152,4 +153,5 @@ def oracle_sql() -> dict[str, str]:
         "window_event_stats": q.SQL_WINDOW_EVENT_STATS,
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
         "quantile_qty": q.SQL_QUANTILE_QTY,
+        "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
     }

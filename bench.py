@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "hourly_event_stats",
     "prev_order_gap",
     "quantile_qty",
+    "daily_active_users",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",

@@ -24,7 +24,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from osm2gtfs_ray.ops.joins import broadcast_anti, broadcast_join, broadcast_semi
-from osm2gtfs_ray.ops.dedupe import keep_first
+from osm2gtfs_ray.ops.dedupe import distinct, keep_first
 from osm2gtfs_ray.sources.tables import read_table
 
 
@@ -381,6 +381,48 @@ SELECT event_type,
        COUNT(*) AS n,
        CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouped exact COUNT(DISTINCT): the DAU pattern. Distinct is the
+# expensive half (per-batch local dedup → one sharded hash shuffle,
+# ops/dedupe.distinct); the count is then a per-batch partial + tiny
+# groupby. COUNT(DISTINCT) never sees raw event rows post-shuffle.
+# --------------------------------------------------------------------------
+
+def q_daily_active_users(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, 86_400_000_000), pa.scalar(86_400, pa.int64()))
+        return pa.table({"day_start": day, "user_id": t["user_id"]})
+
+    uniq = distinct(ev.map_batches(day_user, batch_format="pyarrow"),
+                    ["day_start", "user_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("day_start").aggregate([([], "count_all")])
+        return g.rename_columns(["day_start", "n_part"])
+
+    agg = (
+        uniq.map_batches(pre, batch_format="pyarrow")
+        .groupby("day_start")
+        .aggregate(Sum("n_part", alias_name="dau"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"day_start": t["day_start"], "dau": pc.cast(t["dau"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DAILY_ACTIVE_USERS = """
+SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
 """
 
 
