@@ -119,17 +119,20 @@ def _cc_broadcast(edges, labels_ds, max_rounds: int):
             )
             return g.rename_columns(["node", "label"])
 
-        agg = (
-            edges.map_batches(nbr_min, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        )
-        at = _as_arrow(agg).combine_chunks()
-        an = at["node"].to_numpy().astype(np.int64)
-        al = at["label"].to_numpy().astype(np.int64)
+        # per-batch partials merge DRIVER-side (np.minimum.at) — in this
+        # plan the label table is driver-held by definition, so a
+        # distributed groupby here would only add a shuffle's fixed
+        # latency per round. One map-only execution per round.
         new_lbl = lbl.copy()
-        pos = np.searchsorted(node, an)
-        new_lbl[pos] = np.minimum(new_lbl[pos], al)
+        for t in edges.map_batches(nbr_min, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            if t.num_rows == 0:
+                continue
+            an = t["node"].to_numpy().astype(np.int64)
+            al = t["label"].to_numpy().astype(np.int64)
+            pos = np.searchsorted(node, an)
+            np.minimum.at(new_lbl, pos, al)
         if np.array_equal(new_lbl, lbl):
             import ray.data
 
