@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_order_gap": q.q_prev_order_gap,
         "quantile_qty": q.q_quantile_qty,
         "daily_active_users": q.q_daily_active_users,
+        "top_orders_per_customer": q.q_top_orders_per_customer,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -154,4 +155,5 @@ def oracle_sql() -> dict[str, str]:
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
         "quantile_qty": q.SQL_QUANTILE_QTY,
         "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
+        "top_orders_per_customer": q.SQL_TOP_ORDERS_PER_CUSTOMER,
     }

@@ -33,6 +33,32 @@ def keep_first(ds, key, order_by, ascending: bool = True, n_shards: int = DEFAUL
     return sharded_map_groups(ds, key, local_first, n_shards=n_shards, local_pre=local_first)
 
 
+def keep_top_k(ds, key, order_by, k: int, ascending: bool = True,
+               n_shards: int = DEFAULT_SHARDS):
+    """Top-k rows per key under ``order_by`` (the windowed-rank
+    generalization of keep_first; ROW_NUMBER <= k semantics with a
+    deterministic total order). Same map-side-combine shape: each
+    batch keeps at most k rows per key before the shard shuffle, so
+    the exchange moves O(k · keys-per-batch) rows regardless of group
+    sizes — hot keys cannot blow up a shard."""
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return s.groupby(key, sort=False).head(k)
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(order_by, ascending=ascending, kind="mergesort").reset_index(
+            drop=True
+        )
+        out = s.groupby(key, sort=False).head(k).copy()
+        out["rnk"] = out.groupby(key, sort=False).cumcount().astype("int64") + 1
+        return out
+
+    return sharded_map_groups(ds, key, shard_top, n_shards=n_shards, local_pre=local_top)
+
+
 def distinct(ds, cols, n_shards: int = DEFAULT_SHARDS):
     """Distinct rows over `cols` (exact dedup, sharded hash shuffle)."""
     cols = [cols] if isinstance(cols, str) else list(cols)

@@ -24,7 +24,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from osm2gtfs_ray.ops.joins import broadcast_anti, broadcast_join, broadcast_semi
-from osm2gtfs_ray.ops.dedupe import distinct, keep_first
+from osm2gtfs_ray.ops.dedupe import distinct, keep_first, keep_top_k
 from osm2gtfs_ray.sources.tables import read_table
 
 
@@ -381,6 +381,67 @@ SELECT event_type,
        COUNT(*) AS n,
        CAST(ROUND(SUM(value) * 10000) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k per group (windowed rank): ops/dedupe.keep_top_k — map-side
+# combine keeps ≤k rows per key per batch, so hot keys never inflate
+# the shuffle. ROW_NUMBER() <= k semantics with a total order.
+# --------------------------------------------------------------------------
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Each customer's top-3 orders by price (tie-break o_orderkey)."""
+    ords = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # negate price so a single ascending sort gives (price desc,
+        # orderkey asc) — pandas multi-col sorts need uniform direction
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "neg_price_c": pc.multiply(
+                    _scaled_int(t["o_totalprice"], 100), pa.scalar(-1, pa.int64())
+                ),
+            }
+        )
+
+    top = keep_top_k(
+        ords.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_custkey",
+        order_by=["neg_price_c", "o_orderkey"],
+        k=3,
+    )
+
+    def finish(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].astype("int64"),
+                "o_orderkey": t["o_orderkey"].astype("int64"),
+                "price_c": (-t["neg_price_c"]).astype("int64"),
+                "rnk": t["rnk"].astype("int64"),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+       rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY ROUND(o_totalprice * 100) DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
 """
 
 

@@ -8,7 +8,7 @@ import pyarrow as pa
 import pytest
 
 import osm2gtfs_ray.ops.joins as oj
-from osm2gtfs_ray.ops.dedupe import keep_first, distinct
+from osm2gtfs_ray.ops.dedupe import keep_first, keep_top_k, distinct
 from osm2gtfs_ray.stages.dedup import (
     MinHasher,
     SimHasher,
@@ -76,6 +76,24 @@ class TestDedupe:
         got = out.sort_values("k").reset_index(drop=True)
         want = want.sort_values("k").reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["k", "ord", "v"]], want[["k", "ord", "v"]])
+
+    def test_keep_top_k_matches_pandas_rank(self, rd):
+        rng = np.random.default_rng(5)
+        rows = [
+            {"k": int(rng.integers(0, 7)), "ord": int(rng.integers(0, 50)), "v": i}
+            for i in range(200)
+        ]
+        out = keep_top_k(
+            rd.from_items(rows), key="k", order_by=["ord", "v"], k=3
+        ).to_pandas()
+        df = pd.DataFrame(rows)
+        df["rnk"] = (
+            df.sort_values(["ord", "v"]).groupby("k").cumcount() + 1
+        )
+        want = df[df["rnk"] <= 3]
+        a = out.sort_values(["k", "rnk"]).reset_index(drop=True)
+        b = want.sort_values(["k", "rnk"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[["k", "ord", "v", "rnk"]], b[["k", "ord", "v", "rnk"]])
 
     def test_distinct(self, rd):
         ds = rd.from_items([{"a": i % 2, "b": i % 3} for i in range(30)])
