@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": tq.q_dup_components,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
+        "ann_batch_topk": sq.q_ann_batch_topk,
         "cosine_pairs": sq.q_cosine_pairs,
         "minhash_pairs": sq.q_minhash_pairs,
         "ngram_jaccard": sq.q_ngram_jaccard,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": tq.SQL_SAMPLE_SPLIT,
         "doc_quality": tq.SQL_DOC_QUALITY,
         "ann_topk": sq.SQL_ANN_TOPK,
+        "ann_batch_topk": sq.SQL_ANN_BATCH_TOPK,
         "ann_ivf": sq.SQL_ANN_IVF,
         "cosine_pairs": sq.SQL_COSINE_PAIRS,
         "ngram_jaccard": sq.SQL_NGRAM_JACCARD,

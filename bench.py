@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "sample_split",
     "doc_quality",
     "ann_topk",
+    "ann_batch_topk",
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",

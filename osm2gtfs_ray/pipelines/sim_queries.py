@@ -50,6 +50,90 @@ LIMIT 5
 
 
 # --------------------------------------------------------------------------
+# Batched-query ANN (the serving shape): top-3 for EACH of 8 query
+# vectors in ONE corpus pass — query matrix broadcast via ray.put, per
+# batch one matmul + per-query local top-k, global rank by the
+# keep_top_k windowed-rank operator. Corpus streams once no matter how
+# many queries ride the batch.
+# --------------------------------------------------------------------------
+
+_NQ_BATCH = 8
+
+
+def q_ann_batch_topk(sf_dir: str):
+    import ray
+
+    from osm2gtfs_ray.ops.dedupe import keep_top_k
+
+    full = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qrows = full.filter(pc.less(full["vec_id"], pa.scalar(_NQ_BATCH)))
+    qids = qrows["vec_id"].to_numpy().astype(np.int64)
+    qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    ref = ray.put((qids, qmat))
+
+    def local_topk(t: pa.Table, _ref=ref) -> pa.Table:
+        ids_q, m = ray.get(_ref)
+        e = ann_mod.stack_embeddings(t["embedding"])
+        e = e / np.linalg.norm(e, axis=1, keepdims=True)
+        sims = np.rint(e @ m.T * 1e6).astype(np.int64)  # (rows, nq)
+        vids = t["vec_id"].to_numpy().astype(np.int64)
+        k = min(3, len(vids))
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            # local prune uses the GLOBAL total order (sim desc, vec_id
+            # asc) — pruning on sim alone could drop the tie the final
+            # rank would keep
+            top = np.lexsort((vids, -col))[:k]
+            out_q.append(np.full(len(top), ids_q[j], np.int64))
+            out_v.append(vids[top])
+            out_s.append(col[top])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "neg_sim_e6": pa.array(-np.concatenate(out_s)),
+            }
+        )
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    parts = emb.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    top = keep_top_k(parts, key="qid", order_by=["neg_sim_e6", "vec_id"], k=3)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qid": pc.cast(t["qid"], pa.int64()),
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "sim_e6": pc.multiply(pc.cast(t["neg_sim_e6"], pa.int64()),
+                                      pa.scalar(-1, pa.int64())),
+                "rnk": pc.cast(t["rnk"], pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ANN_BATCH_TOPK = f"""
+SELECT qid, vec_id, sim_e6, rnk FROM (
+  SELECT q.qid, e.vec_id,
+         CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                    * 1000000) AS BIGINT) AS sim_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                          * 1000000) DESC, e.vec_id
+         ) AS rnk
+  FROM embeddings e
+  CROSS JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < {_NQ_BATCH}) q
+)
+WHERE rnk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact all-pairs cosine near-dup (SQL-oracled at test scale; the LSH
 # variant below is the corpus-scale path)
 # --------------------------------------------------------------------------
