@@ -73,6 +73,14 @@ def q_ann_batch_topk(sf_dir: str):
     ref = ray.put((qids, qmat))
 
     def local_topk(t: pa.Table, _ref=ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "neg_sim_e6": pa.array([], pa.int64()),
+                }
+            )
         ids_q, m = ray.get(_ref)
         e = ann_mod.stack_embeddings(t["embedding"])
         e = e / np.linalg.norm(e, axis=1, keepdims=True)
