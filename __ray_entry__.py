@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_order_gap": q.q_prev_order_gap,
         "quantile_qty": q.q_quantile_qty,
         "daily_active_users": q.q_daily_active_users,
+        "dau_approx": q.q_dau_approx,
         "top_orders_per_customer": q.q_top_orders_per_customer,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,

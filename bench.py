@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "prev_order_gap",
     "quantile_qty",
     "daily_active_users",
+    "dau_approx",
     "top_orders_per_customer",
     "nation_centroid",
     "cell_histogram",

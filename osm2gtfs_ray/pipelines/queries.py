@@ -488,6 +488,35 @@ FROM events GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Approximate DAU via HyperLogLog sketch (ops/sketch.py): the
+# corpus-scale path for q_daily_active_users — fixed 2^10 bytes per
+# (day, batch) move instead of one row per distinct user. Rows-only:
+# the estimate is approximate by design; the ~3% error bound vs the
+# exact count is pytest-asserted (tests/test_ops.py::TestHLL).
+# --------------------------------------------------------------------------
+
+def q_dau_approx(sf_dir: str):
+    from osm2gtfs_ray.ops.sketch import hll_count_distinct
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, 86_400_000_000), pa.scalar(86_400, pa.int64()))
+        return pa.table({"day_start": day, "user_id": t["user_id"]})
+
+    est = hll_count_distinct(
+        ev.map_batches(day_user, batch_format="pyarrow"), "day_start", "user_id"
+    )
+    return pd.DataFrame(
+        {
+            "day_start": est["day_start"].astype("int64"),
+            "dau_est": est["estimate"].astype("int64"),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
 # Grouped quantiles via counting sketch (distributed order statistics
 # without a sort — ops/quantile.py; exact for the bounded l_quantity
 # domain, so DuckDB quantile_cont IS the oracle)

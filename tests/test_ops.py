@@ -498,3 +498,51 @@ def test_grouped_quantile_sketch_matches_numpy(ray_session):
     for grp in ("a", "b", "c", "solo"):
         want = np.quantile(v[g == grp], qs, method="linear")
         np.testing.assert_allclose(got.loc[grp].to_numpy(np.float64), want, atol=1e-12)
+
+
+class TestHLL:
+    def test_hll_error_bound_large_cardinality(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.sketch import hll_count_distinct
+
+        # 100k distinct ids (plus duplicates), one group
+        ids = np.concatenate([np.arange(100_000), np.arange(30_000)]).astype(np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"g": np.zeros(len(ids), np.int64), "v": ids})
+        ).repartition(16)
+        est = hll_count_distinct(ds, "g", "v")
+        assert abs(est["estimate"].iloc[0] - 100_000) / 100_000 < 0.05  # ~1.04/sqrt(1024)=3.3%
+
+    def test_hll_matches_exact_dau(self, rd):
+        import duckdb
+
+        from osm2gtfs_ray.pipelines.queries import q_dau_approx
+
+        got = q_dau_approx("/root/testdata/sf0.01").set_index("day_start")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.01/events.parquet')"
+        )
+        exact = dict(
+            con.execute(
+                "SELECT CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT), "
+                "COUNT(DISTINCT user_id) FROM events GROUP BY 1"
+            ).fetchall()
+        )
+        assert set(got.index) == set(exact)
+        for day, true in exact.items():
+            err = abs(got.loc[day, "dau_est"] - true) / true
+            assert err < 0.10, (day, true, got.loc[day, "dau_est"])
+
+    def test_hll_partition_invariant(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.sketch import hll_count_distinct
+
+        ids = (np.arange(5000) * 7 % 1000).astype(np.int64)
+        tbl = pa.table({"g": ids % 3, "v": ids})
+        a = hll_count_distinct(ray.data.from_arrow(tbl).repartition(2), "g", "v")
+        b = hll_count_distinct(ray.data.from_arrow(tbl).repartition(29), "g", "v")
+        pd.testing.assert_frame_equal(a, b)
