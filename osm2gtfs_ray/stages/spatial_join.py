@@ -334,24 +334,78 @@ def replicate_tiles_to_cells(tiles: pa.Table, index_level: int = COARSE_LEVEL) -
     )
 
 
+def replicate_centers_to_cells(
+    tiles: pa.Table,
+    index_level: int = COARSE_LEVEL,
+    radius_m: float = KNN_RADIUS_M,
+) -> pa.Table:
+    """Center side of the shuffle plan's kNN fallback.
+
+    Each tile's spherical-centroid "center" row is replicated to every
+    coarse cell within Chebyshev ring distance k of the center's own
+    cell, with k sized (same bound as ``TileIndex.knn_nearest``: E-W
+    cell width shrinks by cos(lat), worst reachable probe latitude =
+    |center lat| + radius in degrees, +1 grid-offset margin) so that
+    ANY probe within ``radius_m`` of the center lands in a cell that
+    carries a copy. ``neighbor_ring`` is symmetric (Chebyshev, x-wrap,
+    y-clamp), so this is the partitioned dual of the broadcast plan's
+    probe-side ring expansion — same logical candidate set.
+    """
+    tile_ids, lats, lons, _ = _unpack_tiles(tiles)
+    cell_deg = 360.0 / (1 << index_level)
+    out_cell, out_tid, out_la, out_lo = [], [], [], []
+    for t in range(len(tile_ids)):
+        cla, clo = spherical_centroid(lats[t], lons[t])
+        worst = min(89.0, abs(cla) + radius_m / 111_320.0)
+        cos_lat = max(np.cos(np.radians(worst)), 0.02)
+        k = int(np.ceil(radius_m / (cell_deg * 111_320.0 * cos_lat))) + 1
+        c0 = cell_of(np.array([cla]), np.array([clo]), index_level)
+        cells = np.unique(neighbor_ring(c0, k=k, level=index_level).ravel())
+        out_cell.append(cells)
+        out_tid.extend([tile_ids[t]] * len(cells))
+        out_la.append(np.full(len(cells), cla))
+        out_lo.append(np.full(len(cells), clo))
+    return pa.table(
+        {
+            "cell_coarse": pa.array(
+                np.concatenate(out_cell).astype(np.uint64), pa.uint64()
+            ),
+            "tile_id": pa.array(out_tid, pa.string()),
+            "lat": pa.array(np.concatenate(out_la)),
+            "lon": pa.array(np.concatenate(out_lo)),
+        }
+    )
+
+
 def spatial_join_shuffle(
     entities_ds,
     tiles: pa.Table,
     index_level: int = COARSE_LEVEL,
     hot_threshold: int = 200_000,
     n_salt: int = 16,
+    knn_radius_m: float = KNN_RADIUS_M,
 ):
-    """Cell-keyed groupby spatial join with hot-cell salting.
+    """Cell-keyed groupby spatial join with hot-cell salting + kNN fallback.
 
     The partitioned-join plan for when the whole tile table can't be a
     single broadcast index. The all-to-all exchange moves SCALAR rows
-    only: probe rows (url, entity, lat, lon) and tile membership rows
-    (cell, tile_id); the packed ring geometry is ray.put once and read
-    inside each group task (zero-copy plasma), never shuffled.
+    only: probe rows (url, entity, lat, lon), tile membership rows
+    (cell, tile_id) and tile CENTER rows (cell, tile_id, center
+    lat/lon) for the kNN fallback; the packed ring geometry is ray.put
+    once and read inside each group task (zero-copy plasma), never
+    shuffled.
+
+    Full broadcast-plan semantics (reference G4/O4,
+    /root/reference/osm2gtfs/core/osm_connector.py:715-785): PIP hits
+    emit one row per containing tile; probes with no PIP hit match the
+    nearest tile center within ``knn_radius_m`` (method "knn", ties
+    broken by ascending tile_id), else method "none". Centers are
+    replicated to neighbor-ring cells (``replicate_centers_to_cells``)
+    so each probe's group provably contains every center within radius.
 
     Skew handling (the north_rule salting requirement): probe rows in
     cells whose row count exceeds ``hot_threshold`` get a salt subkey
-    (stable hash of url), and the tile rows of those cells are
+    (stable hash of url), and the tile/center rows of those cells are
     replicated across all salts — identical output to the broadcast
     plan, group sizes bounded by threshold/n_salt.
     """
@@ -378,26 +432,37 @@ def spatial_join_shuffle(
     # formatted strings; cell_coarse < 2^(2*level) so no overflow)
     n_salt_u = np.uint64(n_salt)
 
-    # 2. tile side: vectorized salt fan-out (np.repeat, no iterrows)
-    tt = replicate_tiles_to_cells(tiles, index_level)
-    cc_t = tt["cell_coarse"].to_numpy()
-    tid_t = tt["tile_id"].to_numpy(zero_copy_only=False)
-    reps = np.where(np.isin(cc_t, hot), n_salt, 1).astype(np.int64)
-    cc_r = np.repeat(cc_t, reps).astype(np.uint64)
-    key_t = cc_r * n_salt_u + _flat_ranges(reps).astype(np.uint64)
-    n_t = len(key_t)
-    tiles_ds = ray.data.from_arrow(
-        pa.table(
-            {
-                "key": pa.array(key_t, pa.uint64()),
-                "tile_id": pa.array(np.repeat(tid_t, reps), pa.string()),
-                "side": pa.array(["tile"] * n_t, pa.string()),
-                "url": pa.nulls(n_t, pa.string()),
-                "entity": pa.nulls(n_t, pa.string()),
-                "lat": pa.array(np.full(n_t, np.nan)),
-                "lon": pa.array(np.full(n_t, np.nan)),
-            }
+    # 2. tile + center side: vectorized salt fan-out (np.repeat, no iterrows)
+    def _build_side(tab: pa.Table, side: str) -> "ray.data.Dataset":
+        cc_t = tab["cell_coarse"].to_numpy()
+        tid_t = tab["tile_id"].to_numpy(zero_copy_only=False)
+        reps = np.where(np.isin(cc_t, hot), n_salt, 1).astype(np.int64)
+        cc_r = np.repeat(cc_t, reps).astype(np.uint64)
+        key_t = cc_r * n_salt_u + _flat_ranges(reps).astype(np.uint64)
+        n_t = len(key_t)
+        if "lat" in tab.column_names:  # center rows carry their coords
+            la = np.repeat(tab["lat"].to_numpy(), reps)
+            lo = np.repeat(tab["lon"].to_numpy(), reps)
+        else:
+            la = np.full(n_t, np.nan)
+            lo = np.full(n_t, np.nan)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array(key_t, pa.uint64()),
+                    "tile_id": pa.array(np.repeat(tid_t, reps), pa.string()),
+                    "side": pa.array([side] * n_t, pa.string()),
+                    "url": pa.nulls(n_t, pa.string()),
+                    "entity": pa.nulls(n_t, pa.string()),
+                    "lat": pa.array(la),
+                    "lon": pa.array(lo),
+                }
+            )
         )
+
+    tiles_ds = _build_side(replicate_tiles_to_cells(tiles, index_level), "tile")
+    centers_ds = _build_side(
+        replicate_centers_to_cells(tiles, index_level, knn_radius_m), "center"
     )
 
     def add_key(batch: pa.Table) -> pa.Table:
@@ -448,7 +513,7 @@ def spatial_join_shuffle(
         urls = probes["url"].to_numpy()
         ents = probes["entity"].to_numpy()
         hit_any = np.zeros(len(probes), dtype=bool)
-        sel_idx, sel_tid = [], []
+        sel_idx, sel_tid, sel_meth = [], [], []
         for tid in tls:  # tiles per group are few; PIP fully vectorized
             rla, rlo = rings[tid]
             inside = points_in_polygon(plat, plon, rla, rlo)
@@ -456,22 +521,39 @@ def spatial_join_shuffle(
             hits = np.nonzero(inside)[0]
             sel_idx.append(hits)
             sel_tid.append(np.full(len(hits), tid, dtype=object))
+            sel_meth.append(np.full(len(hits), "pip", dtype=object))
+        # kNN fallback: nearest center row within radius, ascending-
+        # tile_id tie-break (centers sorted by tile_id; np.argmin takes
+        # the FIRST minimum) — same argmin/tie-break as the broadcast
+        # plan's TileIndex.knn_nearest, same haversine floats.
         miss = np.nonzero(~hit_any)[0]
+        miss_tid = np.full(len(miss), None, dtype=object)
+        cen = g[g["side"] == "center"].sort_values("tile_id", kind="stable")
+        if len(miss) and len(cen):
+            d = haversine_m(
+                plat[miss][:, None],
+                plon[miss][:, None],
+                cen["lat"].to_numpy()[None, :],
+                cen["lon"].to_numpy()[None, :],
+            )
+            j = np.argmin(d, axis=1)
+            dmin = d[np.arange(len(miss)), j]
+            ok = dmin <= knn_radius_m
+            miss_tid[ok] = cen["tile_id"].to_numpy()[j[ok]]
         sel_idx.append(miss)
-        sel_tid.append(np.full(len(miss), None, dtype=object))
+        sel_tid.append(miss_tid)
+        sel_meth.append(np.where(pd.notna(miss_tid), "knn", "none").astype(object))
         idx = np.concatenate(sel_idx).astype(np.int64)
-        tid_col = np.concatenate(sel_tid)
-        method = np.where(pd.notna(tid_col), "pip", "none")
         return pd.DataFrame(
             {
                 "url": urls[idx],
                 "entity": ents[idx],
                 "lat": plat[idx],
                 "lon": plon[idx],
-                "tile_id": tid_col,
-                "method": method,
+                "tile_id": np.concatenate(sel_tid),
+                "method": np.concatenate(sel_meth),
             }
         )
 
-    both = probe_ds.union(tiles_ds)
+    both = probe_ds.union(tiles_ds).union(centers_ds)
     return both.groupby("key").map_groups(join_group, batch_format="pandas")

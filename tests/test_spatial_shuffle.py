@@ -31,25 +31,23 @@ def plans(ray_session):
     return tiles, entities, broadcast_join_rows
 
 
-def _pip_pairs(df: pd.DataFrame) -> set:
-    pip = df[df["method"] == "pip"]
-    return set(zip(pip["url"], pip["entity"], pip["tile_id"]))
+def _rows(df: pd.DataFrame) -> set:
+    """Full logical result: every (url, entity, tile_id, method) row —
+    pip, knn AND none must agree across physical plans."""
+    return set(
+        zip(df["url"], df["entity"], df["tile_id"].fillna("∅"), df["method"])
+    )
 
 
 def test_shuffle_plan_matches_broadcast(plans):
     tiles, entities, bc = plans
     sh = spatial_join_shuffle(entities, tiles).to_pandas()
-    assert _pip_pairs(sh) == _pip_pairs(bc)
-    # unmatched probe rows appear exactly once with method none
-    bc_none = bc[bc["method"].isin(["none", "knn"])]
-    sh_none = sh[sh["method"] == "none"]
-    assert set(zip(sh_none["url"], sh_none["entity"])) == set(
-        zip(bc_none["url"], bc_none["entity"])
-    )
+    assert _rows(sh) == _rows(bc)
+    assert (sh["method"] == "knn").sum() == (bc["method"] == "knn").sum() > 0
 
 
 def test_salting_preserves_results(plans):
     tiles, entities, bc = plans
     # force EVERY cell hot with many salts: results must be identical
     sh = spatial_join_shuffle(entities, tiles, hot_threshold=0, n_salt=8).to_pandas()
-    assert _pip_pairs(sh) == _pip_pairs(bc)
+    assert _rows(sh) == _rows(bc)
