@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_event_stats": q.q_window_event_stats,
         "prev_order_gap": q.q_prev_order_gap,
         "quantile_qty": q.q_quantile_qty,
+        "quantile_price_sketch": q.q_quantile_price_sketch,
         "daily_active_users": q.q_daily_active_users,
         "dau_approx": q.q_dau_approx,
         "top_orders_per_customer": q.q_top_orders_per_customer,

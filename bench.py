@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "hourly_event_stats",
     "prev_order_gap",
     "quantile_qty",
+    "quantile_price_sketch",
     "daily_active_users",
     "dau_approx",
     "top_orders_per_customer",
@@ -208,8 +209,16 @@ def run_bench() -> dict:
             t_join = time.perf_counter() - t0
             t1 = time.perf_counter()
             assignments = fl.assignments_stage(join_mat)
-            n_assign = _consume(assignments)
-            matched_rows = join_rows
+            # one consuming pass yields both the group count and the
+            # MATCHED row total, so assignments_per_sec means the same
+            # thing in both GRAFT_FUSED modes (matched join rows
+            # aggregated / total pipeline sec)
+            import pyarrow.compute as _pc
+
+            n_assign, matched_rows = 0, 0
+            for b in assignments.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n_assign += b.num_rows
+                matched_rows += int(_pc.sum(b["count"]).as_py() or 0)
             t_assign = time.perf_counter() - t1
         cand = {
             "n_pages": n_pages,
@@ -232,27 +241,35 @@ def run_bench() -> dict:
     # ---- operator query suite over the sf tables ------------------------
     if os.environ.get("GRAFT_BENCH_MODE") != "flagship":
         qs = entry_mod.queries()
-        for name in BENCH_QUERIES:
-            t0 = time.perf_counter()
-            counts[name] = _consume(qs[name](sf_dir))
-            dt = time.perf_counter() - t0
-            if dt > 3.0:
-                # co-tenant noise rejector (same policy as the scaling
-                # legs' in-process repeats): slow-looking queries get one
-                # re-sample, faster run wins — first runs on this shared
-                # host swing ±40% under background load
-                t1 = time.perf_counter()
+        # best-of-K per query, K INTERLEAVED full passes (not K
+        # back-to-back runs): co-tenant load on this shared host comes
+        # in multi-minute windows (r2 postmortem, BASELINE.md "Bench
+        # noise"), so a query's K samples must be minutes apart for
+        # the min() to reject a noisy window. r2's conditional (>3 s)
+        # re-sample left cheap queries unprotected and produced
+        # phantom 2x "regressions".
+        reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
+        for _ in range(reps):
+            for name in BENCH_QUERIES:
+                t0 = time.perf_counter()
                 counts[name] = _consume(qs[name](sf_dir))
-                dt = min(dt, time.perf_counter() - t1)
-            timings[name] = round(dt, 3)
+                dt = time.perf_counter() - t0
+                timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     total = round(sum(timings.values()), 3)
+    # row counts go to a side file, NOT the printed line: the driver
+    # captures a bounded tail of stdout and r2's fat line got truncated
+    # into an unparseable record (VERDICT r2 What's-wrong #2)
+    try:
+        with open(os.path.join(REPO, "bench_records", "rowcounts_last.json"), "w") as f:
+            json.dump({"sf": sf, "row_counts": counts}, f)
+    except OSError:
+        pass
     return {
         "metric": "headline pipelines wall time (flagship spatial join + operator suite)",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "row_counts": counts,
         "flagship": flagship,
         "sf": sf,
         "num_cpus": ncpu,

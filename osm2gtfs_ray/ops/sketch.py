@@ -65,7 +65,22 @@ def hll_partials(ds, group_col: str, value_col: str):
                 {group_col: pa.array([], t.schema.field(group_col).type),
                  "registers": pa.array([], pa.binary())}
             )
-        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        col = t[value_col]
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                or pa.types.is_binary(col.type):
+            # string/binary keys (the common COUNT DISTINCT case):
+            # process-stable vectorized SipHash, then mix as usual
+            vals = pd.util.hash_pandas_object(
+                col.to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+        else:
+            raise TypeError(
+                f"hll sketch needs an integer or string value column; "
+                f"{value_col!r} is {col.type} (floats would truncate silently "
+                f"— cast or hash explicitly first)"
+            )
         h = mix64(vals)
         reg = (h >> np.uint64(64 - P)).astype(np.int64)
         rho = _rho(h)

@@ -552,6 +552,28 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_quantile_price_sketch(sf_dir: str):
+    """Median + p95 of l_extendedprice (CONTINUOUS domain) per return
+    flag via the mergeable log-bucket sketch (ops/quantile.dd_sketch)
+    — the documented unbounded-domain swap for the counting sketch.
+    Approximate by design (relative error ≤ alpha=0.005), so rows-only
+    at the driver; the error bound + partition invariance are pytest-
+    enforced (tests/test_ops.py)."""
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.ops.quantile import dd_quantiles, dd_sketch
+
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    sketch = _as_arrow(dd_sketch(li, ["l_returnflag"], "l_extendedprice", alpha=0.005))
+    qdf = dd_quantiles(sketch, ["l_returnflag"], [0.5, 0.95], alpha=0.005)
+    return pd.DataFrame(
+        {
+            "l_returnflag": qdf["l_returnflag"],
+            "med_price": qdf["q50"].to_numpy(),
+            "p95_price": qdf["q95"].to_numpy(),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # Sliding window via range join (overlapping intervals — each event
 # lands in up to ceil(7/3)=3 windows, so a plain groupby can't express

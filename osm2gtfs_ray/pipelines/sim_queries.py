@@ -65,8 +65,13 @@ def q_ann_batch_topk(sf_dir: str):
 
     from osm2gtfs_ray.ops.dedupe import keep_top_k
 
-    full = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qrows = full.filter(pc.less(full["vec_id"], pa.scalar(_NQ_BATCH)))
+    # predicate pushed into the read: only row groups containing the
+    # query ids are materialized driver-side, not the whole corpus
+    qrows = pq.read_table(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _NQ_BATCH)],
+    )
     qids = qrows["vec_id"].to_numpy().astype(np.int64)
     qmat = np.array(qrows["embedding"].to_pylist(), dtype=np.float64)
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

