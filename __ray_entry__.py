@@ -17,6 +17,33 @@ from typing import Any
 
 sys.path.insert(0, "/root/repo")
 
+# q_dedup_groups snapshots its (hash-derived) candidate-pair set here so
+# SQL_DEDUP_GROUPS can recompute the components over the SAME edges; the
+# query always runs before its oracle in the driver/verify harness.
+DEDUP_PAIRS_SNAPSHOT = "/tmp/graft_dedup_groups_pairs.parquet"
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM read_parquet('{DEDUP_PAIRS_SNAPSHOT}')
+),
+sym AS (
+  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+  UNION SELECT a, a FROM edges UNION SELECT b, b FROM edges
+),
+reach(node, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+),
+comp AS (
+  SELECT node, MIN(m) AS component FROM reach GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(component AS BIGINT) AS component
+FROM comp
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline (pages → extract → geocode → PIP/kNN spatial
@@ -41,12 +68,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_dedup_groups(sf_dir: str):
         """MinHash near-dup pairs → connected dedup clusters (min-label
-        propagation, ops/components.py). Rows-only: iterative algorithm."""
+        propagation, ops/components.py).
+
+        Driver-checkable: the candidate-pair set (hash-based, itself
+        oracle-less) is SNAPSHOTTED to parquet inside the query, and
+        the oracle recomputes components over that same file with
+        WITH RECURSIVE — so the component grouping is exactly
+        verified. The snapshot is candidate-bounded (pairs, not
+        corpus); at scale the pair Dataset would write_parquet
+        partitioned instead of a driver-side single file."""
+        import pyarrow.parquet as _pq
+        import ray.data
+
         from osm2gtfs_ray.ops.components import connected_components
+        from osm2gtfs_ray.ops.joins import _as_arrow
         from osm2gtfs_ray.pipelines.sim_queries import q_minhash_pairs
 
-        pairs = q_minhash_pairs(sf_dir).select_columns(["a", "b"])
-        return connected_components(pairs)
+        pairs = _as_arrow(q_minhash_pairs(sf_dir).select_columns(["a", "b"]))
+        _pq.write_table(pairs, DEDUP_PAIRS_SNAPSHOT)
+        return connected_components(ray.data.from_arrow(pairs))
 
     q_tile_rasterize = fo.q_tile_rasterize
 
@@ -138,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": tq.SQL_LANG_ID,
         "fingerprint": tq.SQL_FINGERPRINT,
         "dup_components": tq.SQL_DUP_COMPONENTS,
+        "dedup_groups": SQL_DEDUP_GROUPS,
         "exact_dedup": tq.SQL_EXACT_DEDUP,
         "sample_split": tq.SQL_SAMPLE_SPLIT,
         "doc_quality": tq.SQL_DOC_QUALITY,

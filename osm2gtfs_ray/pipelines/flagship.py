@@ -260,12 +260,20 @@ def flagship_to_checkpoint(
     part_level: int = 4,
     resume: bool = True,
     entity_ckpt_dir: str | None = None,
+    join_plan: str = "auto",
+    shuffle_tile_threshold: int = 2_000_000,
 ):
     """Run the flagship join and write join rows as RESUMABLE
     partitioned Parquet: one partition per level-`part_level` cell
     range (the same key hierarchy as the geocode stage), each with a
     `_lineage.json` record; a rerun skips finished partitions
-    (north_rule checkpoint/resume; see state/lineage.py)."""
+    (north_rule checkpoint/resume; see state/lineage.py).
+
+    ``join_plan``: 'broadcast' (actor-pool TileIndex — the default
+    physical plan), 'shuffle' (cell-keyed partitioned join for tile
+    sets too big to broadcast, stages/spatial_join.spatial_join_shuffle
+    — identical logical output incl. kNN fallback), or 'auto' (shuffle
+    when the tile table exceeds ``shuffle_tile_threshold`` rows)."""
     from osm2gtfs_ray.geo.cells import parent_cell
     from osm2gtfs_ray.stages.geocode import COARSE_LEVEL
     from osm2gtfs_ray.state.lineage import done_partitions, write_partitioned
@@ -305,7 +313,16 @@ def flagship_to_checkpoint(
 
         entities = entities.map_batches(prune, batch_format="pyarrow")
 
-    join_rows = join_stage(entities, tiles, concurrency=concurrency)
+    if join_plan not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"join_plan must be auto|broadcast|shuffle, got {join_plan!r}")
+    if join_plan == "auto":
+        join_plan = "shuffle" if tiles.num_rows > shuffle_tile_threshold else "broadcast"
+    if join_plan == "shuffle":
+        from osm2gtfs_ray.stages.spatial_join import spatial_join_shuffle
+
+        join_rows = spatial_join_shuffle(entities, tiles)
+    else:
+        join_rows = join_stage(entities, tiles, concurrency=concurrency)
     manifest = write_partitioned(join_rows, out_dir, "part", resume=resume)
     return manifest
 

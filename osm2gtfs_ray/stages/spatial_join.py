@@ -422,6 +422,15 @@ def spatial_join_shuffle(
     }
     geom_ref = ray.put(geom)
 
+    # materialize the probe side ONCE: it feeds both the hot-cell count
+    # and the keyed probe rows — un-materialized, each consumption
+    # would re-run the whole upstream extract DAG (and .schema() below
+    # becomes free metadata). Blocks stay distributed/spillable.
+    entities_ds = entities_ds.materialize()
+    schema = entities_ds.schema()
+    probe_names = list(schema.names)
+    probe_types = dict(zip(schema.names, schema.types))
+
     # 1. probe rows per coarse cell (pre-aggregated count) → hot set
     counts = entities_ds.groupby("cell_coarse").count().to_pandas()
     hot = counts.loc[counts["count()"] > hot_threshold, "cell_coarse"].to_numpy(
@@ -432,7 +441,11 @@ def spatial_join_shuffle(
     # formatted strings; cell_coarse < 2^(2*level) so no overflow)
     n_salt_u = np.uint64(n_salt)
 
-    # 2. tile + center side: vectorized salt fan-out (np.repeat, no iterrows)
+    # 2. tile + center side: vectorized salt fan-out (np.repeat, no
+    # iterrows). Sides mirror the FULL probe schema (nulls except the
+    # centers' lat/lon) so the three datasets union cleanly and every
+    # probe column rides through to the output — checkpoint/partition
+    # columns included (plan parity with the broadcast join's output).
     def _build_side(tab: pa.Table, side: str) -> "ray.data.Dataset":
         cc_t = tab["cell_coarse"].to_numpy()
         tid_t = tab["tile_id"].to_numpy(zero_copy_only=False)
@@ -440,25 +453,17 @@ def spatial_join_shuffle(
         cc_r = np.repeat(cc_t, reps).astype(np.uint64)
         key_t = cc_r * n_salt_u + _flat_ranges(reps).astype(np.uint64)
         n_t = len(key_t)
-        if "lat" in tab.column_names:  # center rows carry their coords
-            la = np.repeat(tab["lat"].to_numpy(), reps)
-            lo = np.repeat(tab["lon"].to_numpy(), reps)
-        else:
-            la = np.full(n_t, np.nan)
-            lo = np.full(n_t, np.nan)
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "key": pa.array(key_t, pa.uint64()),
-                    "tile_id": pa.array(np.repeat(tid_t, reps), pa.string()),
-                    "side": pa.array([side] * n_t, pa.string()),
-                    "url": pa.nulls(n_t, pa.string()),
-                    "entity": pa.nulls(n_t, pa.string()),
-                    "lat": pa.array(la),
-                    "lon": pa.array(lo),
-                }
-            )
-        )
+        cols = {
+            "key": pa.array(key_t, pa.uint64()),
+            "tile_id": pa.array(np.repeat(tid_t, reps), pa.string()),
+            "side": pa.array([side] * n_t, pa.string()),
+        }
+        for name in probe_names:
+            if name in ("lat", "lon") and "lat" in tab.column_names:
+                cols[name] = pa.array(np.repeat(tab[name].to_numpy(), reps))
+            else:
+                cols[name] = pa.nulls(n_t, probe_types[name])
+        return ray.data.from_arrow(pa.table(cols))
 
     tiles_ds = _build_side(replicate_tiles_to_cells(tiles, index_level), "tile")
     centers_ds = _build_side(
@@ -477,17 +482,14 @@ def spatial_join_shuffle(
                 batch["url"].to_pandas(), index=False
             ).to_numpy(dtype=np.uint64)
             salt[is_hot] = h[is_hot] % n_salt_u
-        return pa.table(
-            {
-                "key": pa.array(cc * n_salt_u + salt, pa.uint64()),
-                "tile_id": pa.nulls(len(cc), pa.string()),
-                "side": pa.array(["probe"] * len(cc), pa.string()),
-                "url": batch["url"],
-                "entity": batch["entity"],
-                "lat": batch["lat"],
-                "lon": batch["lon"],
-            }
-        )
+        cols = {
+            "key": pa.array(cc * n_salt_u + salt, pa.uint64()),
+            "tile_id": pa.nulls(len(cc), pa.string()),
+            "side": pa.array(["probe"] * len(cc), pa.string()),
+        }
+        for name in probe_names:
+            cols[name] = batch[name]
+        return pa.table(cols)
 
     probe_ds = entities_ds.map_batches(
         add_key, batch_format="pyarrow", zero_copy_batch=True
@@ -497,21 +499,13 @@ def spatial_join_shuffle(
         probes = g[g["side"] == "probe"]
         tls = sorted(g.loc[g["side"] == "tile", "tile_id"].tolist())
         if len(probes) == 0:
-            return pd.DataFrame(
-                {
-                    "url": pd.Series([], dtype=object),
-                    "entity": pd.Series([], dtype=object),
-                    "lat": pd.Series([], dtype=float),
-                    "lon": pd.Series([], dtype=float),
-                    "tile_id": pd.Series([], dtype=object),
-                    "method": pd.Series([], dtype=object),
-                }
-            )
+            out = {n: pd.Series([], dtype=object) for n in probe_names}
+            out["tile_id"] = pd.Series([], dtype=object)
+            out["method"] = pd.Series([], dtype=object)
+            return pd.DataFrame(out)
         rings = ray.get(geom_ref)
         plat = probes["lat"].to_numpy()
         plon = probes["lon"].to_numpy()
-        urls = probes["url"].to_numpy()
-        ents = probes["entity"].to_numpy()
         hit_any = np.zeros(len(probes), dtype=bool)
         sel_idx, sel_tid, sel_meth = [], [], []
         for tid in tls:  # tiles per group are few; PIP fully vectorized
@@ -544,16 +538,25 @@ def spatial_join_shuffle(
         sel_tid.append(miss_tid)
         sel_meth.append(np.where(pd.notna(miss_tid), "knn", "none").astype(object))
         idx = np.concatenate(sel_idx).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "url": urls[idx],
-                "entity": ents[idx],
-                "lat": plat[idx],
-                "lon": plon[idx],
-                "tile_id": np.concatenate(sel_tid),
-                "method": np.concatenate(sel_meth),
-            }
-        )
+        out = {n: probes[n].to_numpy()[idx] for n in probe_names}
+        out["tile_id"] = np.concatenate(sel_tid)
+        out["method"] = np.concatenate(sel_meth)
+        return pd.DataFrame(out)
 
     both = probe_ds.union(tiles_ds).union(centers_ds)
-    return both.groupby("key").map_groups(join_group, batch_format="pandas")
+    joined = both.groupby("key").map_groups(join_group, batch_format="pandas")
+
+    def restore_types(t: pa.Table) -> pa.Table:
+        """The pandas group step widens nullable int columns to float;
+        cast every probe column back to its input Arrow type so the
+        output schema is identical to the broadcast plan's."""
+        cols = {}
+        for name in probe_names:
+            want = probe_types[name]
+            col = t[name]
+            cols[name] = col if col.type == want else pc.cast(col, want)
+        cols["tile_id"] = t["tile_id"]
+        cols["method"] = t["method"]
+        return pa.table(cols)
+
+    return joined.map_batches(restore_types, batch_format="pyarrow")
