@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_events": gq.q_nearest_events,
         # text analysis / dedup
         "token_stats": tq.q_token_stats,
+        "top_terms": tq.q_top_terms,
         "bpe_token_stats": tq.q_bpe_token_stats,
         "exact_dedup": tq.q_exact_dedup,
         "sample_split": tq.q_sample_split,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_histogram": gq.SQL_CELL_HISTOGRAM,
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
+        "top_terms": tq.SQL_TOP_TERMS,
         "bpe_token_stats": tq.SQL_BPE_TOKEN_STATS,
         "lang_id": tq.SQL_LANG_ID,
         "fingerprint": tq.SQL_FINGERPRINT,

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "cell_histogram",
     "nearest_events",
     "token_stats",
+    "top_terms",
     "bpe_token_stats",
     "window_event_stats",
     "exact_dedup",
@@ -174,7 +175,7 @@ def run_bench() -> dict:
     # on this shared host swings single-run wall time ±40%, so each
     # bench session samples the pipeline GRAFT_INPROC_REPEATS times and
     # reports the best — a per-leg noise rejector for --scaling pairs.
-    inproc = int(os.environ.get("GRAFT_INPROC_REPEATS", "2"))
+    inproc = int(os.environ.get("GRAFT_INPROC_REPEATS", "3"))
     page_offset = int(os.environ.get("GRAFT_PAGE_OFFSET", "0"))
     best = None
     for _ in range(inproc):
@@ -248,7 +249,7 @@ def run_bench() -> dict:
         # the min() to reject a noisy window. r2's conditional (>3 s)
         # re-sample left cheap queries unprotected and produced
         # phantom 2x "regressions".
-        reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
+        reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "3"))
         for _ in range(reps):
             for name in BENCH_QUERIES:
                 t0 = time.perf_counter()

@@ -504,7 +504,13 @@ def build_lines_and_itineraries(relations_ds, ways_table: pa.Table):
 
     class Finish:
         """Per-variant finishing: colour/type normalization (M5-M7,
-        M12) + shape stitching (G3) against the broadcast ways table."""
+        M12) + shape stitching (G3) against the broadcast ways table.
+
+        Scale note: the per-relation assembly below is row-wise by
+        design — route/variant counts are city-scale (hundreds, see
+        SURVEY.md §6) and stitching is inherently sequential per
+        relation; this stage is OFF the 100-TB path (the corpus-scale
+        pipelines are flagship/dedup/ANN, all batch-vectorized)."""
 
         def __init__(self):
             t = ray.get(ways_ref)

@@ -56,6 +56,64 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Corpus vocabulary: global top-k terms by occurrence count
+# --------------------------------------------------------------------------
+
+_TOP_TERMS_K = 50
+
+
+def q_top_terms(sf_dir: str, k: int = _TOP_TERMS_K):
+    """Global top-k vocabulary terms (whitespace tokens, case-sensitive)
+    with total occurrence counts — the corpus-statistics building block
+    for vocab construction / stopword discovery.
+
+    Plan: per-batch Arrow split+count partials (map-side combine: at
+    most |batch vocab| rows leave a batch) → term-hash sharded sum →
+    per-shard top-k (exact: a term lives wholly in one shard) → tiny
+    driver-side final top-k. The corpus streams once; nothing
+    vocabulary-sized ever sits in one process except the k-row result.
+    Tie-break: count desc, then term asc (deterministic)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"term": words}).group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "n_part"]).to_pandas()
+
+    parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", sort=False)["n_part"].sum().reset_index(name="n")
+        return agg.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    tops = sharded_map_groups(parts, "term", shard_top).to_pandas()
+    out = (
+        tops.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["term", "n"]]
+
+
+SQL_TOP_TERMS = r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS n FROM words WHERE term <> '' GROUP BY term)
+SELECT term, CAST(n AS BIGINT) AS n FROM counts
+ORDER BY n DESC, term ASC LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token estimate per language (GPT-2 pretokenizer regex, same
 # re2 pattern in the Arrow kernel and the DuckDB oracle)
 # --------------------------------------------------------------------------

@@ -208,3 +208,13 @@ def luma_features(img: np.ndarray, grid: int = 8) -> np.ndarray:
     counts = np.zeros((grid, grid))
     np.add.at(counts, (ys[:, None], xs[None, :]), 1.0)
     return (sums / np.maximum(counts, 1.0) / 255.0).astype(np.float32).ravel()
+
+
+def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """(H, W, C) uint8 → (th, tw, C) nearest-neighbor resample — one
+    vectorized index gather (the pixel-level half of the resize stage;
+    ResizeMeta plans the target dims)."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    return img[ys[:, None], xs[None, :]]

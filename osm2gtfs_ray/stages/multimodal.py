@@ -151,3 +151,92 @@ def media_dataset(n: int, payload_bytes: int = 0, seed: int = 42, override_num_b
     return ray.data.range(n, override_num_blocks=override_num_blocks).map_batches(
         gen, batch_format="pyarrow", batch_size=256
     )
+
+
+class ResizePixels:
+    """Actor-pool stage: decode → aspect-preserving nearest-neighbor
+    resample to ``max_side`` → per-channel mean of the RESIZED pixels
+    (deterministic, so tests can verify against a direct computation).
+    The decode table and scale math live in the actor; batches should
+    stay small for wide binary payloads (SURVEY.md §7.4)."""
+
+    def __init__(self, max_side: int = 64):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osm2gtfs_ray.stages.codecs import decode_image, resize_nearest
+
+        tw_l, th_l, means = [], [], []
+        for p in batch["payload"].to_pylist():
+            img = decode_image(p)
+            h, w = img.shape[:2]
+            scale = min(1.0, self.max_side / max(w, h))
+            tw = max(1, int(round(w * scale)))
+            th = max(1, int(round(h * scale)))
+            small = resize_nearest(img, tw, th)
+            tw_l.append(tw)
+            th_l.append(th)
+            means.append(small.reshape(-1, small.shape[2]).mean(axis=0))
+        out = {n: batch[n] for n in batch.column_names if n != "payload"}
+        out["resized_width"] = pa.array(tw_l, pa.int32())
+        out["resized_height"] = pa.array(th_l, pa.int32())
+        out["mean_rgb"] = pa.array(
+            [m.astype(np.float32).tolist() for m in means], pa.list_(pa.float32())
+        )
+        return pa.table(out)
+
+
+# ------------------------------------------------------------------ video --
+
+_VID_MAGIC = b"GVID"
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(n, H, W, 3) uint8 → opaque payload: 16-byte header (magic,
+    n_frames, H, W) + raw frame bytes. The synthetic 'video codec' —
+    the Ray-side plumbing (schema, actor stage, explode layout) is the
+    real deliverable; a production deploy swaps the codec fn."""
+    n, h, w, _ = frames.shape
+    head = _VID_MAGIC + np.array([n, h, w], dtype="<u4").tobytes()
+    return head + np.ascontiguousarray(frames).tobytes()
+
+
+def decode_video_frames(data: bytes):
+    """payload → (n_frames, H, W, 3) uint8 view (zero-copy)."""
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("unknown video format")
+    n, h, w = np.frombuffer(data[4:16], dtype="<u4")
+    return np.frombuffer(data, dtype=np.uint8, offset=16).reshape(int(n), int(h), int(w), 3)
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → one output row per SAMPLED
+    frame (every ``stride``-th), each with its frame index and 8×8
+    luma features — the flat_map-shaped video analogue of DecodeImage.
+    Output rows fan out, so downstream batches re-block under the
+    streaming executor (order carried by frame_idx, never block
+    order)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osm2gtfs_ray.stages.codecs import luma_features
+
+        ids, fidx, feats = [], [], []
+        media_ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        for mid, p in zip(media_ids, batch["payload"].to_pylist()):
+            frames = decode_video_frames(p)
+            for k in range(0, len(frames), self.stride):
+                ids.append(mid)
+                fidx.append(k)
+                feats.append(luma_features(frames[k], grid=8))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )

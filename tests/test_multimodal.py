@@ -164,3 +164,72 @@ def test_pipeline_end_to_end(ray_session):
     assert "payload" not in df.columns  # wide binary dropped at decode
     assert set(["media_id", "features", "target_width", "decoded_width"]) <= set(df.columns)
     assert (df["decoded_width"] == df["width"]).all()
+
+
+def test_resize_pixels_exact_means(ray_session):
+    """ResizePixels = decode -> nearest-neighbor resample -> channel
+    means; verify against a direct driver-side computation."""
+    from osm2gtfs_ray.stages.codecs import decode_image, resize_nearest
+    from osm2gtfs_ray.stages.multimodal import ResizePixels, media_dataset
+
+    ds = media_dataset(60, override_num_blocks=2)
+    out = (
+        ds.map_batches(ResizePixels, batch_format="pyarrow", batch_size=32,
+                       concurrency=(1, 2), fn_constructor_kwargs={"max_side": 16})
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert (np.maximum(out["resized_width"], out["resized_height"]) <= 16).all()
+    tbl = media_dataset(60, override_num_blocks=1).to_pandas().set_index("media_id")
+    for mid in (0, 7, 31):
+        img = decode_image(tbl.loc[mid, "payload"])
+        h, w = img.shape[:2]
+        s = min(1.0, 16 / max(w, h))
+        small = resize_nearest(img, max(1, round(w * s)), max(1, round(h * s)))
+        want = small.reshape(-1, 3).mean(axis=0)
+        np.testing.assert_allclose(
+            np.array(out.loc[mid, "mean_rgb"]), want, rtol=1e-5
+        )
+
+
+def test_frame_sampler_explodes_sampled_frames(ray_session):
+    """Video payloads -> one row per sampled frame with correct count,
+    indices, and per-frame features identical to direct decode."""
+    import ray.data
+
+    from osm2gtfs_ray.stages.codecs import luma_features
+    from osm2gtfs_ray.stages.multimodal import (
+        FrameSampler,
+        decode_video_frames,
+        encode_video,
+    )
+
+    rng = np.random.default_rng(3)
+    vids, rows = [], []
+    for mid, n_frames in ((0, 1), (1, 7), (2, 12)):
+        frames = rng.integers(0, 256, size=(n_frames, 9, 11, 3), dtype=np.uint8)
+        vids.append(frames)
+        rows.append({"media_id": mid, "payload": encode_video(frames)})
+    ds = ray.data.from_items(rows)
+    out = (
+        ds.map_batches(FrameSampler, batch_format="pyarrow", batch_size=2,
+                       concurrency=(1, 2), fn_constructor_kwargs={"stride": 4})
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # every 4th frame of each video, order as data
+    want_idx = {0: [0], 1: [0, 4], 2: [0, 4, 8]}
+    for mid, idxs in want_idx.items():
+        sub = out[out["media_id"] == mid]
+        assert sub["frame_idx"].tolist() == idxs
+        for k in idxs:
+            np.testing.assert_allclose(
+                np.array(sub[sub["frame_idx"] == k]["features"].iloc[0]),
+                luma_features(vids[mid][k], grid=8),
+                rtol=1e-6,
+            )
+    # round-trip sanity of the codec itself
+    rt = decode_video_frames(encode_video(vids[2]))
+    np.testing.assert_array_equal(rt, vids[2])

@@ -672,3 +672,20 @@ class TestDDSketch:
         sk = pd.DataFrame({"g": [0], "bucket": [0], "n": [1]})
         with pytest.raises(ValueError, match="quantile q"):
             dd_quantiles(sk, ["g"], [1.5])
+
+
+def test_top_terms_matches_brute_force(rd):
+    """Global top-k vocabulary (sharded exact plan) vs a driver-side
+    Counter over the same sf0.001 documents."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from osm2gtfs_ray.pipelines.text_queries import q_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = q_top_terms(sf, k=20)
+    texts = pq.read_table(sf + "/documents.parquet", columns=["text"])["text"].to_pylist()
+    c = Counter(w for t in texts for w in t.split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(map(tuple, got.values.tolist())) == want
