@@ -189,6 +189,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sq.SQL_ANN_IVF,
         "cosine_pairs": sq.SQL_COSINE_PAIRS,
         "ngram_jaccard": sq.SQL_NGRAM_JACCARD,
+        "minhash_pairs": sq.SQL_MINHASH_PAIRS,
+        "cosine_lsh": sq.SQL_COSINE_LSH,
+        "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,
         "top_orders": q.SQL_TOP_ORDERS,

@@ -39,6 +39,40 @@ from ray.data.aggregate import Max, Min
 # larger ones go through the shuffle join (both sides hash-partitioned)
 BROADCAST_LABEL_ROWS = 2_000_000
 
+# edge lists at or below this row count converge entirely on the driver
+# (vectorized numpy min-label propagation — microseconds per round vs
+# ~2 s of fixed Ray stage latency per distributed round). 500k edges ≈
+# 8 MB; the same size-aware plan-selection rule as the broadcast/shuffle
+# split above, one level down.
+DRIVER_EDGE_ROWS = 500_000
+
+
+def _cc_driver(edges_tbl: pa.Table) -> pa.Table:
+    """In-memory plan: min-label propagation + pointer jumping over
+    index-space labels (nodes sorted ascending, so min index == min
+    node id — identical output to the distributed plans)."""
+    a = edges_tbl["a"].to_numpy().astype(np.int64)
+    b = edges_tbl["b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ia, lbl[ib])
+        np.minimum.at(new, ib, lbl[ia])
+        new = new[new]  # pointer jump
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return pa.table(
+        {"node": pa.array(nodes), "component": pa.array(nodes[lbl])}
+    )
+
 
 def _initial_labels(pairs_ds):
     def expand(t: pa.Table) -> pa.Table:
@@ -66,6 +100,12 @@ def connected_components(
     edges = pairs_ds.materialize()  # static; reused every round AND by
     # _initial_labels — deriving labels from the un-materialized input
     # would re-execute the caller's whole edge-producing DAG a 2nd time
+    if broadcast is None and edges.count() <= DRIVER_EDGE_ROWS:
+        import ray.data
+
+        from osm2gtfs_ray.ops.joins import _as_arrow
+
+        return ray.data.from_arrow(_cc_driver(_as_arrow(edges)))
     if num_partitions is None:
         num_partitions = max(8, min(256, edges.num_blocks()))
     labels = (

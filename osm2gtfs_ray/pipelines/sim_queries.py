@@ -210,12 +210,66 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # MinHash-LSH near-dup (rows-only; recall measured in tests)
 # --------------------------------------------------------------------------
 
+MINHASH_CAND_SNAPSHOT = "/tmp/graft_minhash_cand_pairs.parquet"
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH candidate pairs verified by exact shingle Jaccard
-    ≥ 0.5 (shingle→minhash→band→bucket-groupby→verify)."""
+    ≥ 0.5 (shingle→minhash→band→bucket-groupby→verify).
+
+    Driver-checkable: the LSH CANDIDATE pair set (hash-derived, itself
+    not SQL-reproducible) is snapshotted to parquet, and the oracle
+    recomputes the exact-Jaccard VERIFY step over those same pairs
+    with string shingles (identical to the engine's 64-bit hash
+    shingles up to a ~2^-64-per-pair collision; same integer floor
+    arithmetic as SQL_NGRAM_JACCARD). At scale the snapshot would be a
+    partitioned write of the candidate Dataset."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = lsh_candidate_pairs(docs, num_perm=64, n_bands=16, n_shingle=3)
-    return verify_jaccard(cand, docs, n_shingle=3, threshold=0.5)
+    cand_tbl = _as_arrow(cand)
+    _pq.write_table(cand_tbl, MINHASH_CAND_SNAPSHOT)
+    return verify_jaccard(
+        ray.data.from_arrow(cand_tbl), docs, n_shingle=3, threshold=0.5
+    )
+
+
+SQL_MINHASH_PAIRS = rf"""
+WITH cand AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM read_parquet('{MINHASH_CAND_SNAPSHOT}')
+),
+ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM ws WHERE len(w) >= 3
+),
+gr AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM idx
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) BETWEEN 1 AND 2
+),
+sh AS (SELECT DISTINCT doc_id, g FROM gr),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cd.a, cd.b, COUNT(*) AS c
+  FROM cand cd
+  JOIN sh x ON x.doc_id = cd.a
+  JOIN sh y ON y.doc_id = cd.b AND y.g = x.g
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       CAST((i.c * 1000000) // (sa.n + sb.n - i.c) AS BIGINT) AS jaccard_e6
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE (i.c * 1000000) >= 500000 * (sa.n + sb.n - i.c)
+ORDER BY a, b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -302,8 +356,36 @@ def q_cosine_lsh(sf_dir: str):
         return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     if n <= 20_000:
-        return ann_mod.cosine_lsh_pairs(factory, tau=0.4, n_bits=30, n_bands=10)
+        return ann_mod.cosine_lsh_pairs(
+            factory, tau=0.4, n_bits=30, n_bands=10,
+            snapshot_path=COSINE_CAND_SNAPSHOT,
+        )
     return ann_mod.cosine_lsh_pairs(factory, tau=0.7, n_bits=60, n_bands=5)
+
+
+COSINE_CAND_SNAPSHOT = "/tmp/graft_cosine_cand_pairs.parquet"
+
+# Exact-cosine verify over the snapshotted candidate pairs. Matches the
+# sf<=0.01 parameterization (tau=0.4 — the scale the driver gate runs
+# at); the engine's float64 normalize-then-dot and DuckDB's
+# dot-over-norms agree to ~1e-15 relative, far inside the e6 rounding
+# grid, so sim_e6 values hash-match.
+SQL_COSINE_LSH = f"""
+WITH cand AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM read_parquet('{COSINE_CAND_SNAPSHOT}')
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+sims AS (
+  SELECT c.a, c.b, list_cosine_similarity(ea.emb, eb.emb) AS sim
+  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+)
+SELECT a, b, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
+FROM sims WHERE sim >= 0.4 ORDER BY a, b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -346,16 +428,59 @@ def q_ann_ivf(sf_dir: str):
     return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
 
 
+KMEANS_CENTROIDS_SNAPSHOT = "/tmp/graft_kmeans_centroids.parquet"
+
+
 def q_ann_ivf_kmeans(sf_dir: str):
     """IVF with Lloyd-refined spherical centroids (3 distributed
     iterations over the materialized embedding table) — the production
-    training step ann_ivf's first-N shortcut stands in for. Rows-only:
-    the iterative refinement has no SQL expression; recall vs the
-    brute scan and objective improvement are pytest-asserted
-    (tests/test_ops.py::TestANN)."""
+    training step ann_ivf's first-N shortcut stands in for.
+
+    Driver-checkable: the TRAINED centroids (16 × 64 doubles — the
+    only non-SQL-expressible artifact) are snapshotted to parquet, and
+    the oracle re-runs the probe/assign/top-k step over them with the
+    same argmax/tie-break as SQL_ANN_IVF. The Lloyd refinement itself
+    stays pytest-asserted (objective improvement, recall,
+    determinism)."""
+    import pyarrow.parquet as _pq
+
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     cents = ann_mod.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    _pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "c": pa.array([row.tolist() for row in cents], pa.list_(pa.float64())),
+            }
+        ),
+        KMEANS_CENTROIDS_SNAPSHOT,
+    )
     return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
+
+
+SQL_ANN_IVF_KMEANS = f"""
+WITH cents AS (
+  SELECT cid, CAST(c AS DOUBLE[]) AS c
+  FROM read_parquet('{KMEANS_CENTROIDS_SNAPSHOT}')
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cents, q ORDER BY list_cosine_similarity(c, qe) DESC, cid LIMIT 4
+),
+assign AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(cents.c, CAST(e.embedding AS DOUBLE[])) DESC, cid
+          LIMIT 1) AS cell
+  FROM embeddings e
+)
+SELECT a.vec_id,
+       CAST(ROUND(list_cosine_similarity(a.emb, q.qe) * 1000000) AS BIGINT) AS sim_e6
+FROM assign a, q
+WHERE a.cell IN (SELECT cid FROM probe)
+ORDER BY sim_e6 DESC, a.vec_id
+LIMIT 5
+"""
 
 
 # --------------------------------------------------------------------------

@@ -433,7 +433,8 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
 
 
 def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
-                     n_bands: int = 8, dim: int = 64, seed: int = 42):
+                     n_bands: int = 8, dim: int = 64, seed: int = 42,
+                     snapshot_path: str | None = None):
     """Near-dup pairs by cosine ≥ tau via random-hyperplane LSH:
     candidates from banded sign-bit collisions (sharded bucket
     groupby), then distributed exact-cosine verification. Recall is
@@ -446,4 +447,18 @@ def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
     pairs = rhp_candidate_pairs(
         emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
     )
+    if snapshot_path:
+        # candidate-pair snapshot for the driver's SQL oracle (the
+        # hash-derived candidate generation is not SQL-reproducible;
+        # the exact-cosine VERIFY over the same pairs is). Bounded by
+        # the LSH candidate volume; at scale, write the Dataset
+        # partitioned instead.
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from osm2gtfs_ray.ops.joins import _as_arrow
+
+        tbl = _as_arrow(pairs)
+        _pq.write_table(tbl, snapshot_path)
+        pairs = ray.data.from_arrow(tbl)
     return verify_cosine_pairs(pairs, emb_ds_factory(), tau, dim=dim)

@@ -272,6 +272,8 @@ def _verify_jaccard_broadcast(pairs, cand_docs, n_shingle: int, threshold: float
 
     from osm2gtfs_ray.ops.joins import _as_arrow
 
+    thr_e6 = int(round(threshold * 1e6))
+
     def sig_tbl(t: pa.Table) -> pa.Table:
         sigs = [shingle_hashes(x, n_shingle).tobytes() for x in t["text"].to_pylist()]
         return pa.table(
@@ -298,15 +300,15 @@ def _verify_jaccard_broadcast(pairs, cand_docs, n_shingle: int, threshold: float
         hu, starts, counts = _flat_from_binary(lookup["sig"])
         c, na, nb = _pair_intersections(hu, starts, counts, pa_idx, pb_idx)
         union = np.maximum(na + nb - c, 1)
-        j = c / union
-        keep = j >= threshold
+        # integer floor arithmetic, identical to ngram_jaccard_pairs and
+        # the SQL oracles — no float rounding anywhere near the gate
+        je6 = (c * 1_000_000) // union
+        keep = je6 >= thr_e6
         return pa.table(
             {
                 "a": pa.array(a[keep], pa.int64()),
                 "b": pa.array(b[keep], pa.int64()),
-                "jaccard_e6": pa.array(
-                    np.round(j[keep] * 1e6).astype(np.int64), pa.int64()
-                ),
+                "jaccard_e6": pa.array(je6[keep].astype(np.int64), pa.int64()),
             }
         )
 
@@ -440,13 +442,14 @@ def verify_jaccard(pairs_ds, docs, n_shingle: int = 3, threshold: float = 0.5,
             hu, starts, counts, np.arange(n), np.arange(n) + n
         )
         union = np.maximum(na + nb - c, 1)
-        j = c / union
-        keep = j >= threshold
+        # same integer floor arithmetic as the broadcast plan / oracles
+        je6 = (c * 1_000_000) // union
+        keep = je6 >= int(round(threshold * 1e6))
         return pd.DataFrame(
             {
                 "a": rows_a["a"].to_numpy(np.int64)[keep],
                 "b": rows_a["b"].to_numpy(np.int64)[keep],
-                "jaccard_e6": np.round(j[keep] * 1e6).astype(np.int64),
+                "jaccard_e6": je6[keep].astype(np.int64),
             }
         )
 

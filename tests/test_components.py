@@ -74,3 +74,36 @@ def test_shuffle_plan_matches_broadcast(ray_session):
     )
     assert got_b.equals(got_s)
     assert (got_b["component"].iloc[:10] == 0).all()
+
+
+def test_driver_plan_matches_distributed_plans(ray_session):
+    """The size-aware driver fast-path (edges <= DRIVER_EDGE_ROWS,
+    in-memory numpy propagation) must equal BOTH distributed plans."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(0, 200, size=(300, 2))
+            if a != b
+        }
+    )
+
+    def run(**kw):
+        ds = ray.data.from_items([{"a": a, "b": b} for a, b in pairs])
+        return (
+            connected_components(ds, **kw)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    got_driver = run()  # auto → driver fast-path at this size
+    got_b = run(broadcast=True)
+    # pin the shuffle fan-out: from_items yields ~1 block per row and
+    # the default num_partitions (≈ num_blocks) would spawn hundreds of
+    # join partitions on the 4-CPU test session
+    got_s = run(broadcast=False, num_partitions=4)
+    assert got_driver.equals(got_b)
+    assert got_driver.equals(got_s)
