@@ -17,16 +17,20 @@ from typing import Any
 
 sys.path.insert(0, "/root/repo")
 
-# q_dedup_groups snapshots its (hash-derived) candidate-pair set here so
-# SQL_DEDUP_GROUPS can recompute the components over the SAME edges; the
-# query always runs before its oracle in the driver/verify harness.
+# q_dedup_groups / q_embedding_dedup_groups snapshot their
+# (hash-derived) pair sets here so their SQL oracles can recompute the
+# components over the SAME edges; a query always runs before its oracle
+# in the driver/verify harness.
 DEDUP_PAIRS_SNAPSHOT = "/tmp/graft_dedup_groups_pairs.parquet"
+EMB_PAIRS_SNAPSHOT = "/tmp/graft_embedding_dedup_pairs.parquet"
 
-SQL_DEDUP_GROUPS = f"""
+
+def _sql_components_over(snapshot: str) -> str:
+    return f"""
 WITH RECURSIVE
 edges AS (
   SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-  FROM read_parquet('{DEDUP_PAIRS_SNAPSHOT}')
+  FROM read_parquet('{snapshot}')
 ),
 sym AS (
   SELECT a, b FROM edges UNION SELECT b, a FROM edges
@@ -43,6 +47,10 @@ comp AS (
 SELECT CAST(node AS BIGINT) AS node, CAST(component AS BIGINT) AS component
 FROM comp
 """
+
+
+SQL_DEDUP_GROUPS = _sql_components_over(DEDUP_PAIRS_SNAPSHOT)
+SQL_EMBEDDING_DEDUP_GROUPS = _sql_components_over(EMB_PAIRS_SNAPSHOT)
 
 
 def entry() -> Any:
@@ -88,6 +96,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _pq.write_table(pairs, DEDUP_PAIRS_SNAPSHOT)
         return connected_components(ray.data.from_arrow(pairs))
 
+    def q_embedding_dedup_groups(sf_dir: str):
+        """Embedding near-dup clusters: cosine-LSH verified pairs
+        (exact cosine ≥ tau over hash-bucketed candidates) → connected
+        components. Same snapshot-oracle pattern as q_dedup_groups:
+        the verified pair set is written to parquet inside the query
+        and the oracle recomputes the component grouping over that
+        same file with WITH RECURSIVE — the clustering step is exactly
+        driver-verified even though the candidate generation is
+        hash-based."""
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from osm2gtfs_ray.ops.components import connected_components
+        from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.pipelines.sim_queries import q_cosine_lsh
+
+        pairs = _as_arrow(q_cosine_lsh(sf_dir).select_columns(["a", "b"]))
+        _pq.write_table(pairs, EMB_PAIRS_SNAPSHOT)
+        return connected_components(ray.data.from_arrow(pairs))
+
     q_tile_rasterize = fo.q_tile_rasterize
 
     return {
@@ -115,6 +143,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup
         "token_stats": tq.q_token_stats,
         "top_terms": tq.q_top_terms,
+        "inverted_index": tq.q_inverted_index,
+        "tfidf_top_terms": tq.q_tfidf_top_terms,
+        "norm_dedup": tq.q_norm_dedup,
+        "stratified_sample": q.q_stratified_sample,
         "bpe_token_stats": tq.q_bpe_token_stats,
         "exact_dedup": tq.q_exact_dedup,
         "sample_split": tq.q_sample_split,
@@ -144,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assignments": q_tile_assignments,
         "tile_rasterize": q_tile_rasterize,
         "dedup_groups": q_dedup_groups,
+        "embedding_dedup_groups": q_embedding_dedup_groups,
         # multimodal: real BMP/PPM/PNG decode, dims verified vs splitmix oracle
         "media_decode": mq.q_media_decode,
     }
@@ -176,6 +209,11 @@ def oracle_sql() -> dict[str, str]:
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
         "top_terms": tq.SQL_TOP_TERMS,
+        "inverted_index": tq.SQL_INVERTED_INDEX,
+        "tfidf_top_terms": tq.SQL_TFIDF_TOP_TERMS,
+        "norm_dedup": tq.SQL_NORM_DEDUP,
+        "stratified_sample": q.SQL_STRATIFIED_SAMPLE,
+        "embedding_dedup_groups": SQL_EMBEDDING_DEDUP_GROUPS,
         "bpe_token_stats": tq.SQL_BPE_TOKEN_STATS,
         "lang_id": tq.SQL_LANG_ID,
         "fingerprint": tq.SQL_FINGERPRINT,
@@ -205,5 +243,6 @@ def oracle_sql() -> dict[str, str]:
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
         "quantile_qty": q.SQL_QUANTILE_QTY,
         "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
+        "dau_approx": q.SQL_DAU_APPROX,
         "top_orders_per_customer": q.SQL_TOP_ORDERS_PER_CUSTOMER,
     }

@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "nearest_events",
     "token_stats",
     "top_terms",
+    "inverted_index",
+    "tfidf_top_terms",
+    "norm_dedup",
+    "stratified_sample",
     "bpe_token_stats",
     "window_event_stats",
     "exact_dedup",

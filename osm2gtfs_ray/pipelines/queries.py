@@ -490,9 +490,14 @@ FROM events GROUP BY 1
 # --------------------------------------------------------------------------
 # Approximate DAU via HyperLogLog sketch (ops/sketch.py): the
 # corpus-scale path for q_daily_active_users — fixed 2^10 bytes per
-# (day, batch) move instead of one row per distinct user. Rows-only:
-# the estimate is approximate by design; the ~3% error bound vs the
-# exact count is pytest-asserted (tests/test_ops.py::TestHLL).
+# (day, batch) move instead of one row per distinct user. The estimate
+# is approximate vs the TRUE count (~3% bound, pytest-asserted in
+# tests/test_ops.py::TestHLL) but DETERMINISTIC given the hash, so the
+# whole sketch re-derives in SQL: splitmix64 per user_id, register =
+# top 10 hash bits, rho = leading zeros of the low 54 bits + 1
+# (exact integer bit-length via bin()-string, no float log2), per-day
+# register MAX, then the bias-corrected harmonic estimate with the
+# linear-counting small-range branch — SQL_DAU_APPROX below.
 # --------------------------------------------------------------------------
 
 def q_dau_approx(sf_dir: str):
@@ -514,6 +519,52 @@ def q_dau_approx(sf_dir: str):
             "dau_est": est["estimate"].astype("int64"),
         }
     )
+
+
+def _sql_dau_approx() -> str:
+    """Bit-exact SQL re-derivation of the HLL pipeline (ops/sketch.py,
+    P=10). Register state is integer-exact (verified register-identical
+    vs numpy at sf0.01); the only float steps are the harmonic sum and
+    ln(), where an ulp-level summation-order difference could in theory
+    flip ROUND at an exact .5 boundary — never observed, and the
+    estimate values (ratios of irrational logs) essentially cannot land
+    on .5 exactly."""
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_mix64
+
+    h = _s_mix64("CAST(user_id AS UBIGINT)")
+    low54 = (1 << 54) - 1
+    return f"""
+WITH hashed AS (
+  SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_start,
+         ({h}) AS h
+  FROM events
+),
+regs AS (
+  SELECT day_start,
+         CAST(h >> 54 AS BIGINT) AS reg,
+         MAX(CASE WHEN (h & CAST({low54} AS UBIGINT)) = CAST(0 AS UBIGINT) THEN 55
+              ELSE 55 - length(ltrim(bin(h & CAST({low54} AS UBIGINT)), '0')) END) AS rho
+  FROM hashed GROUP BY 1, 2
+),
+folded AS (
+  SELECT day_start,
+         SUM(POWER(2.0, -rho)) + (1024 - COUNT(*)) AS s,
+         1024 - COUNT(*) AS zeros
+  FROM regs GROUP BY day_start
+),
+est AS (
+  SELECT day_start, zeros,
+         (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 / s AS e
+  FROM folded
+)
+SELECT day_start,
+       CAST(ROUND(CASE WHEN e <= 2560.0 AND zeros > 0
+                       THEN 1024 * LN(1024.0 / zeros) ELSE e END) AS BIGINT) AS dau_est
+FROM est
+"""
+
+
+SQL_DAU_APPROX = _sql_dau_approx()
 
 
 # --------------------------------------------------------------------------
@@ -701,3 +752,73 @@ SELECT o_orderkey,
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS prev_odate
 FROM orders
 """
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling: per-stratum rates, hash-keyed on
+# the row id — the downsampling pass a training-data pipeline runs to
+# rebalance strata (here: order priorities) without a shuffle or any
+# global state. Pure map stage; the same splitmix64 the synthesizer
+# and the split/flagship oracles use, so the SQL oracle reproduces the
+# kept set bit-exactly.
+# --------------------------------------------------------------------------
+
+_STRAT_STREAM = 91
+_STRAT_RATES = {  # percent kept per o_orderpriority stratum
+    "1-URGENT": 50,
+    "2-HIGH": 25,
+    "3-MEDIUM": 10,
+    "4-NOT SPECIFIED": 5,
+    "5-LOW": 2,
+}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Keep an order iff splitmix64(o_orderkey) % 100 < rate(priority).
+    Embarrassingly parallel (no shuffle, no state); at 10^12 rows this
+    is a filter fused into the read. Deterministic: re-runs keep the
+    identical row set, which is what makes the sample resumable and
+    the train corpus reproducible."""
+    from osm2gtfs_ray.sources.pages import _uint
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    rates = dict(_STRAT_RATES)
+
+    def sample(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        h = _uint(keys.astype(np.uint64), _STRAT_STREAM, 42, 100)
+        prio = t["o_orderpriority"].to_pandas()
+        rate = prio.map(rates).fillna(0).to_numpy(np.int64)
+        keep = pa.array(h < rate)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(keep),
+                "o_orderpriority": t["o_orderpriority"].filter(keep),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"].filter(keep), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return orders.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_stratified_sample() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    h = _s_uint("CAST(o_orderkey AS UBIGINT)", _STRAT_STREAM, 100)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRAT_RATES.items()
+    )
+    return f"""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE ({h}) < (CASE o_orderpriority {cases} ELSE 0 END)
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()

@@ -561,3 +561,213 @@ reach(node, m) AS (
 SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(m) AS BIGINT) AS component
 FROM reach GROUP BY node
 """
+
+
+# --------------------------------------------------------------------------
+# Inverted index build (term → posting rows) — the retrieval-side
+# companion to q_top_terms. Reference analogue: the stop/route lookup
+# dicts osm2gtfs builds once and probes per trip
+# (reference creators build id→object indexes); here the "index" is
+# data, emitted as (term, doc_id, tf) posting rows.
+# --------------------------------------------------------------------------
+
+def q_inverted_index(sf_dir: str):
+    """Posting list in flat form: one row per (term, doc_id) with the
+    in-document term frequency. Embarrassingly parallel — each document
+    lives wholly in one row, so every batch computes its postings with
+    zero shuffle (Arrow split → list_parent_indices → one vectorized
+    groupby per batch). At 10^12 docs this is a pure map stage whose
+    output writes straight to term-bucketed parquet; the only global
+    step a consumer might add (sorting postings by term) is the
+    sink's partitioning, not a pipeline barrier."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        doc_ids = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        g = (
+            pa.table({"term": flat.filter(keep), "doc_id": doc_ids.filter(keep)})
+            .group_by(["term", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "doc_id", "tf"])
+
+    ds = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "tf": pc.cast(t["tf"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_INVERTED_INDEX = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM words WHERE term <> '' GROUP BY term, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic relevance ranking,
+# distributed as two posting-row shuffles (term-keyed df join, then
+# doc-keyed top-k). No vocabulary-sized broadcast anywhere.
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = _TFIDF_K):
+    """Top-k terms per doc by tf·ln(N/df), ties → term asc.
+
+    Plan: batch-local postings (zero shuffle, as q_inverted_index) →
+    term-hash sharded shuffle attaches df to every posting (a term's
+    postings land wholly in one shard, so df is an in-shard groupby —
+    never a vocabulary broadcast) → doc-hash sharded shuffle takes the
+    per-doc top-k (a doc's postings co-locate). Both shuffles move
+    posting rows only; N comes from parquet count metadata. Score
+    floats are computed identically here (np.log, float64) and in the
+    oracle (LN, float64) from identical integer inputs, so comparisons
+    rank identically; ties are broken on the integer/string columns."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata — no scan
+
+    def postings(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        doc_ids = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        g = (
+            pa.table({"term": flat.filter(keep), "doc_id": doc_ids.filter(keep)})
+            .group_by(["term", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "doc_id", "tf"])
+
+    posts = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.copy(deep=False)
+        out["df"] = g.groupby("term", sort=False)["doc_id"].transform("size")
+        return out
+
+    with_df = sharded_map_groups(posts, "term", attach_df)
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = g["tf"].to_numpy(np.float64) * np.log(
+            float(n_docs) / g["df"].to_numpy(np.float64)
+        )
+        out = g.assign(score=score).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        out = out[out["rank"] <= k]
+        return out[["doc_id", "rank", "term", "tf", "df"]]
+
+    res = sharded_map_groups(with_df, "doc_id", doc_topk)
+    return res.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "term": t["term"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+                "df": pc.cast(t["df"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM words WHERE term <> '' GROUP BY term, doc_id
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM (
+  SELECT doc_id, term, tf, df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Normalization-then-dedup: case/punctuation/whitespace-insensitive
+# exact dedup (the cheap canonicalization pass a corpus runs before
+# the expensive near-dup stages). Same first-wins semantics as
+# q_exact_dedup; both the Arrow kernel and DuckDB run RE2, so the
+# normalization is literally the same regex engine on both sides.
+# --------------------------------------------------------------------------
+
+def q_norm_dedup(sf_dir: str):
+    """lowercase → strip [.,!?;:] → collapse whitespace → trim, then
+    exact dedup on the normalized text: min doc_id + copy count per
+    normalized form. Map-side combine before the one content-keyed
+    shuffle (same shape as q_exact_dedup)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def normalize(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"[.,!?;:]", "")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": t["doc_id"], "norm_text": s})
+
+    normed = docs.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def local_part(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("norm_text", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+
+    def shard_agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("norm_text", as_index=False, sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")
+        )
+        return out[["doc_id", "n_copies"]]
+
+    return sharded_map_groups(normed, "norm_text", shard_agg, local_pre=local_part)
+
+
+SQL_NORM_DEDUP = r"""
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+GROUP BY norm_text
+"""

