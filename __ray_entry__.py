@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": sq.q_minhash_pairs,
         "ngram_jaccard": sq.q_ngram_jaccard,
         "simhash": sq.q_simhash,
+        "simhash_pairs": sq.q_simhash_pairs,
         "ann_ivf": sq.q_ann_ivf,
         "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
         "cosine_lsh": sq.q_cosine_lsh,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_pairs": sq.SQL_COSINE_PAIRS,
         "ngram_jaccard": sq.SQL_NGRAM_JACCARD,
         "minhash_pairs": sq.SQL_MINHASH_PAIRS,
+        "simhash_pairs": sq.SQL_SIMHASH_PAIRS,
         "cosine_lsh": sq.SQL_COSINE_LSH,
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "props_extract": sq.SQL_PROPS_EXTRACT,
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "window_event_stats": q.SQL_WINDOW_EVENT_STATS,
         "prev_order_gap": q.SQL_PREV_ORDER_GAP,
         "quantile_qty": q.SQL_QUANTILE_QTY,
+        "quantile_price_sketch": q.SQL_QUANTILE_PRICE_SKETCH,
         "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
         "dau_approx": q.SQL_DAU_APPROX,
         "top_orders_per_customer": q.SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",
+    "simhash_pairs",
     "props_extract",
     "lang_id",
     "fingerprint",

@@ -525,3 +525,46 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs — EXACT hamming ≤ 3 via 4×16-bit banding
+# (pigeonhole recall = 1.0; stages/dedup.simhash_pairs). The blake2b
+# word hash inside the signature is not SQL-reproducible, so the sigs
+# are snapshotted and the oracle re-derives the ENTIRE pair set from
+# them: all (a<b) with bit_count(xor(sig_a, sig_b)) ≤ 3 — verifying
+# banding, bucketing, pairing, dedup AND the hamming verify.
+# --------------------------------------------------------------------------
+
+SIMHASH_SIGS_SNAPSHOT = "/tmp/graft_simhash_sigs.parquet"
+
+
+def q_simhash_pairs(sf_dir: str):
+    from osm2gtfs_ray.stages.dedup import simhash_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = simhash_pairs(docs, max_hamming=3, n_bands=4,
+                          snapshot_path=SIMHASH_SIGS_SNAPSHOT)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "hamming": pc.cast(t["hamming"], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sigs AS (
+  SELECT doc_id, CAST(simhash AS UBIGINT) AS sig
+  FROM read_parquet('{SIMHASH_SIGS_SNAPSHOT}')
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from osm2gtfs_ray.sources.pages import mix64
 
@@ -624,3 +625,104 @@ class SimHasher:
             votes = (2 * bits - 1).sum(axis=0)
             out[i] = np.uint64(sum(np.uint64(1) << np.uint64(k) for k in range(64) if votes[k] > 0))
         return batch.append_column("simhash", pa.array(out, pa.uint64()))
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
+                  snapshot_path: str | None = None):
+    """ALL document pairs with hamming(simhash_a, simhash_b) ≤
+    max_hamming — EXACT, not approximate: with 64-bit signatures cut
+    into n_bands equal bands, any pair differing in ≤ n_bands-1 bits
+    must agree on at least one whole band (pigeonhole), so banded
+    bucketing has recall 1.0 for max_hamming ≤ n_bands-1 (the
+    Manku/Jain/Sarma WWW'07 construction). Plan: one signature pass →
+    band-keyed sharded shuffle carrying (doc_id, sig) → in-shard pair
+    generation + hamming verify (the pair's two sigs are already
+    co-located, so verification needs NO second join) → pair-keyed
+    distinct (a pair found in several bands must emit once).
+
+    Skew note: a band value shared by k docs yields k²/2 in-shard
+    candidates; hot bands (near-constant vocab) are the salt-target at
+    corpus scale, same as dense cells in the spatial join.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("exactness needs max_hamming <= n_bands - 1")
+    from osm2gtfs_ray.ops.dedupe import distinct
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
+
+    sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+    if snapshot_path:
+        # signature snapshot for the driver's SQL oracle (the blake2b
+        # word hash inside SimHasher is not SQL-reproducible; the
+        # banding + hamming verify over the SAME sigs is). At scale
+        # this would be a partitioned Dataset write instead.
+        import ray.data
+
+        from osm2gtfs_ray.ops.joins import _as_arrow
+
+        tbl = _as_arrow(sigs)
+        pq.write_table(tbl, snapshot_path)
+        sigs = ray.data.from_arrow(tbl)
+
+    def explode_bands(t: pa.Table) -> pd.DataFrame:
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(sig)
+        return pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(n_bands, dtype=np.int64), n),
+                "key": np.concatenate(
+                    [
+                        ((sig >> np.uint64(b * bits)) & mask).astype(np.int64)
+                        for b in range(n_bands)
+                    ]
+                ),
+                "doc_id": np.tile(did, n_bands),
+                "sig": np.tile(sig, n_bands),
+            }
+        )
+
+    bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band", "key"], keep=False)]
+        out = []
+        for _, grp in dup.groupby(["band", "key"], sort=False):
+            order = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
+            ids = grp["doc_id"].to_numpy()[order]
+            sg = grp["sig"].to_numpy()[order].astype(np.uint64)
+            i, j = np.triu_indices(len(ids), k=1)
+            ham = popcount64(sg[i] ^ sg[j])
+            keep = ham <= max_hamming
+            out.append(
+                pd.DataFrame(
+                    {"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True).drop_duplicates(["a", "b"])
+
+    pairs = sharded_map_groups(bands, ["band", "key"], shard_pairs)
+    return distinct(pairs, ["a", "b", "hamming"])

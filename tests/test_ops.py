@@ -333,6 +333,51 @@ class TestMinHash:
         ham = bin(out1[0] ^ out1[1]).count("1")
         assert ham <= 16  # near-dups land close in hamming space
 
+    def test_popcount64_matches_python(self):
+        from osm2gtfs_ray.stages.dedup import popcount64
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+        vals[:4] = [0, 1, 2**63, 2**64 - 1]
+        got = popcount64(vals)
+        want = [bin(int(v)).count("1") for v in vals]
+        assert got.tolist() == want
+
+    def test_simhash_pairs_exact_vs_brute(self, rd):
+        from osm2gtfs_ray.stages.dedup import SimHasher, simhash_pairs
+
+        docs = []
+        for i in range(40):
+            docs.append({"doc_id": 2 * i, "text": self._doc(i)})
+            docs.append({"doc_id": 2 * i + 1, "text": self._doc(i, mutate=1)})
+        got = simhash_pairs(rd.from_items(docs), max_hamming=3, n_bands=4).to_pandas()
+        got_t = sorted(map(tuple, got[["a", "b", "hamming"]].values.tolist()))
+        # brute force over signatures: banding must lose NOTHING (pigeonhole)
+        sigs = SimHasher()(
+            pa.table(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "text": [d["text"] for d in docs],
+                }
+            )
+        )
+        ids = sigs["doc_id"].to_pylist()
+        sg = sigs["simhash"].to_pylist()
+        want = sorted(
+            (min(ids[i], ids[j]), max(ids[i], ids[j]), bin(sg[i] ^ sg[j]).count("1"))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if bin(sg[i] ^ sg[j]).count("1") <= 3
+        )
+        assert got_t == want
+
+    def test_simhash_pairs_rejects_unreachable_hamming(self, rd):
+        from osm2gtfs_ray.stages.dedup import simhash_pairs
+
+        with pytest.raises(ValueError):
+            simhash_pairs(rd.from_items([{"doc_id": 1, "text": "x"}]),
+                          max_hamming=4, n_bands=4)
+
 
 class TestANN:
     def test_brute_topk_matches_numpy(self, rd):
