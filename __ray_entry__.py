@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import setop_queries as so
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
     from osm2gtfs_ray.pipelines import media_queries as mq
+    from osm2gtfs_ray.pipelines import analytics_queries as aq
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -135,6 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": q.q_daily_active_users,
         "dau_approx": q.q_dau_approx,
         "top_orders_per_customer": q.q_top_orders_per_customer,
+        # windowed / multi-level / statistical aggregates
+        "mode_event_type": aq.q_mode_event_type,
+        "corr_qty_price": aq.q_corr_qty_price,
+        "event_pivot": aq.q_event_pivot,
+        "revenue_rollup": aq.q_revenue_rollup,
+        "rolling_user_value": aq.q_rolling_user_value,
+        "rolling_daily_revenue": aq.q_rolling_daily_revenue,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -191,9 +199,17 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import setop_queries as so
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
     from osm2gtfs_ray.pipelines import media_queries as mq
+    from osm2gtfs_ray.pipelines import analytics_queries as aq
 
     return {
         "media_decode": mq.sql_media_decode(),
+        # windowed / multi-level / statistical aggregates
+        "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
+        "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
+        "event_pivot": aq.SQL_EVENT_PIVOT,
+        "revenue_rollup": aq.SQL_REVENUE_ROLLUP,
+        "rolling_user_value": aq.SQL_ROLLING_USER_VALUE,
+        "rolling_daily_revenue": aq.SQL_ROLLING_DAILY_REVENUE,
         # flagship spatial join: PIP + kNN fully re-derived in SQL
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),

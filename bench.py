@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "daily_active_users",
     "dau_approx",
     "top_orders_per_customer",
+    "mode_event_type",
+    "corr_qty_price",
+    "event_pivot",
+    "revenue_rollup",
+    "rolling_user_value",
+    "rolling_daily_revenue",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",

@@ -1,0 +1,380 @@
+"""Windowed / multi-level / statistical aggregates over the event and
+order tables — the analytics operator family (SURVEY.md §2.5/A plus
+the windowed-aggregate custom-operator class): grouped mode,
+grouped Pearson correlation from mergeable partials, pivot,
+ROLLUP-style multi-level totals, per-key ROWS-frame rolling windows
+and a global RANGE-frame time rolling window.
+
+Every query follows the repo encoding rules (pipelines/queries.py
+module docstring): float aggregates emitted as scaled BIGINTs on both
+sides, timestamps as epoch units.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.sources.tables import read_table
+
+# event_type domain is closed (synthetic generator emits exactly these);
+# the pivot's output schema must be static for the driver's schema check
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --------------------------------------------------------------------------
+# Grouped MODE (most frequent value per key, deterministic tie-break)
+# — reference analogue: the "most common name wins" stop-name merge
+# (osm2gtfs/core/osm_stops.py group naming); classic heavy-hitter-per-
+# key. Plan: map-side (user,type) count partials → user-hash sharded
+# shuffle of PARTIALS (≤ |users|×5 rows, never raw events) → per-shard
+# vectorized argmax.
+# --------------------------------------------------------------------------
+
+def q_mode_event_type(sf_dir: str):
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = (
+            t.group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "n_part"])
+        )
+        return g.to_pandas()
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_mode(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["user_id", "event_type"], sort=False)["n_part"]
+            .sum()
+            .reset_index(name="n")
+        )
+        # count desc, type asc: first row per user after one C-level sort
+        agg = agg.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = agg.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "mode_type": top["event_type"].to_numpy(),
+                "n": top["n"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return sharded_map_groups(parts, "user_id", shard_mode)
+
+
+SQL_MODE_EVENT_TYPE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS r
+  FROM counts
+)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM ranked WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouped Pearson correlation from mergeable moment partials
+# (n, Σx, Σy, Σxx, Σyy, Σxy per batch → one tiny groupby → closed form)
+# — the distributed-statistics shape: nothing row-sized leaves a batch.
+# --------------------------------------------------------------------------
+
+def q_corr_qty_price(sf_dir: str):
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "g": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "x": t["l_quantity"].to_numpy(zero_copy_only=False),
+                "y": t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = 1
+        return df.groupby("g", sort=False).sum().reset_index()
+
+    parts = li.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+    tot = parts.groupby("g").sum(["x", "y", "xx", "yy", "xy", "n"]).to_pandas()
+    n = tot["sum(n)"].to_numpy(np.float64)
+    sx, sy = tot["sum(x)"].to_numpy(), tot["sum(y)"].to_numpy()
+    sxx, syy, sxy = (
+        tot["sum(xx)"].to_numpy(),
+        tot["sum(yy)"].to_numpy(),
+        tot["sum(xy)"].to_numpy(),
+    )
+    corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx**2) * (n * syy - sy**2))
+    out = pd.DataFrame(
+        {
+            "l_returnflag": tot["g"],
+            "n": n.astype(np.int64),
+            # half-away-from-zero to match DuckDB ROUND (corr can be < 0)
+            "corr_e6": np.trunc(corr * 1e6 + np.copysign(0.5, corr)).astype(np.int64),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_CORR_QTY_PRICE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(corr(l_quantity, l_extendedprice) * 1e6) AS BIGINT) AS corr_e6
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-day event counts, one column per event type (the closed
+# 5-value domain makes the output schema static). Plan: ONE grouped
+# count on (day, type) — long form, pre-aggregated map-side by Ray's
+# hash aggregate — then the wide reshape happens on the tiny result.
+# --------------------------------------------------------------------------
+
+def q_event_pivot(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_type(t: pa.Table) -> pa.Table:
+        # integer epoch-micros // day (epochs here are positive, so
+        # truncating division == floor, matching the SQL's FLOOR);
+        # a direct cast to timestamp[s] rejects sub-second precision
+        micros = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(micros, pa.scalar(86_400_000_000, pa.int64()))
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    long = (
+        ev.map_batches(day_type, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .count()
+        .to_pandas()
+    )
+    wide = long.pivot_table(
+        index="day", columns="event_type", values="count()", fill_value=0
+    )
+    out = pd.DataFrame({"day": wide.index.to_numpy(dtype=np.int64)})
+    for t in EVENT_TYPES:
+        out[f"n_{t}"] = (
+            wide[t].to_numpy(dtype=np.int64) if t in wide else np.int64(0)
+        )
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def _sql_event_pivot() -> str:
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_EVENT_PIVOT = _sql_event_pivot()
+
+
+# --------------------------------------------------------------------------
+# ROLLUP multi-level totals: (flag, status) + per-flag + grand total in
+# one pass. Plan: ONE distributed groupby at the finest level; the
+# coarser levels re-aggregate the finest RESULT (≤ |flag|×|status|
+# rows) — never a second corpus scan. NULL group markers become 'ALL'
+# on both sides (drivers hash NULLs differently across engines).
+# --------------------------------------------------------------------------
+
+def q_revenue_rollup(sf_dir: str):
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "f": t["l_returnflag"].to_numpy(zero_copy_only=False),
+                "s": t["l_linestatus"].to_numpy(zero_copy_only=False),
+                "v": t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["f", "s"], sort=False)["v"].agg(["sum", "count"])
+        return g.reset_index().rename(columns={"sum": "rev", "count": "n"})
+
+    fine = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["f", "s"])
+        .sum(["rev", "n"])
+        .to_pandas()
+        .rename(columns={"sum(rev)": "rev", "sum(n)": "n"})
+    )
+    mid = fine.groupby("f", as_index=False)[["rev", "n"]].sum()
+    mid["s"] = "ALL"
+    top = pd.DataFrame(
+        {"f": ["ALL"], "s": ["ALL"], "rev": [fine["rev"].sum()], "n": [fine["n"].sum()]}
+    )
+    allrows = pd.concat([fine, mid, top], ignore_index=True)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": allrows["f"],
+            "l_linestatus": allrows["s"],
+            "revenue_cents": np.floor(allrows["rev"].to_numpy() * 100 + 0.5).astype(
+                np.int64
+            ),
+            "n": allrows["n"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-key ROWS-frame rolling window: each user's trailing-3-event mean
+# value (ops/window.partitioned_rolling; one key-hash shuffle, every
+# frame computed in one vectorized pandas pass per shard).
+# --------------------------------------------------------------------------
+
+def q_rolling_user_value(sf_dir: str):
+    from osm2gtfs_ray.ops.window import partitioned_rolling
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    rolled = partitioned_rolling(
+        ev, "user_id", ["ts", "event_id"], "value", window=3
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t["roll_sum"], pc.cast(t["roll_n"], pa.float64()))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "roll_n": pc.cast(t["roll_n"], pa.int64()),
+                "roll_mean_e6": pc.cast(
+                    pc.round(
+                        pc.multiply(mean, pa.scalar(1e6)),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ROLLING_USER_VALUE = """
+SELECT event_id, user_id,
+       CAST(COUNT(value) OVER w AS BIGINT) AS roll_n,
+       CAST(ROUND(AVG(value) OVER w * 1e6) AS BIGINT) AS roll_mean_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Global RANGE-frame time rolling: 7-day moving average of daily order
+# revenue. Daily totals come from one distributed groupby; the rolling
+# pass is ops/window.time_bucket_rolling (month-wide buckets, trailing
+# 6 days replicated into the successor bucket — no sequential pass).
+# --------------------------------------------------------------------------
+
+def q_rolling_daily_revenue(sf_dir: str):
+    import ray.data
+
+    from osm2gtfs_ray.ops.window import time_bucket_rolling
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_rev(t: pa.Table) -> pd.DataFrame:
+        day = (
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("s")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86400
+        )
+        df = pd.DataFrame(
+            {"day": day, "rev": t["o_totalprice"].to_numpy(zero_copy_only=False)}
+        )
+        return df.groupby("day", sort=False)["rev"].sum().reset_index()
+
+    daily = (
+        orders.map_batches(day_rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("rev")
+        .to_pandas()
+        .rename(columns={"sum(rev)": "rev"})
+    )
+    rolled = time_bucket_rolling(
+        ray.data.from_pandas(daily), "day", "rev", window=7, bucket=32
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # hash the window SUM (cent-quantized source values → never a
+        # .5 knife-edge), not the mean: sparse windows with n=2/4 put
+        # the mean exactly on .5 cents where the two engines' fp
+        # round-trips disagree. Consumers derive the mean from the pair.
+        return pa.table(
+            {
+                "day": pc.cast(t["day"], pa.int64()),
+                "revenue_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["rev"], pa.scalar(100.0)),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                "n_days_in_window": pc.cast(t["roll_n"], pa.int64()),
+                "win_rev_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["roll_sum"], pa.scalar(100.0)),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ROLLING_DAILY_REVENUE = """
+WITH daily AS (
+  SELECT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       CAST(ROUND(rev * 100) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(rev) OVER w AS BIGINT) AS n_days_in_window,
+       CAST(ROUND(SUM(rev) OVER w * 100) AS BIGINT) AS win_rev_cents
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""

@@ -1,0 +1,124 @@
+"""Distributed prefix scan (ops/scan.py) and windowed aggregates
+(ops/window.py) vs single-process brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+class TestDistributedCumsum:
+    def _fixture(self, n=500, seed=3):
+        rng = np.random.default_rng(seed)
+        keys = rng.permutation(n * 3)[:n]  # sparse, shuffled, unique
+        vals = rng.integers(1, 50, size=n)
+        return pd.DataFrame({"k": keys, "v": vals})
+
+    def test_matches_sorted_cumsum(self, rd):
+        from osm2gtfs_ray.ops.scan import distributed_cumsum
+
+        df = self._fixture()
+        # many small blocks so shards genuinely span block boundaries
+        ds = rd.from_pandas(df).repartition(13)
+        got = (
+            distributed_cumsum(ds, "k", "v", out_col="off", n_shards=7)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = df.sort_values("k").reset_index(drop=True)
+        want["off"] = want["v"].cumsum() - want["v"]  # exclusive
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["off"].tolist() == want["off"].tolist()
+
+    def test_inclusive_and_known_key_max(self, rd):
+        from osm2gtfs_ray.ops.scan import distributed_cumsum
+
+        df = self._fixture(n=100, seed=4)
+        ds = rd.from_pandas(df)
+        got = (
+            distributed_cumsum(
+                ds, "k", "v", out_col="cs", n_shards=5,
+                key_max=int(df["k"].max()), exclusive=False,
+            )
+            .to_pandas()
+            .sort_values("k")
+        )
+        want = df.sort_values("k")["v"].cumsum().tolist()
+        assert got["cs"].tolist() == want
+
+
+class TestRolling:
+    def test_partitioned_rolling_matches_pandas(self, rd):
+        from osm2gtfs_ray.ops.window import partitioned_rolling
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "uid": rng.integers(0, 20, size=400),
+                "ts": rng.permutation(400),
+                "v": rng.normal(size=400),
+            }
+        )
+        got = (
+            partitioned_rolling(
+                rd.from_pandas(df).repartition(9), "uid", ["ts"], "v", window=3
+            )
+            .to_pandas()
+            .sort_values(["uid", "ts"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["uid", "ts"]).reset_index(drop=True)
+        r = want.groupby("uid")["v"].rolling(3, min_periods=1)
+        want["roll_sum"] = r.sum().reset_index(level=0, drop=True)
+        want["roll_n"] = r.count().reset_index(level=0, drop=True).astype(np.int64)
+        assert got["roll_n"].tolist() == want["roll_n"].tolist()
+        assert np.allclose(got["roll_sum"], want["roll_sum"])
+
+    def _brute_time_roll(self, df, window):
+        df = df.sort_values("t").reset_index(drop=True)
+        sums, ns = [], []
+        for _, row in df.iterrows():
+            w = df[(df["t"] > row["t"] - window) & (df["t"] <= row["t"])]
+            sums.append(w["v"].sum())
+            ns.append(len(w))
+        df["roll_sum"], df["roll_n"] = sums, ns
+        return df
+
+    def test_time_bucket_rolling_matches_brute(self, rd):
+        from osm2gtfs_ray.ops.window import time_bucket_rolling
+
+        rng = np.random.default_rng(9)
+        # sparse timeline crossing many bucket boundaries
+        t = np.sort(rng.choice(np.arange(1000), size=300, replace=False))
+        df = pd.DataFrame({"t": t, "v": rng.normal(size=300)})
+        got = (
+            time_bucket_rolling(
+                rd.from_pandas(df).repartition(7), "t", "v", window=7, bucket=16
+            )
+            .to_pandas()
+            .sort_values("t")
+            .reset_index(drop=True)
+        )
+        want = self._brute_time_roll(df, 7)
+        assert got["t"].tolist() == want["t"].tolist()
+        assert got["roll_n"].tolist() == want["roll_n"].tolist()
+        assert np.allclose(got["roll_sum"], want["roll_sum"])
+        # exactly one output row per input row (context copies dropped)
+        assert len(got) == len(df)
+
+    def test_time_bucket_rolling_rejects_narrow_bucket(self, rd):
+        from osm2gtfs_ray.ops.window import time_bucket_rolling
+
+        with pytest.raises(ValueError):
+            time_bucket_rolling(
+                rd.from_items([{"t": 1, "v": 1.0}]), "t", "v", window=8, bucket=4
+            )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -53,7 +54,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
                 problems.append(f"col {col}: compare error {e}; dtypes {av.dtype} vs {bv.dtype}")
                 continue
             if neq:
-                i = (~eq).to_numpy().nonzero()[0][:3]
+                i = np.asarray(~eq).nonzero()[0][:3]
                 problems.append(
                     f"col {col}: {neq} mismatches, e.g. ray={av.iloc[i].tolist()} sql={bv.iloc[i].tolist()}"
                 )
