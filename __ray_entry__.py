@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
     from osm2gtfs_ray.pipelines import media_queries as mq
     from osm2gtfs_ray.pipelines import analytics_queries as aq
+    from osm2gtfs_ray.pipelines import corpus_queries as cq
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -162,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": tq.q_lang_id,
         "fingerprint": tq.q_fingerprint,
         "dup_components": tq.q_dup_components,
+        # corpus preparation (packing / contamination / heavy hitters)
+        "seq_pack": cq.q_seq_pack,
+        "contamination": cq.q_contamination,
+        "heavy_hitters": cq.q_heavy_hitters,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "ann_batch_topk": sq.q_ann_batch_topk,
@@ -200,9 +205,14 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import flagship_oracle as fo
     from osm2gtfs_ray.pipelines import media_queries as mq
     from osm2gtfs_ray.pipelines import analytics_queries as aq
+    from osm2gtfs_ray.pipelines import corpus_queries as cq
 
     return {
         "media_decode": mq.sql_media_decode(),
+        # corpus preparation
+        "seq_pack": cq.SQL_SEQ_PACK,
+        "contamination": cq.SQL_CONTAMINATION,
+        "heavy_hitters": cq.SQL_HEAVY_HITTERS,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,

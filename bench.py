@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "window_event_stats",
     "exact_dedup",
     "sample_split",
+    "seq_pack",
+    "contamination",
+    "heavy_hitters",
     "doc_quality",
     "ann_topk",
     "ann_batch_topk",

@@ -125,3 +125,61 @@ def hll_count_distinct(ds, group_col: str, value_col: str) -> pd.DataFrame:
                 merged[g] = r.copy()
     rows = [(g, int(round(hll_estimate(r)))) for g, r in sorted(merged.items())]
     return pd.DataFrame(rows, columns=[group_col, "estimate"])
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: a mergeable frequent-items summary of
+# fixed size k. Per-batch: exact term counts, then ONE decrement step
+# (subtract the (k+1)-th largest count, drop <= 0) — the counted-batch
+# form of the classic one-pass algorithm. Each surviving count is a
+# LOWER bound on the batch-true count, under-counting by at most
+# batch_total/(k+1); summing summaries across batches keeps both
+# properties (Agarwal et al., "Mergeable Summaries"), so the global
+# estimate e(t) satisfies  true(t) - N/(k+1) <= e(t) <= true(t).
+# Every term with frequency > N/(k+1) is guaranteed to survive.
+# --------------------------------------------------------------------------
+
+def mg_compress(counts: pd.DataFrame, k: int, term_col: str = "term",
+                n_col: str = "n") -> pd.DataFrame:
+    """Compress exact (term, n) counts to at most k rows (Misra-Gries
+    decrement). Returns the input untouched when it already fits."""
+    if len(counts) <= k:
+        return counts
+    n = counts[n_col].to_numpy()
+    # (k+1)-th largest via partition (no full sort)
+    d = np.partition(n, len(n) - (k + 1))[len(n) - (k + 1)]
+    out = counts.loc[n - d > 0].copy(deep=False)
+    out[n_col] = out[n_col] - d
+    return out
+
+
+def mg_heavy_hitters(ds, text_col: str, k: int, n_shards: int = 64):
+    """Frequent terms of a text corpus with guaranteed-lower-bound
+    estimated counts: per-batch exact counts + MG compression (at most
+    k rows leave any batch) → term-hash sharded exact sum. Returns a
+    pandas DataFrame (term, n_est) — at most k*n_batches rows reach
+    the shuffle and at most vocab∧(k·batches) the driver."""
+    import pyarrow.compute as pc
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.list_flatten(
+            pc.split_pattern_regex(t[text_col].combine_chunks(), r"\s+")
+        )
+        words = words.filter(pc.not_equal(words, ""))
+        g = (
+            pa.table({"term": words})
+            .group_by("term")
+            .aggregate([([], "count_all")])
+            .rename_columns(["term", "n"])
+            .to_pandas()
+        )
+        return mg_compress(g, k)
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["n"].sum().reset_index(name="n_est")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_map_groups(parts, "term", shard_sum, n_shards=n_shards).to_pandas()

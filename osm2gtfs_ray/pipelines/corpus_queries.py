@@ -1,0 +1,250 @@
+"""Training-corpus preparation operators: sequence packing via a
+distributed prefix scan, benchmark-contamination screening via word
+n-gram overlap, and Misra-Gries heavy hitters — the LLM-data-pipeline
+family on top of the engine primitives (ops/scan.py, ops/sketch.py,
+ops/sharded.py).
+
+Encoding rules as in pipelines/queries.py: integer outputs everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.sources.tables import read_table
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): documents are concatenated in
+# doc_id order and cut into fixed-capacity training sequences; each
+# doc's placement is fully determined by the exclusive prefix sum of
+# token counts — computed by ops/scan.distributed_cumsum (range
+# shards + broadcast base offsets; no sequential pass, no driver loop).
+# The whitespace token count is the same \S+ kernel/SQL expression
+# pair as q_token_stats.
+# --------------------------------------------------------------------------
+
+SEQ_CAPACITY = 2048
+
+
+def q_seq_pack(sf_dir: str, capacity: int = SEQ_CAPACITY):
+    from osm2gtfs_ray.ops.scan import distributed_cumsum
+    from osm2gtfs_ray.stages.text import token_count_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": token_count_arrow(t["text"])}
+        )
+
+    # text dropped BEFORE the scan: both scan passes move 2 ints/row
+    counted = docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    packed = distributed_cumsum(
+        counted, "doc_id", "n_tokens", out_col="start_offset"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        start = t["start_offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = start // capacity
+        last = np.where(n > 0, (start + n - 1) // capacity, seq)
+        n_seqs = np.where(n > 0, last - seq + 1, 0)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "start_offset": pa.array(start, pa.int64()),
+                "seq_id": pa.array(seq, pa.int64()),
+                "n_seqs": pa.array(n_seqs, pa.int64()),
+            }
+        )
+
+    return packed.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEQ_PACK = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {SEQ_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_offset + n_tokens - 1) // {SEQ_CAPACITY}
+                 - start_offset // {SEQ_CAPACITY} + 1 END AS BIGINT) AS n_seqs
+FROM o
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination screen: flag training docs sharing any word
+# 5-gram with the held-out benchmark slice (doc_id % 97 == 0 — the
+# eval-suite stand-in). The benchmark's distinct gram set is tiny by
+# construction (eval suites are KBs at any corpus scale), so it is
+# collected once, hashed, and broadcast via ray.put; the corpus side
+# is a pure map stage (per-batch gram hashing + sorted-set membership),
+# no shuffle at all. Gram identity is a 5-word rolling combine of
+# process-stable word hashes (vectorized, no gram strings built);
+# the SQL oracle builds the literal gram strings — set equality holds
+# absent 64-bit collisions (~n²/2⁶⁴).
+# --------------------------------------------------------------------------
+
+_CONTAM_N = 5
+_BENCH_MOD = 97
+
+
+def _doc_gram_hashes(t: pa.Table, n: int):
+    """Per-batch (doc_row_index, gram_hash) arrays: split to words,
+    hash words (stable SipHash), rolling-combine n consecutive word
+    hashes within each doc."""
+    words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    wh = pd.util.hash_pandas_object(
+        flat.to_pandas(), index=False
+    ).to_numpy(dtype=np.uint64)
+    if len(wh) < n:
+        return np.array([], np.int64), np.array([], np.uint64)
+    # rolling combine: position i covers words [i, i+n); valid iff the
+    # window stays inside one document
+    gh = wh[: len(wh) - n + 1].copy()
+    for j in range(1, n):
+        gh = gh * np.uint64(0x100000001B3) ^ wh[j : len(wh) - n + 1 + j]
+    valid = parent[: len(parent) - n + 1] == parent[n - 1 :]
+    return parent[: len(parent) - n + 1][valid].astype(np.int64), gh[valid]
+
+
+def q_contamination(sf_dir: str, n: int = _CONTAM_N):
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        mask = did % _BENCH_MOD == 0
+        sub = t.filter(pa.array(mask))
+        if sub.num_rows == 0:
+            return pd.DataFrame({"g": pd.Series([], dtype="uint64")})
+        _, gh = _doc_gram_hashes(sub, n)
+        return pd.DataFrame({"g": np.unique(gh)})
+
+    bench = np.unique(
+        docs.map_batches(bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["g"]
+        .to_numpy(dtype=np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def score(t: pa.Table, _ref=bench_ref) -> pa.Table:
+        bset = _ref if isinstance(_ref, np.ndarray) else ray.get(_ref)
+        rows, gh = _doc_gram_hashes(t, n)
+        did_all = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": did_all[rows], "g": gh}).drop_duplicates()
+        hit = np.searchsorted(bset, df["g"].to_numpy())
+        hit = np.where(hit < len(bset), hit, 0)
+        df["hit"] = bset[hit] == df["g"].to_numpy() if len(bset) else False
+        agg = df.groupby("doc_id", sort=False).agg(
+            n_grams=("g", "size"), n_contaminated=("hit", "sum")
+        ).reset_index()
+        agg = agg[agg["doc_id"] % _BENCH_MOD != 0]
+        return pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "n_grams": pa.array(agg["n_grams"].to_numpy(np.int64)),
+                "n_contaminated": pa.array(
+                    agg["n_contaminated"].to_numpy(np.int64)
+                ),
+                "flagged": pa.array(
+                    (agg["n_contaminated"].to_numpy() > 0).astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CONTAMINATION = rf"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i + 1 : i + {_CONTAM_N}], ' ') AS g
+  FROM (
+    SELECT doc_id, arr, unnest(generate_series(0, len(arr) - {_CONTAM_N})) AS i
+    FROM d WHERE len(arr) >= {_CONTAM_N}
+  )
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS BIGINT) AS n_contaminated,
+       CAST(MAX(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+FROM grams g LEFT JOIN bench b USING (g)
+WHERE g.doc_id % {_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters: terms above a frequency threshold with
+# guaranteed-lower-bound counts (ops/sketch.mg_heavy_hitters). With
+# capacity k=64 >= the test-corpus vocabulary the summary is exact and
+# the SQL HAVING-threshold oracle applies bit-for-bit; the lossy
+# regime's ±N/(k+1) bound is pytest-enforced (tests/test_ops.py).
+# --------------------------------------------------------------------------
+
+_HH_K = 64
+_HH_PHI = 0.01
+
+
+def q_heavy_hitters(sf_dir: str, k: int = _HH_K, phi: float = _HH_PHI):
+    from osm2gtfs_ray.ops.sketch import mg_heavy_hitters
+    from osm2gtfs_ray.stages.text import token_count_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    est = mg_heavy_hitters(docs, "text", k=k)
+
+    def tok_part(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([pc.sum(token_count_arrow(t["text"])).as_py() or 0])}
+        )
+
+    total = (
+        docs.map_batches(tok_part, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+    )
+    out = est[est["n_est"].to_numpy() >= total * phi]
+    out = out.sort_values(["n_est", "term"], ascending=[False, True])
+    return pd.DataFrame(
+        {
+            "term": out["term"].to_numpy(),
+            "n_est": out["n_est"].to_numpy(dtype=np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+SQL_HEAVY_HITTERS = rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n FROM words WHERE term <> '' GROUP BY term
+),
+tot AS (SELECT SUM(n) AS c FROM counts)
+SELECT term, CAST(n AS BIGINT) AS n_est
+FROM counts, tot WHERE n >= c * {_HH_PHI}
+ORDER BY n_est DESC, term ASC
+"""
