@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": aq.q_revenue_rollup,
         "rolling_user_value": aq.q_rolling_user_value,
         "rolling_daily_revenue": aq.q_rolling_daily_revenue,
+        "spend_rank": aq.q_spend_rank,
+        "zscore_events": aq.q_zscore_events,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -167,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": cq.q_seq_pack,
         "contamination": cq.q_contamination,
         "heavy_hitters": cq.q_heavy_hitters,
+        "word_repetition": cq.q_word_repetition,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "ann_batch_topk": sq.q_ann_batch_topk,
@@ -178,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": sq.q_ann_ivf,
         "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
         "cosine_lsh": sq.q_cosine_lsh,
+        "random_projection": sq.q_random_projection,
         "props_extract": sq.q_props_extract,
         # set ops + string normalization
         "click_not_purchase": so.q_click_not_purchase,
@@ -213,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,
         "heavy_hitters": cq.SQL_HEAVY_HITTERS,
+        "word_repetition": cq.SQL_WORD_REPETITION,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
@@ -220,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,
         "rolling_user_value": aq.SQL_ROLLING_USER_VALUE,
         "rolling_daily_revenue": aq.SQL_ROLLING_DAILY_REVENUE,
+        "spend_rank": aq.SQL_SPEND_RANK,
+        "zscore_events": aq.SQL_ZSCORE_EVENTS,
         # flagship spatial join: PIP + kNN fully re-derived in SQL
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),
@@ -257,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": sq.SQL_MINHASH_PAIRS,
         "simhash_pairs": sq.SQL_SIMHASH_PAIRS,
         "cosine_lsh": sq.SQL_COSINE_LSH,
+        "random_projection": sq.SQL_RANDOM_PROJECTION,
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,

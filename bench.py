@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "rolling_user_value",
     "rolling_daily_revenue",
+    "spend_rank",
+    "zscore_events",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",
@@ -61,6 +63,7 @@ BENCH_QUERIES = [
     "seq_pack",
     "contamination",
     "heavy_hitters",
+    "word_repetition",
     "doc_quality",
     "ann_topk",
     "ann_batch_topk",
@@ -74,6 +77,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "cosine_lsh",
+    "random_projection",
     "media_decode",
     "sessionize",
     "dup_components",

@@ -87,3 +87,68 @@ def distributed_cumsum(
         return g
 
     return tagged.groupby("__shard__").map_groups(scan_shard, batch_format="pandas")
+
+
+def distributed_rank(
+    ds,
+    value_col: str,
+    tie_cols: list[str],
+    out_col: str = "rank",
+    n_shards: int = DEFAULT_SHARDS,
+    value_range: tuple[float, float] | None = None,
+):
+    """Attach ``out_col`` = 1-based global ROW_NUMBER() in
+    (value_col, *tie_cols) ascending order — the distributed ranking /
+    ntile primitive. Same two-phase shape as distributed_cumsum but
+    bucketed by VALUE range (monotone in sort order): per-bucket counts
+    → exclusive prefix on the driver (n_shards ints) → one shuffle,
+    local sort, rank = bucket base + local position. ``tie_cols`` must
+    make rows unique within equal values (deterministic total order).
+
+    ``value_range``: optional (min, max) to skip the sizing pass.
+    """
+    if value_range is None:
+        vmin = ds.select_columns([value_col]).min(value_col)
+        vmax = ds.select_columns([value_col]).max(value_col)
+    else:
+        vmin, vmax = value_range
+    span = float(vmax) - float(vmin)
+    width = span / n_shards if span > 0 else 1.0
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy(deep=False)
+        b = np.floor(
+            (batch[value_col].to_numpy(dtype=np.float64) - float(vmin)) / width
+        ).astype(np.int64)
+        out["__shard__"] = np.clip(b, 0, n_shards - 1)
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("__shard__", sort=False).size()
+        return g.reset_index(name="__part__")
+
+    counts = (
+        tagged.map_batches(bucket_counts, batch_format="pandas")
+        .groupby("__shard__")
+        .sum("__part__")
+        .to_pandas()
+    )
+    base = np.zeros(n_shards + 1, dtype=np.int64)
+    sid = counts["__shard__"].to_numpy(dtype=np.int64)
+    base[sid + 1] = counts["sum(__part__)"].to_numpy(dtype=np.int64)
+    base = np.cumsum(base)
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["__shard__"].iloc[0])
+        g = g.sort_values([value_col, *tie_cols], kind="mergesort").drop(
+            columns="__shard__"
+        )
+        g[out_col] = base[s] + 1 + np.arange(len(g), dtype=np.int64)
+        return g
+
+    ranked = tagged.groupby("__shard__").map_groups(
+        rank_shard, batch_format="pandas"
+    )
+    return ranked, int(base[-1])

@@ -378,3 +378,155 @@ SELECT day,
 FROM daily
 WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# Global rank / ntile over an aggregate: per-customer total spend →
+# global ROW_NUMBER in (spend, custkey) order via
+# ops/scan.distributed_rank (value-range buckets + driver prefix of
+# per-bucket counts — a global sort's ordering without a global sort's
+# materialization). The quartile uses an EXPLICIT integer formula
+# ((rank-1)*4 // n + 1) computed identically in SQL — independent of
+# engine NTILE remainder conventions.
+# --------------------------------------------------------------------------
+
+def q_spend_rank(sf_dir: str):
+    from osm2gtfs_ray.ops.scan import distributed_rank
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "spend": t["o_totalprice"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby("o_custkey", sort=False)["spend"].sum().reset_index()
+
+    spend = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum("spend")
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "spend_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["sum(spend)"], pa.scalar(100.0)),
+                        ndigits=0,
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    spend = spend.map_batches(cents, batch_format="pyarrow")
+    ranked, n = distributed_rank(spend, "spend_cents", ["o_custkey"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "spend_cents": pc.cast(t["spend_cents"], pa.int64()),
+                "rank": pa.array(r, pa.int64()),
+                "quartile": pa.array((r - 1) * 4 // n + 1, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SPEND_RANK = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, spend_cents,
+         ROW_NUMBER() OVER (ORDER BY spend_cents, o_custkey) AS rank,
+         COUNT(*) OVER () AS n
+  FROM spend
+)
+SELECT o_custkey, spend_cents, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 4 // n + 1 AS BIGINT) AS quartile
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature standardization (z-score per group): two-pass — grouped
+# moment partials reduce to a KB-sized (group → mean, stddev_pop)
+# table, broadcast via ray.put, then one pure map standardizes every
+# row. The classic normalize-before-training stage; no second shuffle.
+# --------------------------------------------------------------------------
+
+def q_zscore_events(sf_dir: str):
+    import ray
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "g": t["event_type"].to_numpy(zero_copy_only=False),
+                "x": t["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["n"] = 1
+        return df.groupby("g", sort=False).sum().reset_index()
+
+    tot = (
+        ev.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .sum(["x", "xx", "n"])
+        .to_pandas()
+    )
+    n = tot["sum(n)"].to_numpy(np.float64)
+    mean = tot["sum(x)"].to_numpy() / n
+    var = tot["sum(xx)"].to_numpy() / n - mean**2
+    stats = {
+        g: (m, np.sqrt(v)) for g, m, v in zip(tot["g"], mean, np.maximum(var, 0.0))
+    }
+    ref = ray.put(stats)
+
+    def standardize(t: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        st = _ref if isinstance(_ref, dict) else _ray.get(_ref)
+        g = t["event_type"].to_pylist()
+        mu = np.array([st[k][0] for k in g])
+        sd = np.array([st[k][1] for k in g])
+        z = (t["value"].to_numpy(zero_copy_only=False) - mu) / sd
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "z_e4": pa.array(
+                    np.trunc(z * 1e4 + np.copysign(0.5, z)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ev.map_batches(standardize, batch_format="pyarrow")
+
+
+SQL_ZSCORE_EVENTS = """
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         SQRT(GREATEST(AVG(value * value) - AVG(value) * AVG(value), 0)) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(ROUND((e.value - s.mu) / s.sd * 1e4) AS BIGINT) AS z_e4
+FROM events e JOIN stats s USING (event_type)
+"""

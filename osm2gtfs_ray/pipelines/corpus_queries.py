@@ -248,3 +248,55 @@ SELECT term, CAST(n AS BIGINT) AS n_est
 FROM counts, tot WHERE n >= c * {_HH_PHI}
 ORDER BY n_est DESC, term ASC
 """
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition stats (Gopher-style quality rule): word
+# count, distinct-word count, and the top word's occurrence count per
+# doc. Embarrassingly parallel (a doc lives wholly in one row) — pure
+# map stage, all-integer output.
+# --------------------------------------------------------------------------
+
+def q_word_repetition(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"row": parent[keep], "w": flat.to_pandas().to_numpy()[keep]}
+        )
+        per = df.groupby(["row", "w"], sort=False).size().reset_index(name="c")
+        agg = per.groupby("row", sort=False).agg(
+            n_words=("c", "sum"), n_distinct=("c", "size"), top_word_n=("c", "max")
+        )
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = agg.reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": did[out["row"].to_numpy()].astype(np.int64),
+                "n_words": out["n_words"].to_numpy(np.int64),
+                "n_distinct": out["n_distinct"].to_numpy(np.int64),
+                "top_word_n": out["top_word_n"].to_numpy(np.int64),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_WORD_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+  FROM documents
+),
+per AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words WHERE w <> '' GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_word_n
+FROM per GROUP BY doc_id
+"""

@@ -568,3 +568,80 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.sig, y.sig)) <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss, Rademacher ±1 / sqrt(k)):
+# deterministic dimensionality reduction 64 → 8. The projection matrix
+# is derived position-wise from the repo's splitmix64 — KBs at ANY
+# input dimensionality — so it is embedded in the map closure (pure
+# map stage, no shuffle) AND re-derived bit-identically inside the SQL
+# oracle via the same finalizer expression (flagship_oracle._s_mix64,
+# the machinery already proven by sample_split / spatial_join).
+# --------------------------------------------------------------------------
+
+_RP_K = 8
+
+
+def _rp_signs(d: int, k: int) -> np.ndarray:
+    from osm2gtfs_ray.sources.pages import mix64
+
+    h = mix64(np.arange(d * k, dtype=np.uint64))
+    return np.where((h & np.uint64(1)) == 0, 1.0, -1.0).reshape(d, k)
+
+
+def q_random_projection(sf_dir: str, k: int = _RP_K):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = len(
+        pq.read_table(table_path(sf_dir, "embeddings"), columns=["embedding"])
+        .slice(0, 1)["embedding"]
+        .to_pylist()[0]
+    )
+    P = _rp_signs(dim, k) / np.sqrt(k)
+
+    def project(t: pa.Table) -> pa.Table:
+        E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        out = E @ P
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, k), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+                "value_e6": pa.array(
+                    np.trunc(
+                        out.ravel() * 1e6 + np.copysign(0.5, out.ravel())
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_random_projection() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_mix64
+
+    mix = _s_mix64(f"CAST(i * {_RP_K} + j AS UBIGINT)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding[i + 1] AS DOUBLE) AS x, i
+  FROM (
+    SELECT vec_id, embedding,
+           unnest(generate_series(0, len(embedding) - 1)) AS i
+    FROM embeddings
+  )
+),
+signed AS (
+  SELECT vec_id, j,
+         x * (CASE WHEN ({mix}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+  FROM (SELECT *, unnest(generate_series(0, {_RP_K - 1})) AS j FROM e)
+)
+SELECT vec_id, CAST(j AS BIGINT) AS dim,
+       CAST(ROUND(SUM(v) / SQRT({_RP_K}.0) * 1e6) AS BIGINT) AS value_e6
+FROM signed GROUP BY vec_id, j
+"""
+
+
+SQL_RANDOM_PROJECTION = _sql_random_projection()

@@ -122,3 +122,31 @@ class TestRolling:
             time_bucket_rolling(
                 rd.from_items([{"t": 1, "v": 1.0}]), "t", "v", window=8, bucket=4
             )
+
+
+class TestDistributedRank:
+    def test_matches_lexsort_row_number(self, rd):
+        from osm2gtfs_ray.ops.scan import distributed_rank
+
+        rng = np.random.default_rng(21)
+        # heavy ties + skew: half the values identical
+        vals = np.concatenate([np.full(100, 5.0), rng.normal(5, 3, size=200)])
+        ids = rng.permutation(300)
+        df = pd.DataFrame({"id": ids, "v": vals})
+        ranked, n = distributed_rank(
+            rd.from_pandas(df).repartition(11), "v", ["id"], n_shards=9
+        )
+        got = ranked.to_pandas().sort_values("rank")
+        assert n == 300
+        assert got["rank"].tolist() == list(range(1, 301))
+        order = np.lexsort((df["id"].to_numpy(), df["v"].to_numpy()))
+        assert got["id"].tolist() == df["id"].to_numpy()[order].tolist()
+
+    def test_constant_values_single_bucket(self, rd):
+        from osm2gtfs_ray.ops.scan import distributed_rank
+
+        df = pd.DataFrame({"id": range(50), "v": [1.0] * 50})
+        ranked, n = distributed_rank(rd.from_pandas(df), "v", ["id"])
+        got = ranked.to_pandas().sort_values("rank")
+        assert n == 50
+        assert got["id"].tolist() == list(range(50))
