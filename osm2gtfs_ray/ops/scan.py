@@ -1,25 +1,32 @@
-"""Distributed prefix scan (cumulative sum over a global key order).
+"""Distributed prefix scan (cumulative sum over a global key order)
+and distributed rank (global ROW_NUMBER over a value order).
 
-A cumulative sum ordered by a key is inherently sequential row-to-row,
-but decomposes into the classic two-phase parallel scan:
+Both are inherently multi-pass (a sizing/count pass, then the emit
+pass), so the input Dataset is MATERIALIZED once up front — otherwise
+Ray's lazy recompute re-executes the whole upstream pipeline (often an
+expensive groupby) once per pass. The materialized input is the
+operator's working set (for rank/pack workloads it is an aggregate —
+a few int64 columns per row — which plasma spills if needed); every
+subsequent pass is a cheap scan of those blocks.
+
+A cumulative sum ordered by a key decomposes into the classic
+two-phase parallel scan:
 
 1. bucket every row into a RANGE shard that is monotone in the key
    (shard i holds only keys smaller than every key of shard i+1);
-2. reduce each shard to its value total (map-side combine — only
-   n_shards partial rows reach the driver);
-3. exclusive-prefix the tiny per-shard totals on the driver and
-   broadcast the n_shards base offsets;
-4. one shuffle co-locates each shard, which sorts locally by key and
+2. reduce each shard to its value total map-side — only
+   n_shards-sized partial vectors reach the driver, which
+   exclusive-prefixes them into base offsets (KBs);
+3. one shuffle co-locates each shard, which sorts locally by key and
    adds ``base[shard] + local_exclusive_cumsum``.
 
-The corpus streams twice (once to size the shards, once to emit), no
-process ever holds more than one shard, and the only driver-side state
-is the n_shards-long offset vector — the same shape DuckDB/Spark use
-for window SUM OVER (ORDER BY ...) at scale.
+No process ever holds more than one shard, and the only driver-side
+state is the n_shards-long offset vector — the same shape
+DuckDB/Spark use for window SUM OVER (ORDER BY ...) at scale.
 
 Generalizes the reference's sequential accumulation passes (e.g.
-osm2gtfs/core/osm_connector.py route-member walks) into a
-cluster-parallel primitive.
+osm2gtfs/core/osm_connector.py route-member walks) into
+cluster-parallel primitives.
 """
 
 from __future__ import annotations
@@ -28,6 +35,28 @@ import numpy as np
 import pandas as pd
 
 DEFAULT_SHARDS = 64
+
+
+def _driver_bucket_totals(tagged, value_col: str | None, n_shards: int) -> np.ndarray:
+    """One scan: per-batch per-shard partials (n_shards-sized vectors)
+    merged on the driver — no all-to-all; returns exclusive prefix
+    ``base`` with base[s] = total of all shards < s. ``value_col``
+    None means count rows instead of summing a column."""
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.zeros(n_shards, dtype=np.int64)
+        sid = batch["__shard__"].to_numpy(dtype=np.int64)
+        if value_col is None:
+            np.add.at(v, sid, 1)
+        else:
+            np.add.at(v, sid, batch[value_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"s": np.arange(n_shards, dtype=np.int64), "v": v})
+
+    parts = tagged.map_batches(partials, batch_format="pandas").to_pandas()
+    base = np.zeros(n_shards + 1, dtype=np.int64)
+    tot = parts.groupby("s", sort=True)["v"].sum()
+    base[tot.index.to_numpy(dtype=np.int64) + 1] = tot.to_numpy(dtype=np.int64)
+    return np.cumsum(base)
 
 
 def distributed_cumsum(
@@ -48,6 +77,7 @@ def distributed_cumsum(
     skips the sizing pass when the caller knows the key range (dense
     ids); otherwise one cheap single-column max() scan derives it.
     """
+    ds = ds.materialize()
     if key_max is None:
         key_max = ds.select_columns([key_col]).max(key_col)
     width = max(1, int(key_max) // n_shards + 1)
@@ -60,24 +90,8 @@ def distributed_cumsum(
         return out
 
     tagged = ds.map_batches(tag, batch_format="pandas")
+    base = _driver_bucket_totals(tagged, value_col, n_shards)
 
-    # phase 1: per-shard totals (map-side combine, then a tiny groupby)
-    def shard_partials(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("__shard__", sort=False)[value_col].sum()
-        return g.reset_index(name="__part__")
-
-    totals = (
-        tagged.map_batches(shard_partials, batch_format="pandas")
-        .groupby("__shard__")
-        .sum("__part__")
-        .to_pandas()
-    )
-    base = np.zeros(n_shards + 1, dtype=np.int64)
-    sid = totals["__shard__"].to_numpy(dtype=np.int64)
-    base[sid + 1] = totals["sum(__part__)"].to_numpy(dtype=np.int64)
-    base = np.cumsum(base)  # base[s] = total of all shards < s
-
-    # phase 2: co-locate each shard, local sort + cumsum + broadcast base
     def scan_shard(g: pd.DataFrame) -> pd.DataFrame:
         s = int(g["__shard__"].iloc[0])
         g = g.sort_values(key_col, kind="mergesort").drop(columns="__shard__")
@@ -100,16 +114,23 @@ def distributed_rank(
     """Attach ``out_col`` = 1-based global ROW_NUMBER() in
     (value_col, *tie_cols) ascending order — the distributed ranking /
     ntile primitive. Same two-phase shape as distributed_cumsum but
-    bucketed by VALUE range (monotone in sort order): per-bucket counts
-    → exclusive prefix on the driver (n_shards ints) → one shuffle,
+    bucketed by VALUE range (monotone in sort order; equal values
+    always share a bucket, so ties never split): per-bucket counts →
+    exclusive prefix on the driver (n_shards ints) → one shuffle,
     local sort, rank = bucket base + local position. ``tie_cols`` must
     make rows unique within equal values (deterministic total order).
+    Equi-width buckets; under heavy value skew swap the bucket edges
+    for approximate quantiles (same downstream shape).
 
     ``value_range``: optional (min, max) to skip the sizing pass.
+    Returns (ranked dataset, total row count).
     """
+    ds = ds.materialize()
     if value_range is None:
-        vmin = ds.select_columns([value_col]).min(value_col)
-        vmax = ds.select_columns([value_col]).max(value_col)
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(value_col), Max(value_col))
+        vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
     else:
         vmin, vmax = value_range
     span = float(vmax) - float(vmin)
@@ -124,21 +145,7 @@ def distributed_rank(
         return out
 
     tagged = ds.map_batches(tag, batch_format="pandas")
-
-    def bucket_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("__shard__", sort=False).size()
-        return g.reset_index(name="__part__")
-
-    counts = (
-        tagged.map_batches(bucket_counts, batch_format="pandas")
-        .groupby("__shard__")
-        .sum("__part__")
-        .to_pandas()
-    )
-    base = np.zeros(n_shards + 1, dtype=np.int64)
-    sid = counts["__shard__"].to_numpy(dtype=np.int64)
-    base[sid + 1] = counts["sum(__part__)"].to_numpy(dtype=np.int64)
-    base = np.cumsum(base)
+    base = _driver_bucket_totals(tagged, None, n_shards)
 
     def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
         s = int(g["__shard__"].iloc[0])

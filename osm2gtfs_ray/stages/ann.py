@@ -391,7 +391,9 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
                 }
             )
 
-        return pairs_ds.map_batches(score_broadcast, batch_format="pyarrow")
+        return pairs_ds.map_batches(
+            score_broadcast, batch_format="pyarrow", batch_size=65536
+        )
 
     a_side = normed.map_batches(
         lambda t: t.rename_columns(["a", "nemb_a"]), batch_format="pyarrow"
@@ -460,5 +462,9 @@ def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
 
         tbl = _as_arrow(pairs)
         _pq.write_table(tbl, snapshot_path)
-        pairs = ray.data.from_arrow(tbl)
+        # from_arrow yields ONE block; re-spread so verify parallelizes
+        # (a single 1.4M-row block verified serially cost ~50 s)
+        pairs = ray.data.from_arrow(tbl).repartition(
+            max(1, min(64, tbl.num_rows // 65536 + 1))
+        )
     return verify_cosine_pairs(pairs, emb_ds_factory(), tau, dim=dim)
