@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "nation_revenue",
     "customers_without_orders",
     "first_order_per_customer",
+    "orders_with_lineitem",
     "hourly_event_stats",
     "prev_order_gap",
     "quantile_qty",

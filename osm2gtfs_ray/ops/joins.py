@@ -22,6 +22,7 @@ materializes (bounded by the caller).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -155,3 +156,94 @@ def hash_join(left_ds, right_ds, keys, join_type: str = "inner", num_partitions:
         num_partitions=num_partitions,
         on=tuple(keys),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join: the large×large scale path when the
+# "small" side's key SET no longer fits a broadcast but its BLOOM BITS
+# do (8 bits/key vs ≥8 bytes/key — one order of magnitude more keys
+# per GB of broadcast). The filter is built distributed — per-batch
+# fixed-size bit arrays, OR-merged (associative/commutative/idempotent,
+# same mergeable shape as ops/sketch.py's HLL registers) — broadcast
+# once via ray.put, and applied map-side so only bloom-passing rows
+# (true matches + ~fp_rate false positives) enter the exact shuffle
+# semi join. Correctness always comes from the exact join; the bloom
+# only shrinks the shuffle.
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASHES = 4
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int):
+    """k=4 derived positions per key via double hashing of mix64."""
+    from osm2gtfs_ray.sources.pages import mix64
+
+    h1 = mix64(keys.astype(np.uint64))
+    h2 = mix64(h1) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+        for i in range(_BLOOM_HASHES)
+    ]
+
+
+def bloom_bits(ds, key: str, m_bits: int = 1 << 20) -> np.ndarray:
+    """Distributed bloom build: per-batch m_bits/8-byte partials,
+    OR-folded on the driver (KB–MB sized regardless of row count)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(k, m_bits):
+            np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for raw in b["bits"].to_pylist():
+            out |= np.frombuffer(raw, dtype=np.uint8)
+    return out
+
+
+def bloom_semi(big_ds, small_ds, key: str, right_key: str | None = None,
+               m_bits: int = 1 << 20, num_partitions: int = 16):
+    """Exact semi join with a bloom prefilter: big rows failing the
+    bloom are dropped map-side (no network); survivors go through the
+    exact hash semi join against the small side's distinct keys."""
+    import ray
+
+    rk = right_key or key
+    bits = bloom_bits(small_ds, rk, m_bits)
+    ref = ray.put(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bb = ray.get(ref)
+        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(k), dtype=bool)
+        for pos in _bloom_positions(k, m_bits):
+            mask &= (bb[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return t.filter(pa.array(mask))
+
+    passed = big_ds.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({rk: pc.unique(pc.cast(t[rk], pa.int64()))})
+
+    keys_ds = small_ds.map_batches(
+        distinct_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if rk != key:
+        keys_ds = keys_ds.map_batches(
+            lambda t: t.rename_columns([key]), batch_format="pyarrow"
+        )
+    joined = hash_join(
+        passed,
+        keys_ds,
+        key,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+    )
+    return joined

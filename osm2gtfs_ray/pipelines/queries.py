@@ -869,3 +869,37 @@ WHERE ({h}) < (CASE o_orderpriority {cases} ELSE 0 END)
 
 
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi join (large×large scale path): orders having
+# at least one lineitem. The exact answer comes from the hash semi
+# join; the distributed bloom (ops/joins.bloom_semi) only shrinks what
+# reaches that shuffle — the standard big-data semi-join shape when
+# the key set outgrows a broadcast but its bloom bits don't.
+# --------------------------------------------------------------------------
+
+def q_orders_with_lineitem(sf_dir: str):
+    from osm2gtfs_ray.ops.joins import bloom_semi
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    out = bloom_semi(orders, li, "o_orderkey", right_key="l_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "total_cents": _scaled_int(t["o_totalprice"], 100.0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_WITH_LINEITEM = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+"""

@@ -150,3 +150,30 @@ class TestDistributedRank:
         got = ranked.to_pandas().sort_values("rank")
         assert n == 50
         assert got["id"].tolist() == list(range(50))
+
+
+class TestBloomSemi:
+    def test_matches_exact_semi_and_filters(self, rd):
+        from osm2gtfs_ray.ops.joins import bloom_bits, bloom_semi, _bloom_positions
+
+        rng = np.random.default_rng(31)
+        big = pd.DataFrame({"k": rng.integers(0, 10_000, size=5000), "v": rng.normal(size=5000)})
+        small = pd.DataFrame({"k": rng.choice(10_000, size=200, replace=False)})
+        got = (
+            bloom_semi(rd.from_pandas(big).repartition(7), rd.from_pandas(small), "k",
+                       m_bits=1 << 14)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            big[big["k"].isin(set(small["k"]))]
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert got["k"].tolist() == want["k"].tolist()
+        assert np.allclose(got["v"], want["v"])
+        # the bloom itself admits every true key (no false negatives)
+        bits = bloom_bits(rd.from_pandas(small), "k", m_bits=1 << 14)
+        for pos in _bloom_positions(small["k"].to_numpy(), 1 << 14):
+            assert ((bits[pos // 8] >> (pos % 8)) & 1).all()
