@@ -312,16 +312,16 @@ def q_rolling_daily_revenue(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
-    def day_rev(t: pa.Table) -> pd.DataFrame:
-        day = (
-            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("s")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-            // 86400
+    def day_rev(t: pa.Table) -> pa.Table:
+        # Arrow out (see q_spend_rank partial note)
+        secs = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("s")), pa.int64())
+        day = pc.divide(secs, pa.scalar(86400, pa.int64()))
+        g = (
+            pa.table({"day": day, "rev": t["o_totalprice"]})
+            .group_by("day")
+            .aggregate([("rev", "sum")])
         )
-        df = pd.DataFrame(
-            {"day": day, "rev": t["o_totalprice"].to_numpy(zero_copy_only=False)}
-        )
-        return df.groupby("day", sort=False)["rev"].sum().reset_index()
+        return g.rename_columns(["day", "rev"])
 
     daily = (
         orders.map_batches(day_rev, batch_format="pyarrow", zero_copy_batch=True)
@@ -395,14 +395,12 @@ def q_spend_rank(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
-                "spend": t["o_totalprice"].to_numpy(zero_copy_only=False),
-            }
-        )
-        return df.groupby("o_custkey", sort=False)["spend"].sum().reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow in, Arrow OUT: a pandas-block output here makes Ray's
+        # downstream sort-aggregate ~11x slower (19.6 s vs 1.8 s
+        # measured at sf0.1 on a quiet host)
+        g = t.group_by("o_custkey").aggregate([("o_totalprice", "sum")])
+        return g.rename_columns(["o_custkey", "spend"])
 
     spend = (
         orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
