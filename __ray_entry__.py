@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import media_queries as mq
     from osm2gtfs_ray.pipelines import analytics_queries as aq
     from osm2gtfs_ray.pipelines import corpus_queries as cq
+    from osm2gtfs_ray.pipelines import clean_queries as cl
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -171,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": cq.q_contamination,
         "heavy_hitters": cq.q_heavy_hitters,
         "word_repetition": cq.q_word_repetition,
+        "pii_redact": cl.q_pii_redact,
+        "typo_pairs": cl.q_typo_pairs,
+        "resample_ffill": cl.q_resample_ffill,
+        "boilerplate_strip": cl.q_boilerplate_strip,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "ann_batch_topk": sq.q_ann_batch_topk,
@@ -211,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import media_queries as mq
     from osm2gtfs_ray.pipelines import analytics_queries as aq
     from osm2gtfs_ray.pipelines import corpus_queries as cq
+    from osm2gtfs_ray.pipelines import clean_queries as cl
 
     return {
         "media_decode": mq.sql_media_decode(),
@@ -219,6 +225,10 @@ def oracle_sql() -> dict[str, str]:
         "contamination": cq.SQL_CONTAMINATION,
         "heavy_hitters": cq.SQL_HEAVY_HITTERS,
         "word_repetition": cq.SQL_WORD_REPETITION,
+        "pii_redact": cl.SQL_PII_REDACT,
+        "typo_pairs": cl.SQL_TYPO_PAIRS,
+        "resample_ffill": cl.SQL_RESAMPLE_FFILL,
+        "boilerplate_strip": cl.SQL_BOILERPLATE_STRIP,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,

@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "contamination",
     "heavy_hitters",
     "word_repetition",
+    "pii_redact",
+    "typo_pairs",
+    "resample_ffill",
+    "boilerplate_strip",
     "doc_quality",
     "ann_topk",
     "ann_batch_topk",

@@ -1,0 +1,167 @@
+"""Corpus-cleaning operators: PII redaction, typo-pair mining
+(delete-1 neighborhood + vectorized ed<=1 verify), resample+ffill,
+DF boilerplate stripping."""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data
+
+    return ray.data
+
+
+def _write_docs(tmpdir: str, texts: list[str], sources: list[str] | None = None) -> str:
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(sources or ["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(tmpdir, "documents.parquet"),
+    )
+    return tmpdir
+
+
+def _brute_ed(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = np.arange(n + 1)
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return int(d[n])
+
+
+class TestEd1Mask:
+    def test_matches_brute_levenshtein(self):
+        from osm2gtfs_ray.pipelines.clean_queries import _ed1_mask
+
+        words = ["cat", "cut", "cats", "at", "dog", "dg", "dig", "a", "ab",
+                 "abc", "acb", "hello", "hallo", "helo", "hell", "xyz"]
+        pairs = [(a, b) for a, b in itertools.combinations(words, 2)]
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        got = _ed1_mask(a, b)
+        exp = np.array([_brute_ed(x, y) <= 1 for x, y in pairs])
+        assert (got == exp).all()
+
+    def test_unicode_and_long(self):
+        from osm2gtfs_ray.pipelines.clean_queries import _ed1_mask
+
+        pairs = [("naïve", "naive"), ("naïve", "naïve"), ("résumé", "resume"),
+                 ("longwordhere", "longwordhers"), ("longwordhere", "longwordheree")]
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        got = _ed1_mask(a, b)
+        exp = np.array([_brute_ed(x, y) <= 1 for x, y in pairs])
+        assert (got == exp).all()
+
+
+class TestTypoPairs:
+    def test_finds_planted_typos_only(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.clean_queries import q_typo_pairs
+
+        # doc 0 first word "sort" → doc_id 0 % 4 = 0 → corrupt "ort"
+        # doc 1 first word "merge" → 1 % 5 = 1 → corrupt "mrge"
+        texts = ["sort table scan", "merge join filter"]
+        sf = _write_docs(str(tmp_path), texts)
+        got = q_typo_pairs(sf).to_pandas()
+        pairs = set(map(tuple, got[["w1", "w2"]].values))
+        assert ("ort", "sort") in pairs
+        assert ("merge", "mrge") in pairs
+        vocab = set(" ".join(texts).split()) | {"ort", "mrge"}
+        for w1, w2 in pairs:
+            assert _brute_ed(w1, w2) <= 1 and w1 < w2 and {w1, w2} <= vocab
+        # exhaustive: nothing at ed<=1 was missed
+        exp = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(vocab), 2)
+            if _brute_ed(a, b) <= 1
+        }
+        assert pairs == exp
+
+
+class TestPIIRedact:
+    def test_redacts_and_counts(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.clean_queries import q_pii_redact
+
+        texts = ["plain words here", "reach me at bob@corp.io today"]
+        sf = _write_docs(str(tmp_path), texts)
+        got = q_pii_redact(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # every doc gets one synthesized email + phone; doc 1 has one real email
+        assert got["n_emails"].tolist() == [1, 2]
+        assert got["n_phones"].tolist() == [1, 1]
+        assert "@" not in got["redacted"][1]
+        assert "<EMAIL>" in got["redacted"][0] and "<PHONE>" in got["redacted"][0]
+        assert "bob@corp.io" not in got["redacted"][1]
+
+
+class TestResampleFfill:
+    def test_daily_grid_forward_fill(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.clean_queries import q_resample_ffill
+
+        os.makedirs(str(tmp_path), exist_ok=True)
+        ts = pd.to_datetime(
+            ["2024-01-01 05:00", "2024-01-01 09:00", "2024-01-04 12:00",
+             "2024-01-02 00:00"]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+                    "event_type": pa.array(["a"] * 4),
+                    "value": pa.array([1.0, 2.0, 3.0, 9.0]),
+                    "props": pa.array(["{}"] * 4),
+                }
+            ),
+            os.path.join(str(tmp_path), "events.parquet"),
+        )
+        got = q_resample_ffill(str(tmp_path)).to_pandas()
+        u7 = got[got["user_id"] == 7].sort_values("day")
+        # last-of-day wins on Jan 1 (value 2.0), gap days carry forward
+        assert u7["value_cents"].tolist() == [200, 200, 200, 300]
+        u9 = got[got["user_id"] == 9].sort_values("day")
+        # user 9 starts Jan 2, grid extends to the corpus max day (Jan 4)
+        assert len(u9) == 3 and u9["value_cents"].tolist() == [900, 900, 900]
+
+
+class TestBoilerplateStrip:
+    def test_strips_high_df_tokens_per_source(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.clean_queries import q_boilerplate_strip
+
+        # "cookie" appears in 5/5 docs of source A (boilerplate);
+        # "rare" in 1/5; source B has its own independent threshold
+        a_texts = [f"cookie banner doc{i} rare" if i == 0 else f"cookie banner doc{i}" for i in range(5)]
+        b_texts = ["cookie only once here", "totally different words"]
+        sf = _write_docs(
+            str(tmp_path), a_texts + b_texts, sources=["A"] * 5 + ["B"] * 2
+        )
+        got = (
+            q_boilerplate_strip(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # source A: cookie+banner removed everywhere, doc words kept in order
+        assert got.loc[0, "clean_text"] == "doc0 rare"
+        assert got.loc[0, "n_removed"] == 2
+        assert got.loc[3, "clean_text"] == "doc3"
+        # source B: "cookie" is 1/2 docs < 80%, kept
+        assert "cookie" in got.loc[5, "clean_text"]
+        assert got.loc[6, "n_removed"] == 0
