@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": cl.q_typo_pairs,
         "resample_ffill": cl.q_resample_ffill,
         "boilerplate_strip": cl.q_boilerplate_strip,
+        "corpus_prep": cl.q_corpus_prep,
         # similarity search / near-dedup
         "ann_topk": sq.q_ann_topk,
         "ann_batch_topk": sq.q_ann_batch_topk,
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_pairs": cl.SQL_TYPO_PAIRS,
         "resample_ffill": cl.SQL_RESAMPLE_FFILL,
         "boilerplate_strip": cl.SQL_BOILERPLATE_STRIP,
+        "corpus_prep": cl.SQL_CORPUS_PREP,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,

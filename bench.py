@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "typo_pairs",
     "resample_ffill",
     "boilerplate_strip",
+    "corpus_prep",
     "doc_quality",
     "ann_topk",
     "ann_batch_topk",

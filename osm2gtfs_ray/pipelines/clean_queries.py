@@ -477,3 +477,96 @@ SELECT CAST(words.doc_id AS BIGINT) AS doc_id,
          list_filter(ws, x -> NOT list_contains(coalesce(bl.bw, []), x)), ' '), '') AS clean_text
 FROM words LEFT JOIN bl ON words.source = bl.source
 """
+
+
+# --------------------------------------------------------------------------
+# Composite corpus-prep pipeline — the LLM-training-data flagship:
+# language filter → quality (token-count) filter → normalized exact
+# dedup (keep lowest doc_id) → leakage-safe train/val/test assignment
+# on the dedup winner. One straight chain of the engine's oracled
+# stages (q_doc_quality / q_norm_dedup / q_sample_split semantics),
+# proving they compose; the whole chain keeps the SQL oracle.
+#
+# Scale shape: two pure maps, ONE content-keyed shuffle (the dedup,
+# map-side pre-reduced by ops/dedupe.keep_first), then a pure map —
+# the minimal exchange count for these semantics.
+# --------------------------------------------------------------------------
+
+_PREP_MIN_TOKENS = 20
+_PREP_STREAM = 78
+_PREP_SEED = 42  # same engine seed as q_sample_split / pages synth
+
+
+def q_corpus_prep(sf_dir: str):
+    from osm2gtfs_ray.ops.dedupe import keep_first
+    from osm2gtfs_ray.sources.pages import _uint
+    from osm2gtfs_ray.stages.text import token_count_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def lang_quality(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["lang"], pa.scalar("en")))
+        n_tokens = token_count_arrow(t["text"])
+        t = t.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+        t = t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(_PREP_MIN_TOKENS)))
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, r"[.,!?;:]", "")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": t["n_tokens"],
+                "norm_text": s,
+            }
+        )
+
+    survivors = docs.map_batches(
+        lang_quality, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = keep_first(survivors, key="norm_text", order_by="doc_id")
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _uint(did, _PREP_STREAM, _PREP_SEED, 100)
+        split = np.where(h < 90, "train", np.where(h < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return winners.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_corpus_prep() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    h = _s_uint("CAST(doc_id AS UBIGINT)", _PREP_STREAM, 100)
+    return rf"""
+WITH en AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents WHERE lang = 'en'
+),
+q AS (SELECT * FROM en WHERE n_tokens >= {_PREP_MIN_TOKENS}),
+norm AS (
+  SELECT doc_id, n_tokens,
+         trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nt,
+         ROW_NUMBER() OVER (PARTITION BY trim(regexp_replace(
+             regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+             '\s+', ' ', 'g')) ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, n_tokens, {h} AS h FROM norm WHERE rn = 1)
+ORDER BY doc_id
+"""
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()

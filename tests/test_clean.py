@@ -165,3 +165,29 @@ class TestBoilerplateStrip:
         # source B: "cookie" is 1/2 docs < 80%, kept
         assert "cookie" in got.loc[5, "clean_text"]
         assert got.loc[6, "n_removed"] == 0
+
+
+class TestCorpusPrep:
+    def test_chain_semantics(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.clean_queries import q_corpus_prep
+
+        long = " ".join(f"w{i}" for i in range(25))
+        texts = [
+            long,                      # doc 0: en, long → kept, dedup winner
+            long + " ",                # doc 1: same normalized → deduped away
+            "short text",              # doc 2: too few tokens → dropped
+            long + " extra",           # doc 3: distinct → kept
+        ]
+        sf = _write_docs(str(tmp_path), texts)
+        # doc 2 is en but short; make doc 3 non-en to test the lang filter
+        import pyarrow.parquet as _pq
+        import pyarrow as _pa
+        t = _pq.read_table(os.path.join(sf, "documents.parquet"))
+        langs = ["en", "en", "en", "fr"]
+        t = t.set_column(t.schema.get_field_index("lang"), "lang", _pa.array(langs))
+        _pq.write_table(t, os.path.join(sf, "documents.parquet"))
+
+        got = q_corpus_prep(sf).to_pandas()
+        assert got["doc_id"].tolist() == [0]
+        assert got["n_tokens"].tolist() == [25]
+        assert set(got["split"]) <= {"train", "val", "test"}
