@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_daily_revenue": aq.q_rolling_daily_revenue,
         "spend_rank": aq.q_spend_rank,
         "zscore_events": aq.q_zscore_events,
+        "value_histogram": aq.q_value_histogram,
+        "interval_merge": aq.q_interval_merge,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -240,6 +242,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_daily_revenue": aq.SQL_ROLLING_DAILY_REVENUE,
         "spend_rank": aq.SQL_SPEND_RANK,
         "zscore_events": aq.SQL_ZSCORE_EVENTS,
+        "value_histogram": aq.SQL_VALUE_HISTOGRAM,
+        "interval_merge": aq.SQL_INTERVAL_MERGE,
         # flagship spatial join: PIP + kNN fully re-derived in SQL
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),

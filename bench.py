@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "rolling_daily_revenue",
     "spend_rank",
     "zscore_events",
+    "value_histogram",
+    "interval_merge",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",

@@ -528,3 +528,140 @@ SELECT e.event_id, e.event_type,
        CAST(ROUND((e.value - s.mu) / s.sd * 1e4) AS BIGINT) AS z_e4
 FROM events e JOIN stats s USING (event_type)
 """
+
+
+# --------------------------------------------------------------------------
+# Numeric histogram (fixed-width binning, closed bucket domain) —
+# the distribution-profiling primitive every corpus audit starts with.
+# Scale shape: map-side per-batch bincount partials (≤ N_BUCKETS rows
+# leave any batch), one tiny groupby merge. Values outside [lo, hi)
+# clamp into the end buckets, so the output schema is static.
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 5.0
+_HIST_BUCKETS = 40  # domain [0, 200) + clamp
+
+
+def q_value_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        b = np.clip(np.floor(v / _HIST_WIDTH).astype(np.int64), 0, _HIST_BUCKETS - 1)
+        cnt = np.bincount(b, minlength=_HIST_BUCKETS)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()), "n_part": pa.array(cnt[nz], pa.int64())}
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        w = int(_HIST_WIDTH * 100)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "lo_cents": pa.array(b * w, pa.int64()),
+                "hi_cents": pa.array((b + 1) * w, pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("bucket")
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT bucket,
+       bucket * {int(_HIST_WIDTH * 100)} AS lo_cents,
+       (bucket + 1) * {int(_HIST_WIDTH * 100)} AS hi_cents,
+       COUNT(*) AS n
+FROM (
+  SELECT LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT), 0),
+               {_HIST_BUCKETS - 1}) AS bucket
+  FROM events
+)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval merge (union of overlapping per-key intervals — the
+# islands-and-gaps operator): each event opens a fixed 10-minute
+# activity interval; overlapping/touching intervals of the same user
+# merge into one. Reference analogue: service-period union per
+# itinerary (osm2gtfs/creators/trips_creator.py service handling),
+# generalized to time intervals.
+# Scale shape: key-hash sharded shuffle, then ONE vectorized pandas
+# pass per shard (sort + grouped cummax/shift + cumsum island ids) —
+# the same C-level shape as q_sessionize.
+# --------------------------------------------------------------------------
+
+_IVL_LEN_S = 600
+
+
+def q_interval_merge(sf_dir: str):
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def merge_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].astype("int64").to_numpy() // 1_000_000
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "s": s})
+        d = d.sort_values(["user_id", "s"], kind="mergesort").reset_index(drop=True)
+        d["e"] = d["s"] + _IVL_LEN_S
+        gb = d.groupby("user_id", sort=False)
+        prev_max = gb["e"].cummax().groupby(d["user_id"], sort=False).shift(1)
+        new = prev_max.isna() | (d["s"] > prev_max)
+        d["island"] = new.astype(np.int64).groupby(d["user_id"], sort=False).cumsum()
+        out = d.groupby(["user_id", "island"], as_index=False, sort=False).agg(
+            start_s=("s", "min"), end_s=("e", "max"), n_events=("s", "size")
+        )
+        return out[["user_id", "start_s", "end_s", "n_events"]]
+
+    merged = sharded_map_groups(ev, "user_id", merge_shard)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "start_s": pc.cast(t["start_s"], pa.int64()),
+                "end_s": pc.cast(t["end_s"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "start_s"]
+    )
+
+
+SQL_INTERVAL_MERGE = f"""
+WITH iv AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) + {_IVL_LEN_S} AS e
+  FROM events
+),
+ord AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+  FROM ord
+)
+SELECT user_id, MIN(s) AS start_s, MAX(e) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, island
+ORDER BY user_id, start_s
+"""

@@ -191,3 +191,64 @@ class TestCorpusPrep:
         assert got["doc_id"].tolist() == [0]
         assert got["n_tokens"].tolist() == [25]
         assert set(got["split"]) <= {"train", "val", "test"}
+
+
+class TestAnalyticsExtras:
+    def test_value_histogram_clamps(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.analytics_queries import q_value_histogram
+
+        os.makedirs(str(tmp_path), exist_ok=True)
+        vals = [-3.0, 0.0, 4.99, 5.0, 199.9, 200.0, 10_000.0]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(vals)), pa.int64()),
+                    "ts": pa.array(
+                        pd.to_datetime(["2024-01-01"] * len(vals)), pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([1] * len(vals), pa.int64()),
+                    "event_type": pa.array(["a"] * len(vals)),
+                    "value": pa.array(vals),
+                    "props": pa.array(["{}"] * len(vals)),
+                }
+            ),
+            os.path.join(str(tmp_path), "events.parquet"),
+        )
+        got = q_value_histogram(str(tmp_path)).to_pandas()
+        bybucket = dict(zip(got["bucket"], got["n"]))
+        # -3 and 0 and 4.99 clamp/fall into bucket 0; 5.0 → bucket 1;
+        # 199.9, 200, 10000 clamp into the last bucket (39)
+        assert bybucket[0] == 3 and bybucket[1] == 1 and bybucket[39] == 3
+        row0 = got[got["bucket"] == 0].iloc[0]
+        assert row0["lo_cents"] == 0 and row0["hi_cents"] == 500
+
+    def test_interval_merge_islands(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.analytics_queries import q_interval_merge
+
+        os.makedirs(str(tmp_path), exist_ok=True)
+        # user 1: events at 0s, 300s (overlap), 1500s (gap) → 2 islands
+        # user 2: single event → 1 island; touching boundary (600s) merges
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:05:00", "2024-01-01 00:25:00",
+             "2024-01-02 00:00:00", "2024-01-02 00:10:00"]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(5), pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                    "event_type": pa.array(["a"] * 5),
+                    "value": pa.array([1.0] * 5),
+                    "props": pa.array(["{}"] * 5),
+                }
+            ),
+            os.path.join(str(tmp_path), "events.parquet"),
+        )
+        got = q_interval_merge(str(tmp_path)).to_pandas()
+        u1 = got[got["user_id"] == 1]
+        assert len(u1) == 2
+        assert u1.iloc[0]["n_events"] == 2 and u1.iloc[0]["end_s"] - u1.iloc[0]["start_s"] == 900
+        # user 2: second event starts exactly at the first's end (touch) → merged
+        u2 = got[got["user_id"] == 2]
+        assert len(u2) == 1 and u2.iloc[0]["n_events"] == 2
