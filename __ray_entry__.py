@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_events": aq.q_zscore_events,
         "value_histogram": aq.q_value_histogram,
         "interval_merge": aq.q_interval_merge,
+        "cohort_retention": aq.q_cohort_retention,
+        "funnel_conversion": aq.q_funnel_conversion,
         # geo kernels with expression-identical SQL oracles
         "nation_centroid": gq.q_nation_centroid,
         "bbox_events": gq.q_bbox_events,
@@ -244,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore_events": aq.SQL_ZSCORE_EVENTS,
         "value_histogram": aq.SQL_VALUE_HISTOGRAM,
         "interval_merge": aq.SQL_INTERVAL_MERGE,
+        "cohort_retention": aq.SQL_COHORT_RETENTION,
+        "funnel_conversion": aq.SQL_FUNNEL_CONVERSION,
         # flagship spatial join: PIP + kNN fully re-derived in SQL
         # (splitmix64 entity synthesis + crossing-number + haversine argmin)
         "spatial_join_rows": fo.sql_spatial_join(),

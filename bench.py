@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "zscore_events",
     "value_histogram",
     "interval_merge",
+    "cohort_retention",
+    "funnel_conversion",
     "nation_centroid",
     "cell_histogram",
     "nearest_events",

@@ -665,3 +665,152 @@ SELECT user_id, MIN(s) AS start_s, MAX(e) AS end_s,
 FROM isl GROUP BY user_id, island
 ORDER BY user_id, start_s
 """
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users are cohorted by their first active day; for
+# each (cohort_day, day offset) count how many of the cohort's users
+# were active. Scale shape: map-side per-(user, day) distinct, ONE
+# user-keyed sharded shuffle in which each shard derives its users'
+# cohorts AND offsets in one vectorized pass (no second join), then a
+# tiny (cohort, offset) count groupby with map-side partials.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str):
+    from ray.data.aggregate import Sum
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def user_days(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "day": b["ts"].dt.floor("D")}
+        )
+        return d.drop_duplicates()
+
+    def cohort_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day"])
+        first = d.groupby("user_id", sort=False)["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": first.dt.date,
+                "offset_days": (d["day"] - first).dt.days.astype(np.int64),
+                "n_part": np.ones(len(d), np.int64),
+            }
+        )
+        return out.groupby(["cohort_day", "offset_days"], as_index=False, sort=False)[
+            "n_part"
+        ].sum()
+
+    parts = sharded_map_groups(
+        ev.map_batches(user_days, batch_format="pandas"), "user_id", cohort_shard
+    )
+    agg = parts.groupby(["cohort_day", "offset_days"]).aggregate(
+        Sum("n_part", alias_name="n_users")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": pc.cast(t["cohort_day"], pa.date32()),
+                "offset_days": pc.cast(t["offset_days"], pa.int64()),
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["cohort_day", "offset_days"]
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+fc AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+SELECT fc.cohort AS cohort_day,
+       CAST(date_diff('day', fc.cohort, ud.day) AS BIGINT) AS offset_days,
+       COUNT(*) AS n_users
+FROM ud JOIN fc USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion (click → purchase in order): per user, the first
+# click and first purchase second; converted iff both exist and the
+# click strictly precedes the purchase (on floored-second timestamps,
+# identical on both sides). Scale shape: map-side per-(user, stage)
+# min partials (≤ 2 rows per user per batch leave the map), one
+# user-keyed sharded shuffle, vectorized per-shard pivot.
+# --------------------------------------------------------------------------
+
+_FUNNEL_A, _FUNNEL_B = "click", "purchase"
+
+
+def q_funnel_conversion(sf_dir: str):
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def stage_mins(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["event_type"].isin([_FUNNEL_A, _FUNNEL_B])]
+        s = pd.DataFrame(
+            {
+                "user_id": d["user_id"].to_numpy(),
+                "event_type": d["event_type"].to_numpy(),
+                "ts_s": d["ts"].astype("int64").to_numpy() // 1_000_000,
+            }
+        )
+        return s.groupby(["user_id", "event_type"], as_index=False, sort=False)[
+            "ts_s"
+        ].min()
+
+    def funnel_shard(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False, sort=False)[
+            "ts_s"
+        ].min()
+        p = m.pivot_table(index="user_id", columns="event_type", values="ts_s",
+                          aggfunc="min")
+        fc = p[_FUNNEL_A] if _FUNNEL_A in p else pd.Series(np.nan, index=p.index)
+        fp = p[_FUNNEL_B] if _FUNNEL_B in p else pd.Series(np.nan, index=p.index)
+        keep = fc.notna()
+        fc, fp = fc[keep], fp[keep]
+        conv = (fp.notna() & (fc < fp)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": fc.index.to_numpy(np.int64),
+                "first_click_s": fc.to_numpy(np.int64),
+                "first_purchase_s": fp.fillna(-1).to_numpy(np.int64),
+                "converted": conv.to_numpy(np.int64),
+            }
+        )
+
+    out = sharded_map_groups(
+        ev.map_batches(stage_mins, batch_format="pandas"), "user_id", funnel_shard
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "first_click_s": pc.cast(t["first_click_s"], pa.int64()),
+                "first_purchase_s": pc.cast(t["first_purchase_s"], pa.int64()),
+                "converted": pc.cast(t["converted"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{_FUNNEL_A}'
+                  THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS fc,
+         MIN(CASE WHEN event_type = '{_FUNNEL_B}'
+                  THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS fp
+  FROM events GROUP BY user_id
+)
+SELECT user_id, fc AS first_click_s, COALESCE(fp, -1) AS first_purchase_s,
+       CAST(CASE WHEN fp IS NOT NULL AND fc < fp THEN 1 ELSE 0 END AS BIGINT)
+         AS converted
+FROM f WHERE fc IS NOT NULL ORDER BY user_id
+"""

@@ -252,3 +252,53 @@ class TestAnalyticsExtras:
         # user 2: second event starts exactly at the first's end (touch) → merged
         u2 = got[got["user_id"] == 2]
         assert len(u2) == 1 and u2.iloc[0]["n_events"] == 2
+
+
+class TestCohortFunnel:
+    def _write_events(self, tmpdir, rows):
+        os.makedirs(tmpdir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(rows)), pa.int64()),
+                    "ts": pa.array(pd.to_datetime([r[1] for r in rows]), pa.timestamp("us")),
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows)),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            os.path.join(tmpdir, "events.parquet"),
+        )
+        return tmpdir
+
+    def test_cohort_retention_offsets(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.analytics_queries import q_cohort_retention
+
+        rows = [
+            (1, "2024-01-01 10:00", "view"), (1, "2024-01-01 11:00", "view"),
+            (1, "2024-01-03 10:00", "view"),
+            (2, "2024-01-02 10:00", "view"), (2, "2024-01-03 10:00", "view"),
+        ]
+        sf = self._write_events(str(tmp_path), rows)
+        got = q_cohort_retention(sf).to_pandas()
+        import datetime as dt
+        rec = {(r.cohort_day, r.offset_days): r.n_users for r in got.itertuples()}
+        d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+        assert rec == {(d1, 0): 1, (d1, 2): 1, (d2, 0): 1, (d2, 1): 1}
+
+    def test_funnel_order_matters(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.analytics_queries import q_funnel_conversion
+
+        rows = [
+            (1, "2024-01-01 10:00", "click"), (1, "2024-01-01 12:00", "purchase"),
+            (2, "2024-01-01 12:00", "purchase"), (2, "2024-01-01 13:00", "click"),
+            (3, "2024-01-01 09:00", "click"),
+            (4, "2024-01-01 09:00", "view"),
+        ]
+        sf = self._write_events(str(tmp_path), rows)
+        got = q_funnel_conversion(sf).to_pandas().set_index("user_id")
+        assert got.loc[1, "converted"] == 1
+        assert got.loc[2, "converted"] == 0  # purchase before click
+        assert got.loc[3, "converted"] == 0 and got.loc[3, "first_purchase_s"] == -1
+        assert 4 not in got.index  # never clicked
