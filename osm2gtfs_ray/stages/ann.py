@@ -271,14 +271,11 @@ def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
     bands = emb_ds.map_batches(bands_with_shard, batch_format="pyarrow")
 
     def shard_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
         dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
-        out_a, out_b = [], []
-        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.sort(grp["vec_id"].to_numpy())
-            i, j = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[i])
-            out_b.append(ids[j])
-        if not out_a:
+        d, ai, bi = bucket_pairs(dup, ["band_id", "band_hash"], "vec_id")
+        if not len(ai):
             return pd.DataFrame(
                 {
                     "a": pd.Series([], dtype="int64"),
@@ -286,7 +283,8 @@ def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
                     "pair_shard": pd.Series([], dtype="int64"),
                 }
             )
-        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        ids = d["vec_id"].to_numpy()
+        df = pd.DataFrame({"a": ids[ai], "b": ids[bi]})
         df = df.drop_duplicates()
         df["pair_shard"] = (df["a"].to_numpy() % RHP_SHARDS).astype("int64")
         return df

@@ -162,15 +162,12 @@ def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingl
     bands = sigs.map_batches(bands_with_shard, batch_format="pyarrow")
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
         # buckets with >=2 docs only (duplicated band hashes)
         dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
-        out_a, out_b = [], []
-        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
-            ids = np.sort(grp["doc_id"].to_numpy())
-            i, j = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[i])
-            out_b.append(ids[j])
-        if not out_a:
+        d, ai, bi = bucket_pairs(dup, ["band_id", "band_hash"], "doc_id")
+        if not len(ai):
             return pd.DataFrame(
                 {
                     "a": pd.Series([], dtype="int64"),
@@ -178,7 +175,8 @@ def lsh_candidate_pairs(docs_ds, num_perm: int = 64, n_bands: int = 16, n_shingl
                     "pair_shard": pd.Series([], dtype="int64"),
                 }
             )
-        df = pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        ids = d["doc_id"].to_numpy()
+        df = pd.DataFrame({"a": ids[ai], "b": ids[bi]})
         df = df.drop_duplicates()  # within-shard dedup
         df["pair_shard"] = (df["a"].to_numpy() % N_SHARDS).astype("int64")
         return df
@@ -567,15 +565,16 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, threshold: float = 0.5,
         )
         if dup.empty:
             return empty
-        dup = dup.sort_values(["g", "doc_id"], kind="mergesort")
-        chunks = []
-        for _, grp in dup.groupby("g", sort=False):
-            ids = grp["doc_id"].to_numpy()
-            nds = grp["nd"].to_numpy()
-            i, j = np.triu_indices(len(ids), k=1)
-            chunks.append(np.stack([ids[i], ids[j], nds[i], nds[j]], axis=1))
-        m = np.concatenate(chunks)
-        df = pd.DataFrame(m, columns=["a", "b", "na", "nb"]).astype("int64")
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
+        d, ai, bi = bucket_pairs(dup, ["g"], "doc_id")
+        if not len(ai):
+            return empty
+        ids = d["doc_id"].to_numpy()
+        nds = d["nd"].to_numpy()
+        df = pd.DataFrame(
+            {"a": ids[ai], "b": ids[bi], "na": nds[ai], "nb": nds[bi]}
+        ).astype("int64")
         out = df.groupby(["a", "b", "na", "nb"], sort=False).size().reset_index(name="c")
         out["c"] = out["c"].astype("int64")
         return out
@@ -700,21 +699,11 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
     bands = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
         dup = g[g.duplicated(["band", "key"], keep=False)]
-        out = []
-        for _, grp in dup.groupby(["band", "key"], sort=False):
-            order = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
-            ids = grp["doc_id"].to_numpy()[order]
-            sg = grp["sig"].to_numpy()[order].astype(np.uint64)
-            i, j = np.triu_indices(len(ids), k=1)
-            ham = popcount64(sg[i] ^ sg[j])
-            keep = ham <= max_hamming
-            out.append(
-                pd.DataFrame(
-                    {"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]}
-                )
-            )
-        if not out:
+        d, ai, bi = bucket_pairs(dup, ["band", "key"], "doc_id")
+        if not len(ai):
             return pd.DataFrame(
                 {
                     "a": pd.Series([], dtype="int64"),
@@ -722,7 +711,13 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
                     "hamming": pd.Series([], dtype="int64"),
                 }
             )
-        return pd.concat(out, ignore_index=True).drop_duplicates(["a", "b"])
+        ids = d["doc_id"].to_numpy()
+        sg = d["sig"].to_numpy().astype(np.uint64)
+        ham = popcount64(sg[ai] ^ sg[bi])
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]}
+        ).drop_duplicates(["a", "b"])
 
     pairs = sharded_map_groups(bands, ["band", "key"], shard_pairs)
     return distinct(pairs, ["a", "b", "hamming"])

@@ -853,3 +853,41 @@ def test_embedding_dedup_groups_matches_brute(ray_session):
     # components are min-labeled
     for node, c in comp.items():
         assert c <= node
+
+
+class TestIntraGroupPairs:
+    def test_matches_naive_loop(self):
+        import numpy as np
+        import pandas as pd
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "k1": rng.integers(0, 12, 300),
+                "k2": rng.integers(0, 3, 300),
+                "id": rng.permutation(300),
+            }
+        )
+        d, ai, bi = bucket_pairs(df, ["k1", "k2"], "id")
+        got = set(zip(d["id"].to_numpy()[ai], d["id"].to_numpy()[bi]))
+        exp = set()
+        for _, grp in df.groupby(["k1", "k2"]):
+            ids = np.sort(grp["id"].to_numpy())
+            i, j = np.triu_indices(len(ids), k=1)
+            exp.update(zip(ids[i], ids[j]))
+        assert got == exp
+        # a < b within every pair (ids ascend inside buckets)
+        assert (d["id"].to_numpy()[ai] < d["id"].to_numpy()[bi]).all()
+
+    def test_empty_and_singletons(self):
+        import numpy as np
+        import pandas as pd
+        from osm2gtfs_ray.ops.pairs import bucket_pairs
+
+        d, ai, bi = bucket_pairs(pd.DataFrame({"k": [], "id": []}), ["k"], "id")
+        assert len(ai) == 0 and len(bi) == 0
+        d, ai, bi = bucket_pairs(
+            pd.DataFrame({"k": [1, 2, 3], "id": [9, 8, 7]}), ["k"], "id"
+        )
+        assert len(ai) == 0
