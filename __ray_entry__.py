@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_groups": q_embedding_dedup_groups,
         # multimodal: real BMP/PPM/PNG decode, dims verified vs splitmix oracle
         "media_decode": mq.q_media_decode,
+        "audio_features": mq.q_audio_features,
     }
 
 
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "media_decode": mq.sql_media_decode(),
+        "audio_features": mq.sql_audio_features(),
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "cosine_lsh",
     "random_projection",
     "media_decode",
+    "audio_features",
     "sessionize",
     "dup_components",
 ]

@@ -64,3 +64,60 @@ SELECT CAST(mid AS BIGINT) AS media_id,
          ELSE 'image/png' END AS mime
 FROM ids
 """
+
+
+# --------------------------------------------------------------------------
+# Audio features: PCM16 decode + per-clip waveform stats, mirrored by
+# a bit-exact splitmix SQL oracle (same pattern as q_media_decode —
+# the engine computes features FROM THE DECODED BYTES, the oracle
+# regenerates the waveform arithmetically; any byte-order/framing bug
+# in the decode breaks the match).
+# --------------------------------------------------------------------------
+
+def q_audio_features(sf_dir: str):
+    from osm2gtfs_ray.stages.audio import DecodeAudio, synthesize_audio_for_ids
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_audio_for_ids(t["doc_id"].to_numpy().astype(np.uint64))
+
+    audio = docs.map_batches(synth, batch_format="pyarrow", batch_size=2048)
+    return audio.map_batches(
+        DecodeAudio, batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
+    )
+
+
+def sql_audio_features() -> str:
+    from osm2gtfs_ray.stages.audio import (
+        _K_MIX,
+        _LEN_MOD,
+        _LEN_STREAM,
+        _MIN_SAMPLES,
+        _VAL_MOD,
+        _VAL_OFF,
+        _VAL_STREAM,
+    )
+
+    sample = (
+        _s_uint(f"xor(aid, CAST(k AS UBIGINT) * {int(_K_MIX)})", _VAL_STREAM, _VAL_MOD)
+        + f" - {_VAL_OFF}"
+    )
+    return f"""
+WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS aid FROM documents),
+n AS (SELECT aid, {_MIN_SAMPLES} + ({_s_uint("aid", _LEN_STREAM, _LEN_MOD)}) AS ns FROM ids),
+samp AS (SELECT aid, ns, unnest(generate_series(0, ns - 1)) AS k FROM n),
+vals AS (SELECT aid, ns, k, ({sample}) AS s FROM samp),
+flags AS (
+  SELECT aid, ns, s,
+         CASE WHEN s * LAG(s) OVER (PARTITION BY aid ORDER BY k) < 0
+              THEN 1 ELSE 0 END AS c
+  FROM vals
+)
+SELECT CAST(aid AS BIGINT) AS audio_id,
+       CAST(ANY_VALUE(ns) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+       CAST(SUM(c) AS BIGINT) AS zero_crossings
+FROM flags GROUP BY aid
+"""

@@ -302,3 +302,41 @@ class TestCohortFunnel:
         assert got.loc[2, "converted"] == 0  # purchase before click
         assert got.loc[3, "converted"] == 0 and got.loc[3, "first_purchase_s"] == -1
         assert 4 not in got.index  # never clicked
+
+
+class TestAudio:
+    def test_decode_features_match_brute(self, rd):
+        import ray.data
+        from osm2gtfs_ray.stages.audio import (
+            DecodeAudio, audio_samples_for_id, synthesize_audio_for_ids,
+        )
+
+        ids = np.arange(40, dtype=np.uint64)
+        tbl = synthesize_audio_for_ids(ids)
+        # exercise the offset math on a SLICED batch too
+        for t in (tbl, tbl.slice(7, 21)):
+            got = DecodeAudio()(t).to_pandas().set_index("audio_id")
+            for aid in got.index:
+                s = audio_samples_for_id(int(aid), int(got.loc[aid, "n_samples"])).astype(np.int64)
+                assert got.loc[aid, "sum_abs"] == np.abs(s).sum()
+                assert got.loc[aid, "peak"] == np.abs(s).max()
+                assert got.loc[aid, "zero_crossings"] == int(((s[1:] * s[:-1]) < 0).sum())
+
+    def test_empty_payload_row(self):
+        import pyarrow as pa
+        from osm2gtfs_ray.stages.audio import DecodeAudio
+
+        t = pa.table(
+            {
+                "audio_id": pa.array([1, 2, 3], pa.int64()),
+                "payload": pa.array(
+                    [np.array([5, -3], "<i2").tobytes(), b"", np.array([0, 7, -1], "<i2").tobytes()],
+                    pa.binary(),
+                ),
+                "sample_rate": pa.array([16000] * 3, pa.int64()),
+            }
+        )
+        got = DecodeAudio()(t).to_pandas().set_index("audio_id")
+        assert got.loc[1, "n_samples"] == 2 and got.loc[1, "zero_crossings"] == 1
+        assert got.loc[2, "n_samples"] == 0 and got.loc[2, "sum_abs"] == 0
+        assert got.loc[3, "n_samples"] == 3 and got.loc[3, "zero_crossings"] == 1
