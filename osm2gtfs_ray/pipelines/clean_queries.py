@@ -397,8 +397,11 @@ def q_boilerplate_strip(sf_dir: str):
         .groupby(["source", "word"])
         .aggregate(Sum("df_part", alias_name="df"))
     )
+    # doc counts need only the source column — a separate pruned read,
+    # not a third scan of the wide text column
     ndocs = (
-        docs.map_batches(
+        read_table(sf_dir, "documents", columns=["source"])
+        .map_batches(
             lambda t: pa.table(
                 {"source": t["source"], "one": pa.array(np.ones(len(t), np.int64))}
             ),
