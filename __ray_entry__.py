@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_sales": q.q_suppliers_with_sales,
         "first_order_per_customer": q.q_first_order_per_customer,
         "orders_with_lineitem": q.q_orders_with_lineitem,
+        "event_segment": q.q_event_segment,
         "event_type_counts": q.q_event_type_counts,
         "hourly_event_stats": q.q_hourly_event_stats,
         "window_event_stats": q.q_window_event_stats,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_qty": q.SQL_QUANTILE_QTY,
         "quantile_price_sketch": q.SQL_QUANTILE_PRICE_SKETCH,
         "orders_with_lineitem": q.SQL_ORDERS_WITH_LINEITEM,
+        "event_segment": q.SQL_EVENT_SEGMENT,
         "daily_active_users": q.SQL_DAILY_ACTIVE_USERS,
         "dau_approx": q.SQL_DAU_APPROX,
         "top_orders_per_customer": q.SQL_TOP_ORDERS_PER_CUSTOMER,

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "customers_without_orders",
     "first_order_per_customer",
     "orders_with_lineitem",
+    "event_segment",
     "hourly_event_stats",
     "prev_order_gap",
     "quantile_qty",

@@ -903,3 +903,51 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
 """
+
+
+# --------------------------------------------------------------------------
+# LEFT OUTER enrichment join: every event keeps its row; events whose
+# user is not in the (filtered) customer dimension get a NONE segment.
+# The dimension is pruned AND filtered at the parquet read (predicate
+# pushdown), broadcast once via ray.put, joined per batch by acero —
+# the missing-right branch of the join family (inner/semi/anti/asof
+# are covered by the sibling queries).
+# --------------------------------------------------------------------------
+
+def q_event_segment(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from osm2gtfs_ray.ops.joins import broadcast_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    cust = read_table(
+        sf_dir,
+        "customer",
+        columns=["c_custkey", "c_mktsegment"],
+        filter_expr=(pads.field("c_mktsegment") == "BUILDING"),
+    )
+    joined = broadcast_join(
+        ev, cust, keys="user_id", right_keys="c_custkey", join_type="left outer"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(t["c_mktsegment"], "NONE")
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "segment": seg,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_SEGMENT = """
+SELECT e.event_id, e.user_id,
+       COALESCE(c.c_mktsegment, 'NONE') AS segment
+FROM events e
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment = 'BUILDING') c
+  ON e.user_id = c.c_custkey
+"""

@@ -340,3 +340,37 @@ class TestAudio:
         assert got.loc[1, "n_samples"] == 2 and got.loc[1, "zero_crossings"] == 1
         assert got.loc[2, "n_samples"] == 0 and got.loc[2, "sum_abs"] == 0
         assert got.loc[3, "n_samples"] == 3 and got.loc[3, "zero_crossings"] == 1
+
+
+class TestLeftOuterEnrichment:
+    def test_null_fill_branch(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.queries import q_event_segment
+
+        os.makedirs(str(tmp_path), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([10, 11, 12], pa.int64()),
+                    "ts": pa.array(pd.to_datetime(["2024-01-01"] * 3), pa.timestamp("us")),
+                    "user_id": pa.array([1, 2, 3], pa.int64()),
+                    "event_type": pa.array(["a"] * 3),
+                    "value": pa.array([1.0] * 3),
+                    "props": pa.array(["{}"] * 3),
+                }
+            ),
+            os.path.join(str(tmp_path), "events.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([2, 3], pa.int64()),
+                    "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE"]),
+                }
+            ),
+            os.path.join(str(tmp_path), "customer.parquet"),
+        )
+        got = q_event_segment(str(tmp_path)).to_pandas().set_index("user_id")
+        # user 1: no customer row; user 3: customer exists but filtered out
+        assert got.loc[1, "segment"] == "NONE"
+        assert got.loc[2, "segment"] == "BUILDING"
+        assert got.loc[3, "segment"] == "NONE"
