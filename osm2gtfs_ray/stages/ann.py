@@ -231,7 +231,8 @@ class RHPSignature:
 
 
 def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
-                        dim: int = 64, seed: int = 42):
+                        dim: int = 64, seed: int = 42,
+                        final_dedup: bool = True):
     """embeddings(vec_id, embedding) → distinct candidate pairs (a < b)
     whose signatures collide in ≥1 band.
 
@@ -290,6 +291,10 @@ def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
         return df
 
     cand = bands.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    if not final_dedup:
+        # caller materializes and dedups (snapshot/test path) — skip
+        # the second all-to-all just to drop cross-band duplicates
+        return cand
 
     def dedup_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
         return g[["a", "b"]].drop_duplicates().sort_values(["a", "b"], kind="mergesort")
@@ -444,25 +449,39 @@ def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
     ``emb_ds_factory`` is a zero-arg callable returning a fresh
     embeddings Dataset (the table is read twice: once for signatures,
     once for verification embeddings)."""
-    pairs = rhp_candidate_pairs(
-        emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
-    )
     if snapshot_path:
         # candidate-pair snapshot for the driver's SQL oracle (the
         # hash-derived candidate generation is not SQL-reproducible;
         # the exact-cosine VERIFY over the same pairs is). Bounded by
         # the LSH candidate volume; at scale, write the Dataset
-        # partitioned instead.
+        # partitioned instead. The materialization below also absorbs
+        # the cross-band pair dedup (one Arrow group_by on the
+        # collected table), so the distributed dedup shuffle only runs
+        # on the non-snapshot scale path.
         import pyarrow.parquet as _pq
         import ray.data
 
         from osm2gtfs_ray.ops.joins import _as_arrow
 
-        tbl = _as_arrow(pairs)
+        cand = rhp_candidate_pairs(
+            emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim,
+            seed=seed, final_dedup=False,
+        )
+        tbl = _as_arrow(cand)
+        tbl = (
+            tbl.select(["a", "b"])
+            .group_by(["a", "b"])
+            .aggregate([])
+            .sort_by([("a", "ascending"), ("b", "ascending")])
+        )
         _pq.write_table(tbl, snapshot_path)
         # from_arrow yields ONE block; re-spread so verify parallelizes
         # (a single 1.4M-row block verified serially cost ~50 s)
         pairs = ray.data.from_arrow(tbl).repartition(
             max(1, min(64, tbl.num_rows // 65536 + 1))
+        )
+    else:
+        pairs = rhp_candidate_pairs(
+            emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
         )
     return verify_cosine_pairs(pairs, emb_ds_factory(), tau, dim=dim)
