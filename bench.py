@@ -288,20 +288,47 @@ def run_bench() -> dict:
                 timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
 
     total = round(sum(timings.values()), 3)
-    # row counts go to a side file, NOT the printed line: the driver
-    # captures a bounded tail of stdout and r2's fat line got truncated
-    # into an unparseable record (VERDICT r2 What's-wrong #2)
+    # The full per-query dict and row counts go to a side file, NOT the
+    # printed line: the driver captures a bounded tail of stdout and both
+    # r2's and r3's fat final lines got truncated into unparseable records
+    # (VERDICT r3 What's-wrong #1). The printed line stays ≤1 KB.
+    detail_path = os.path.join(REPO, "bench_records", "bench_last_detail.json")
     try:
-        with open(os.path.join(REPO, "bench_records", "rowcounts_last.json"), "w") as f:
-            json.dump({"sf": sf, "row_counts": counts}, f)
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline pipelines wall time (flagship spatial join + operator suite)",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "num_cpus": ncpu,
+                    "queries": timings,
+                    "row_counts": counts,
+                    "flagship": flagship,
+                    "wall_ts": time.time(),
+                },
+                f,
+                indent=1,
+            )
     except OSError:
         pass
     return {
-        "metric": "headline pipelines wall time (flagship spatial join + operator suite)",
+        "metric": "headline wall time; per-query detail in bench_records/bench_last_detail.json",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "flagship": flagship,
+        "queries": {"flagship_spatial_join": timings["flagship_spatial_join"]},
+        "n_queries_timed": len(timings),
+        "queries_file": "bench_records/bench_last_detail.json",
+        "flagship": {
+            "n_pages": flagship["n_pages"],
+            "join_rows": flagship["join_rows"],
+            "join_sec": flagship["join_sec"],
+            "join_rows_per_sec": flagship["join_rows_per_sec"],
+            "assignments_per_sec": flagship["assignments_per_sec"],
+            # t_start/t_end kept: run_scaling's cluster_leg spans over them
+            "t_start": flagship["t_start"],
+            "t_end": flagship["t_end"],
+        },
         "sf": sf,
         "num_cpus": ncpu,
     }

@@ -86,19 +86,29 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    import time as _time
+
+    timed = "--time" in sys.argv
+    only.discard("--time")
+    times: dict[str, tuple[float, float]] = {}
+
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: ray error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        t_ray = _time.perf_counter() - t0
         if name not in sqls:
+            times[name] = (t_ray, 0.0)
             print(f"okro {name}: rows-only, {len(ray_df)} rows")
             continue
+        t0 = _time.perf_counter()
         try:
             sql_arrow = con.execute(sqls[name]).arrow()
             sql_df = sql_arrow.to_pandas()
@@ -106,6 +116,7 @@ def main():
             print(f"FAIL {name}: sql error: {e}")
             n_fail += 1
             continue
+        times[name] = (t_ray, _time.perf_counter() - t0)
         problems = compare(name, ray_df, sql_df)
         # Driver value-hash is dtype-sensitive: flag any oracle column whose
         # arrow type isn't a plain int64/double/string/bool/timestamp match.
@@ -121,6 +132,16 @@ def main():
                 print(f"   {p}")
         else:
             print(f"ok   {name}: {len(ray_df)} rows match")
+    if timed and times:
+        tot_ray = sum(t[0] for t in times.values())
+        tot_sql = sum(t[1] for t in times.values())
+        print(f"TIMING total ray={tot_ray:.1f}s sql={tot_sql:.1f}s over {len(times)} queries")
+        for name, (tr, ts) in sorted(times.items(), key=lambda kv: -(kv[1][0] + kv[1][1])):
+            print(f"   {tr + ts:7.2f}  ray={tr:6.2f} sql={ts:6.2f}  {name}")
+        import json as _json
+
+        with open("/tmp/verify_times.json", "w") as f:
+            _json.dump({k: {"ray": v[0], "sql": v[1]} for k, v in times.items()}, f, indent=1)
     print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
     sys.exit(1 if n_fail else 0)
 
