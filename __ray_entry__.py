@@ -20,17 +20,23 @@ sys.path.insert(0, "/root/repo")
 # q_dedup_groups / q_embedding_dedup_groups snapshot their
 # (hash-derived) pair sets here so their SQL oracles can recompute the
 # components over the SAME edges; a query always runs before its oracle
-# in the driver/verify harness.
-DEDUP_PAIRS_SNAPSHOT = "/tmp/graft_dedup_groups_pairs.parquet"
-EMB_PAIRS_SNAPSHOT = "/tmp/graft_embedding_dedup_pairs.parquet"
+# in the driver/verify harness. Guarded snapshot directories
+# (osm2gtfs_ray/state/snapshot.py): partitioned write above 1M pairs,
+# and the oracle fails loudly (n_src check) on a snapshot written
+# against a different sf.
+DEDUP_PAIRS_SNAPSHOT = "/tmp/graft_dedup_groups_pairs"
+EMB_PAIRS_SNAPSHOT = "/tmp/graft_embedding_dedup_pairs"
 
 
-def _sql_components_over(snapshot: str) -> str:
+def _sql_components_over(snapshot: str, src_view: str) -> str:
+    from osm2gtfs_ray.state.snapshot import sql_guard
+
     return f"""
 WITH RECURSIVE
 edges AS (
   SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-  FROM read_parquet('{snapshot}')
+  FROM read_parquet('{snapshot}/*.parquet')
+  WHERE {sql_guard(snapshot, src_view)} = 1
 ),
 sym AS (
   SELECT a, b FROM edges UNION SELECT b, a FROM edges
@@ -49,8 +55,15 @@ FROM comp
 """
 
 
-SQL_DEDUP_GROUPS = _sql_components_over(DEDUP_PAIRS_SNAPSHOT)
-SQL_EMBEDDING_DEDUP_GROUPS = _sql_components_over(EMB_PAIRS_SNAPSHOT)
+SQL_DEDUP_GROUPS = _sql_components_over(DEDUP_PAIRS_SNAPSHOT, "documents")
+SQL_EMBEDDING_DEDUP_GROUPS = _sql_components_over(EMB_PAIRS_SNAPSHOT, "embeddings")
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet metadata only (no scan)."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
 def entry() -> Any:
@@ -85,19 +98,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         oracle-less) is SNAPSHOTTED to parquet inside the query, and
         the oracle recomputes components over that same file with
         WITH RECURSIVE — so the component grouping is exactly
-        verified. The snapshot is candidate-bounded (pairs, not
-        corpus); at scale the pair Dataset would write_parquet
-        partitioned instead of a driver-side single file."""
-        import pyarrow.parquet as _pq
+        verified. Guarded snapshot directory: partitioned write above
+        1M pairs, n_src staleness check in the oracle."""
         import ray.data
 
         from osm2gtfs_ray.ops.components import connected_components
-        from osm2gtfs_ray.ops.joins import _as_arrow
         from osm2gtfs_ray.pipelines.sim_queries import q_minhash_pairs
+        from osm2gtfs_ray.state.snapshot import write_snapshot
 
-        pairs = _as_arrow(q_minhash_pairs(sf_dir).select_columns(["a", "b"]))
-        _pq.write_table(pairs, DEDUP_PAIRS_SNAPSHOT)
-        return connected_components(ray.data.from_arrow(pairs))
+        snap = write_snapshot(
+            q_minhash_pairs(sf_dir).select_columns(["a", "b"]),
+            DEDUP_PAIRS_SNAPSHOT,
+            extra={"n_src": _table_rows(sf_dir, "documents")},
+        )
+        import pyarrow as _pa
+
+        pairs = ray.data.from_arrow(snap) if isinstance(snap, _pa.Table) else snap
+        return connected_components(pairs)
 
     def q_embedding_dedup_groups(sf_dir: str):
         """Embedding near-dup clusters: cosine-LSH verified pairs
@@ -107,17 +124,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         and the oracle recomputes the component grouping over that
         same file with WITH RECURSIVE — the clustering step is exactly
         driver-verified even though the candidate generation is
-        hash-based."""
-        import pyarrow.parquet as _pq
+        hash-based. Guarded snapshot directory: partitioned write
+        above 1M pairs, n_src staleness check in the oracle."""
+        import pyarrow as _pa
         import ray.data
 
         from osm2gtfs_ray.ops.components import connected_components
-        from osm2gtfs_ray.ops.joins import _as_arrow
         from osm2gtfs_ray.pipelines.sim_queries import q_cosine_lsh
+        from osm2gtfs_ray.state.snapshot import write_snapshot
 
-        pairs = _as_arrow(q_cosine_lsh(sf_dir).select_columns(["a", "b"]))
-        _pq.write_table(pairs, EMB_PAIRS_SNAPSHOT)
-        return connected_components(ray.data.from_arrow(pairs))
+        snap = write_snapshot(
+            q_cosine_lsh(sf_dir).select_columns(["a", "b"]),
+            EMB_PAIRS_SNAPSHOT,
+            extra={"n_src": _table_rows(sf_dir, "embeddings")},
+        )
+        pairs = ray.data.from_arrow(snap) if isinstance(snap, _pa.Table) else snap
+        return connected_components(pairs)
 
     q_tile_rasterize = fo.q_tile_rasterize
 

@@ -9,6 +9,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from osm2gtfs_ray.sources.tables import read_table, table_path
+from osm2gtfs_ray.state.snapshot import sql_guard
 from osm2gtfs_ray.stages import ann as ann_mod
 from osm2gtfs_ray.stages.dedup import (
     SimHasher,
@@ -210,7 +211,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # MinHash-LSH near-dup (rows-only; recall measured in tests)
 # --------------------------------------------------------------------------
 
-MINHASH_CAND_SNAPSHOT = "/tmp/graft_minhash_cand_pairs.parquet"
+MINHASH_CAND_SNAPSHOT = "/tmp/graft_minhash_cand_pairs"
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -222,26 +223,26 @@ def q_minhash_pairs(sf_dir: str):
     recomputes the exact-Jaccard VERIFY step over those same pairs
     with string shingles (identical to the engine's 64-bit hash
     shingles up to a ~2^-64-per-pair collision; same integer floor
-    arithmetic as SQL_NGRAM_JACCARD). At scale the snapshot would be a
-    partitioned write of the candidate Dataset."""
-    import pyarrow.parquet as _pq
+    arithmetic as SQL_NGRAM_JACCARD). The snapshot is a guarded
+    directory (state/snapshot.py): partitioned write above 1M pairs,
+    n_src staleness check in the oracle."""
     import ray.data
 
-    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.state.snapshot import write_snapshot
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = lsh_candidate_pairs(docs, num_perm=64, n_bands=16, n_shingle=3)
-    cand_tbl = _as_arrow(cand)
-    _pq.write_table(cand_tbl, MINHASH_CAND_SNAPSHOT)
-    return verify_jaccard(
-        ray.data.from_arrow(cand_tbl), docs, n_shingle=3, threshold=0.5
-    )
+    snap = write_snapshot(cand, MINHASH_CAND_SNAPSHOT, extra={"n_src": docs.count()})
+    if isinstance(snap, pa.Table):
+        snap = ray.data.from_arrow(snap)
+    return verify_jaccard(snap, docs, n_shingle=3, threshold=0.5)
 
 
 SQL_MINHASH_PAIRS = rf"""
 WITH cand AS (
   SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-  FROM read_parquet('{MINHASH_CAND_SNAPSHOT}')
+  FROM read_parquet('{MINHASH_CAND_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(MINHASH_CAND_SNAPSHOT, "documents")} = 1
 ),
 ws AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
@@ -355,25 +356,37 @@ def q_cosine_lsh(sf_dir: str):
     def factory():
         return read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
+    # the snapshot is written on BOTH branches (with the branch's tau
+    # embedded) so the static oracle SQL always verifies the run that
+    # actually happened — no stale-file hazard across sf scales
     if n <= 20_000:
-        return ann_mod.cosine_lsh_pairs(
-            factory, tau=0.4, n_bits=30, n_bands=10,
-            snapshot_path=COSINE_CAND_SNAPSHOT,
-        )
-    return ann_mod.cosine_lsh_pairs(factory, tau=0.7, n_bits=60, n_bands=5)
+        tau, n_bits, n_bands = 0.4, 30, 10
+    else:
+        tau, n_bits, n_bands = 0.7, 60, 5
+    return ann_mod.cosine_lsh_pairs(
+        factory, tau=tau, n_bits=n_bits, n_bands=n_bands,
+        snapshot_path=COSINE_CAND_SNAPSHOT,
+        snapshot_extra={"n_src": n, "tau_e6": int(round(tau * 1e6))},
+    )
 
 
-COSINE_CAND_SNAPSHOT = "/tmp/graft_cosine_cand_pairs.parquet"
+COSINE_CAND_SNAPSHOT = "/tmp/graft_cosine_cand_pairs"
 
-# Exact-cosine verify over the snapshotted candidate pairs. Matches the
-# sf<=0.01 parameterization (tau=0.4 — the scale the driver gate runs
-# at); the engine's float64 normalize-then-dot and DuckDB's
-# dot-over-norms agree to ~1e-15 relative, far inside the e6 rounding
-# grid, so sim_e6 values hash-match.
+# Exact-cosine verify over the snapshotted candidate pairs. tau is read
+# FROM the snapshot (each q_cosine_lsh branch embeds its own), and the
+# n_src guard fails loudly on a snapshot from another sf. The engine's
+# float64 normalize-then-dot and DuckDB's dot-over-norms agree to
+# ~1e-15 relative, far inside the e6 rounding grid, so sim_e6 values
+# hash-match.
 SQL_COSINE_LSH = f"""
 WITH cand AS (
   SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-  FROM read_parquet('{COSINE_CAND_SNAPSHOT}')
+  FROM read_parquet('{COSINE_CAND_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(COSINE_CAND_SNAPSHOT, "embeddings")} = 1
+),
+tau AS (
+  SELECT MIN(tau_e6) / 1000000.0 AS t
+  FROM read_parquet('{COSINE_CAND_SNAPSHOT}/*.parquet')
 ),
 e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -384,7 +397,7 @@ sims AS (
   FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
 )
 SELECT a, b, CAST(ROUND(sim * 1000000) AS BIGINT) AS sim_e6
-FROM sims WHERE sim >= 0.4 ORDER BY a, b
+FROM sims WHERE sim >= (SELECT t FROM tau) ORDER BY a, b
 """
 
 
@@ -428,7 +441,7 @@ def q_ann_ivf(sf_dir: str):
     return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
 
 
-KMEANS_CENTROIDS_SNAPSHOT = "/tmp/graft_kmeans_centroids.parquet"
+KMEANS_CENTROIDS_SNAPSHOT = "/tmp/graft_kmeans_centroids"
 
 
 def q_ann_ivf_kmeans(sf_dir: str):
@@ -442,11 +455,11 @@ def q_ann_ivf_kmeans(sf_dir: str):
     same argmax/tie-break as SQL_ANN_IVF. The Lloyd refinement itself
     stays pytest-asserted (objective improvement, recall,
     determinism)."""
-    import pyarrow.parquet as _pq
+    from osm2gtfs_ray.state.snapshot import write_snapshot
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     cents = ann_mod.kmeans_centroids(emb, n_centroids=16, n_iters=3)
-    _pq.write_table(
+    write_snapshot(
         pa.table(
             {
                 "cid": pa.array(np.arange(len(cents), dtype=np.int64)),
@@ -454,6 +467,7 @@ def q_ann_ivf_kmeans(sf_dir: str):
             }
         ),
         KMEANS_CENTROIDS_SNAPSHOT,
+        extra={"n_src": emb.count()},
     )
     return ann_mod.ivf_topk(emb, _query_vec(sf_dir), cents, k=5, n_probe=4)
 
@@ -461,7 +475,8 @@ def q_ann_ivf_kmeans(sf_dir: str):
 SQL_ANN_IVF_KMEANS = f"""
 WITH cents AS (
   SELECT cid, CAST(c AS DOUBLE[]) AS c
-  FROM read_parquet('{KMEANS_CENTROIDS_SNAPSHOT}')
+  FROM read_parquet('{KMEANS_CENTROIDS_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(KMEANS_CENTROIDS_SNAPSHOT, "embeddings")} = 1
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 probe AS (
@@ -536,7 +551,7 @@ FROM events GROUP BY event_type
 # banding, bucketing, pairing, dedup AND the hamming verify.
 # --------------------------------------------------------------------------
 
-SIMHASH_SIGS_SNAPSHOT = "/tmp/graft_simhash_sigs.parquet"
+SIMHASH_SIGS_SNAPSHOT = "/tmp/graft_simhash_sigs"
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -561,7 +576,8 @@ def q_simhash_pairs(sf_dir: str):
 SQL_SIMHASH_PAIRS = f"""
 WITH sigs AS (
   SELECT doc_id, CAST(simhash AS UBIGINT) AS sig
-  FROM read_parquet('{SIMHASH_SIGS_SNAPSHOT}')
+  FROM read_parquet('{SIMHASH_SIGS_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(SIMHASH_SIGS_SNAPSHOT, "documents")} = 1
 )
 SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming

@@ -296,10 +296,14 @@ def rhp_candidate_pairs(emb_ds, n_bits: int = 32, n_bands: int = 8,
         # the second all-to-all just to drop cross-band duplicates
         return cand
 
-    def dedup_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
-        return g[["a", "b"]].drop_duplicates().sort_values(["a", "b"], kind="mergesort")
+    return cand.groupby("pair_shard").map_groups(_dedup_pair_groups, batch_format="pandas")
 
-    return cand.groupby("pair_shard").map_groups(dedup_pairs, batch_format="pandas")
+
+def _dedup_pair_groups(g):
+    """Per-pair-shard distinct over (a, b): drops cross-band duplicate
+    candidates inside each shard (pairs are sharded on a % RHP_SHARDS,
+    so every duplicate lands in the same group)."""
+    return g[["a", "b"]].drop_duplicates().sort_values(["a", "b"], kind="mergesort")
 
 
 def _pack_f64(mat: np.ndarray) -> pa.Array:
@@ -439,7 +443,9 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
 
 def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
                      n_bands: int = 8, dim: int = 64, seed: int = 42,
-                     snapshot_path: str | None = None):
+                     snapshot_path: str | None = None,
+                     snapshot_extra: dict | None = None,
+                     snapshot_threshold: int = 1_000_000):
     """Near-dup pairs by cosine ≥ tau via random-hyperplane LSH:
     candidates from banded sign-bit collisions (sharded bucket
     groupby), then distributed exact-cosine verification. Recall is
@@ -448,38 +454,53 @@ def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
 
     ``emb_ds_factory`` is a zero-arg callable returning a fresh
     embeddings Dataset (the table is read twice: once for signatures,
-    once for verification embeddings)."""
+    once for verification embeddings).
+
+    With ``snapshot_path`` the deduped candidate set is ALSO written
+    as a guarded oracle snapshot directory (state/snapshot.py): the
+    hash-derived candidate generation is not SQL-reproducible, but the
+    exact-cosine verify over the same pairs is. Below
+    ``snapshot_threshold`` pairs the dedup is absorbed into the
+    driver-side snapshot materialization (one Arrow group_by, skipping
+    the dedup shuffle); above it the distributed per-shard dedup runs
+    and the snapshot is a partitioned ``write_parquet`` — candidate
+    rows never land in one process."""
     if snapshot_path:
-        # candidate-pair snapshot for the driver's SQL oracle (the
-        # hash-derived candidate generation is not SQL-reproducible;
-        # the exact-cosine VERIFY over the same pairs is). Bounded by
-        # the LSH candidate volume; at scale, write the Dataset
-        # partitioned instead. The materialization below also absorbs
-        # the cross-band pair dedup (one Arrow group_by on the
-        # collected table), so the distributed dedup shuffle only runs
-        # on the non-snapshot scale path.
-        import pyarrow.parquet as _pq
         import ray.data
 
         from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.state.snapshot import write_snapshot
 
         cand = rhp_candidate_pairs(
             emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim,
             seed=seed, final_dedup=False,
-        )
-        tbl = _as_arrow(cand)
-        tbl = (
-            tbl.select(["a", "b"])
-            .group_by(["a", "b"])
-            .aggregate([])
-            .sort_by([("a", "ascending"), ("b", "ascending")])
-        )
-        _pq.write_table(tbl, snapshot_path)
-        # from_arrow yields ONE block; re-spread so verify parallelizes
-        # (a single 1.4M-row block verified serially cost ~50 s)
-        pairs = ray.data.from_arrow(tbl).repartition(
-            max(1, min(64, tbl.num_rows // 65536 + 1))
-        )
+        ).materialize()
+        if cand.count() > snapshot_threshold:
+            pairs = cand.groupby("pair_shard").map_groups(
+                _dedup_pair_groups, batch_format="pandas"
+            )
+            pairs = write_snapshot(
+                pairs, snapshot_path, extra=snapshot_extra,
+                threshold=snapshot_threshold,
+            )
+        else:
+            tbl = _as_arrow(cand)
+            tbl = (
+                tbl.select(["a", "b"])
+                .group_by(["a", "b"])
+                .aggregate([])
+                .sort_by([("a", "ascending"), ("b", "ascending")])
+            )
+            write_snapshot(
+                tbl, snapshot_path, extra=snapshot_extra,
+                threshold=snapshot_threshold,
+            )
+            # from_arrow yields ONE block; re-spread so verify
+            # parallelizes (a single 1.4M-row block verified serially
+            # cost ~50 s)
+            pairs = ray.data.from_arrow(tbl).repartition(
+                max(1, min(64, tbl.num_rows // 65536 + 1))
+            )
     else:
         pairs = rhp_candidate_pairs(
             emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed

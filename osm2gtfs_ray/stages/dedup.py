@@ -668,15 +668,19 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
     if snapshot_path:
         # signature snapshot for the driver's SQL oracle (the blake2b
         # word hash inside SimHasher is not SQL-reproducible; the
-        # banding + hamming verify over the SAME sigs is). At scale
-        # this would be a partitioned Dataset write instead.
+        # banding + hamming verify over the SAME sigs is). Guarded
+        # directory (state/snapshot.py): partitioned write above 1M
+        # sigs, n_src staleness check in the oracle — one sig per doc,
+        # so the sig count IS the source count.
         import ray.data
 
-        from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.state.snapshot import write_snapshot
 
-        tbl = _as_arrow(sigs)
-        pq.write_table(tbl, snapshot_path)
-        sigs = ray.data.from_arrow(tbl)
+        sigs = sigs.materialize()
+        snap = write_snapshot(
+            sigs, snapshot_path, extra={"n_src": sigs.count()}
+        )
+        sigs = ray.data.from_arrow(snap) if isinstance(snap, pa.Table) else snap
 
     def explode_bands(t: pa.Table) -> pd.DataFrame:
         sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
