@@ -100,7 +100,10 @@ def connected_components(
     edges = pairs_ds.materialize()  # static; reused every round AND by
     # _initial_labels — deriving labels from the un-materialized input
     # would re-execute the caller's whole edge-producing DAG a 2nd time
-    if broadcast is None and edges.count() <= DRIVER_EDGE_ROWS:
+    # the driver fast path only triggers when the caller expressed NO
+    # plan preference: an explicit num_partitions (or broadcast=False)
+    # must get the distributed plan it asked for
+    if broadcast is None and num_partitions is None and edges.count() <= DRIVER_EDGE_ROWS:
         import ray.data
 
         from osm2gtfs_ray.ops.joins import _as_arrow

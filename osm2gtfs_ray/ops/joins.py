@@ -192,7 +192,12 @@ def bloom_bits(ds, key: str, m_bits: int = 1 << 20) -> np.ndarray:
 
     def partial(t: pa.Table) -> pa.Table:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
+        # null keys never match a semi join — drop them BEFORE the cast
+        # (casting nulls yields float64 NaN, and NaN→uint64 is UB that
+        # would set arbitrary bloom positions)
+        k = pc.cast(
+            pc.drop_null(t[key]), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         for pos in _bloom_positions(k, m_bits):
             np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
@@ -219,8 +224,13 @@ def bloom_semi(big_ds, small_ds, key: str, right_key: str | None = None,
 
     def prefilter(t: pa.Table) -> pa.Table:
         bb = ray.get(ref)
-        k = pc.cast(t[key], pa.int64()).to_numpy(zero_copy_only=False)
-        mask = np.ones(len(k), dtype=bool)
+        # null-keyed rows can never semi-match: mask them out directly
+        # (and fill before the cast so no NaN→uint64 UB in the hash)
+        valid = pc.is_valid(t[key]).to_numpy(zero_copy_only=False)
+        k = pc.cast(
+            pc.fill_null(t[key], 0), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        mask = valid.copy()
         for pos in _bloom_positions(k, m_bits):
             mask &= (bb[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
         return t.filter(pa.array(mask))
@@ -230,7 +240,9 @@ def bloom_semi(big_ds, small_ds, key: str, right_key: str | None = None,
     )
 
     def distinct_keys(t: pa.Table) -> pa.Table:
-        return pa.table({rk: pc.unique(pc.cast(t[rk], pa.int64()))})
+        return pa.table(
+            {rk: pc.unique(pc.cast(pc.drop_null(t[rk]), pa.int64()))}
+        )
 
     keys_ds = small_ds.map_batches(
         distinct_keys, batch_format="pyarrow", zero_copy_batch=True

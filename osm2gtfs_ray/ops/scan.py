@@ -36,6 +36,40 @@ import pandas as pd
 
 DEFAULT_SHARDS = 64
 
+# cap on how many sampled values the driver ingests when deriving
+# quantile bucket edges; above it the sample itself is re-sampled
+# distributed until it fits (each pass shrinks by ~batch_size/512)
+_SAMPLE_CAP = 262_144
+_SAMPLE_PER_BATCH = 512
+
+
+def _quantile_edges(ds, value_col: str, n_shards: int) -> np.ndarray:
+    """Deterministic approximate-quantile bucket edges for
+    ``value_col``: each batch contributes ≤ ``_SAMPLE_PER_BATCH``
+    evenly-spaced local order statistics (no randomness), re-sampled
+    distributed until the pooled sample fits ``_SAMPLE_CAP``, then the
+    driver takes interior quantiles of the pooled sample. Returns a
+    strictly-increasing edge vector (≤ n_shards-1 long; duplicates from
+    heavy ties are collapsed — equal values must share a bucket
+    anyway). Bucket id = searchsorted(edges, v, side='right')."""
+
+    def local_sample(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(batch[value_col].to_numpy(dtype=np.float64))
+        if len(v) > _SAMPLE_PER_BATCH:
+            idx = np.linspace(0, len(v) - 1, _SAMPLE_PER_BATCH).astype(np.int64)
+            v = v[idx]
+        return pd.DataFrame({value_col: v})
+
+    samp = ds.select_columns([value_col]).map_batches(
+        local_sample, batch_format="pandas"
+    )
+    while samp.count() > _SAMPLE_CAP:
+        samp = samp.map_batches(local_sample, batch_format="pandas")
+    pooled = np.sort(samp.to_pandas()[value_col].to_numpy(dtype=np.float64))
+    qs = np.linspace(0.0, 1.0, n_shards + 1)[1:-1]
+    edges = np.quantile(pooled, qs, method="nearest")
+    return np.unique(edges)
+
 
 def _driver_bucket_totals(tagged, value_col: str | None, n_shards: int) -> np.ndarray:
     """One scan: per-batch per-shard partials (n_shards-sized vectors)
@@ -84,9 +118,13 @@ def distributed_cumsum(
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy(deep=False)
-        out["__shard__"] = (
-            batch[key_col].to_numpy(dtype=np.int64) // width
-        ).astype(np.int64)
+        k = batch[key_col].to_numpy(dtype=np.int64)
+        if len(k) and k.min() < 0:
+            raise ValueError(
+                f"distributed_cumsum: {key_col} has negative values "
+                f"(min {k.min()}); keys must be non-negative integers"
+            )
+        out["__shard__"] = (k // width).astype(np.int64)
         return out
 
     tagged = ds.map_batches(tag, batch_format="pandas")
@@ -114,38 +152,38 @@ def distributed_rank(
     """Attach ``out_col`` = 1-based global ROW_NUMBER() in
     (value_col, *tie_cols) ascending order — the distributed ranking /
     ntile primitive. Same two-phase shape as distributed_cumsum but
-    bucketed by VALUE range (monotone in sort order; equal values
+    bucketed by VALUE order (monotone in sort order; equal values
     always share a bucket, so ties never split): per-bucket counts →
     exclusive prefix on the driver (n_shards ints) → one shuffle,
     local sort, rank = bucket base + local position. ``tie_cols`` must
     make rows unique within equal values (deterministic total order).
-    Equi-width buckets; under heavy value skew swap the bucket edges
-    for approximate quantiles (same downstream shape).
 
-    ``value_range``: optional (min, max) to skip the sizing pass.
+    Bucket edges are approximate QUANTILES from a deterministic
+    sampling pass (:func:`_quantile_edges`), so a Zipfian value column
+    still yields near-balanced shards — except ties on one hot value,
+    which inherently co-locate. Passing ``value_range`` (min, max)
+    skips the sampling pass and uses equi-width edges instead — only
+    for callers that know the values are near-uniform on that range.
     Returns (ranked dataset, total row count).
     """
     ds = ds.materialize()
     if value_range is None:
-        from ray.data.aggregate import Max, Min
-
-        mm = ds.aggregate(Min(value_col), Max(value_col))
-        vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
+        edges = _quantile_edges(ds, value_col, n_shards)
     else:
         vmin, vmax = value_range
-    span = float(vmax) - float(vmin)
-    width = span / n_shards if span > 0 else 1.0
+        span = float(vmax) - float(vmin)
+        width = span / n_shards if span > 0 else 1.0
+        edges = np.unique(float(vmin) + width * np.arange(1, n_shards))
+    n_buckets = len(edges) + 1
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy(deep=False)
-        b = np.floor(
-            (batch[value_col].to_numpy(dtype=np.float64) - float(vmin)) / width
-        ).astype(np.int64)
-        out["__shard__"] = np.clip(b, 0, n_shards - 1)
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        out["__shard__"] = np.searchsorted(edges, v, side="right").astype(np.int64)
         return out
 
     tagged = ds.map_batches(tag, batch_format="pandas")
-    base = _driver_bucket_totals(tagged, None, n_shards)
+    base = _driver_bucket_totals(tagged, None, n_buckets)
 
     def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
         s = int(g["__shard__"].iloc[0])

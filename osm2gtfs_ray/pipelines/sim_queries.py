@@ -608,15 +608,16 @@ def _rp_signs(d: int, k: int) -> np.ndarray:
 
 def q_random_projection(sf_dir: str, k: int = _RP_K):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    dim = len(
-        pq.read_table(table_path(sf_dir, "embeddings"), columns=["embedding"])
-        .slice(0, 1)["embedding"]
-        .to_pylist()[0]
-    )
+    # dimensionality from ONE row group's first row — never the full
+    # column on the driver (list<float> here; a fixed_size_list schema
+    # would carry it in the type itself)
+    pf = pq.ParquetFile(table_path(sf_dir, "embeddings"))
+    first = pf.read_row_group(0, columns=["embedding"])["embedding"]
+    dim = len(first.chunk(0)[0])
     P = _rp_signs(dim, k) / np.sqrt(k)
 
     def project(t: pa.Table) -> pa.Table:
-        E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        E = ann_mod.stack_embeddings(t["embedding"])
         out = E @ P
         vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(vid)

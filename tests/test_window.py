@@ -151,6 +151,41 @@ class TestDistributedRank:
         assert n == 50
         assert got["id"].tolist() == list(range(50))
 
+    def test_zipf_skew_bounded_shards(self, rd):
+        """Quantile bucket edges keep shard sizes bounded under a
+        Zipfian value distribution (equi-width edges would send ~all
+        rows to shard 0) while ranks stay exact."""
+        from osm2gtfs_ray.ops.scan import _quantile_edges, distributed_rank
+
+        rng = np.random.default_rng(17)
+        n, n_shards = 20_000, 16
+        # Zipf: min 1, a handful of values out at 1e5+ — equi-width
+        # over [1, max] puts >99% of rows in the first bucket
+        vals = rng.zipf(1.3, size=n).astype(np.float64)
+        df = pd.DataFrame({"id": np.arange(n), "v": vals})
+        ds = rd.from_pandas(df).repartition(13)
+
+        edges = _quantile_edges(ds.materialize(), "v", n_shards)
+        shard = np.searchsorted(edges, vals, side="right")
+        counts = np.bincount(shard, minlength=len(edges) + 1)
+        # every shard ≤ max(tie multiplicity, 3× the balanced size)
+        ties = pd.Series(vals).value_counts().max()
+        assert counts.max() <= max(ties, 3 * n // n_shards)
+        assert len(edges) > 3  # genuinely multi-shard despite skew
+
+        ranked, total = distributed_rank(ds, "v", ["id"], n_shards=n_shards)
+        got = ranked.to_pandas().sort_values("rank")
+        assert total == n
+        order = np.lexsort((df["id"].to_numpy(), vals))
+        assert got["id"].tolist() == df["id"].to_numpy()[order].tolist()
+
+    def test_cumsum_rejects_negative_keys(self, rd):
+        from osm2gtfs_ray.ops.scan import distributed_cumsum
+
+        df = pd.DataFrame({"k": [3, -1, 5], "v": [1, 1, 1]})
+        with pytest.raises(Exception, match="negative"):
+            distributed_cumsum(rd.from_pandas(df), "k", "v").materialize()
+
 
 class TestBloomSemi:
     def test_matches_exact_semi_and_filters(self, rd):
