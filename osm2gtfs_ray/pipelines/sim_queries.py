@@ -641,23 +641,29 @@ def _sql_random_projection() -> str:
     from osm2gtfs_ray.pipelines.flagship_oracle import _s_mix64
 
     mix = _s_mix64(f"CAST(i * {_RP_K} + j AS UBIGINT)")
+    # the splitmix sign expression is a long bigint-twiddle chain:
+    # evaluate it ONCE per projection-matrix cell (d×k rows) in its own
+    # CTE and JOIN, never per exploded embedding element — the naive
+    # form cost 14.6 s of the whole verify suite at sf0.01
     return f"""
-WITH e AS (
+WITH d AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+p AS (
+  SELECT i, j,
+         CASE WHEN ({mix}) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(generate_series(0, (SELECT d FROM d) - 1)) AS i),
+       (SELECT unnest(generate_series(0, {_RP_K - 1})) AS j)
+),
+e AS (
   SELECT vec_id, CAST(embedding[i + 1] AS DOUBLE) AS x, i
   FROM (
     SELECT vec_id, embedding,
            unnest(generate_series(0, len(embedding) - 1)) AS i
     FROM embeddings
   )
-),
-signed AS (
-  SELECT vec_id, j,
-         x * (CASE WHEN ({mix}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-  FROM (SELECT *, unnest(generate_series(0, {_RP_K - 1})) AS j FROM e)
 )
 SELECT vec_id, CAST(j AS BIGINT) AS dim,
-       CAST(ROUND(SUM(v) / SQRT({_RP_K}.0) * 1e6) AS BIGINT) AS value_e6
-FROM signed GROUP BY vec_id, j
+       CAST(ROUND(SUM(x * s) / SQRT({_RP_K}.0) * 1e6) AS BIGINT) AS value_e6
+FROM e JOIN p USING (i) GROUP BY vec_id, j
 """
 
 
