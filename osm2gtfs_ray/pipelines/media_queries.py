@@ -4,10 +4,10 @@ splitmix SQL oracle.
 The media table derives deterministically from the driver's documents
 table (media_id = doc_id; dims/format from splitmix64 streams 7/8/9,
 ``stages/multimodal.media_dims_for_ids``). The engine synthesizes REAL
-encoded payloads (BMP/PPM/PNG), decodes them with the pure-numpy
-codecs, and reports the dims read FROM THE DECODED PIXELS — so a
-decode bug (stride, bottom-up order, filter unfiltering) breaks the
-match. The oracle recomputes the expected dims with the bit-exact
+encoded payloads (BMP/PPM/PNG/baseline-JPEG-4:2:0), decodes them with
+the pure-numpy codecs, and reports the dims read FROM THE DECODED
+PIXELS — so a decode bug (stride, bottom-up order, filter unfiltering,
+MCU interleave, chroma upsample) breaks the match. The oracle recomputes the expected dims with the bit-exact
 splitmix64 SQL from pipelines/flagship_oracle. Pixel-level equality is
 pytest-covered (tests/test_multimodal.py roundtrips).
 """
@@ -58,10 +58,11 @@ WITH ids AS (SELECT CAST(doc_id AS UBIGINT) AS mid FROM documents)
 SELECT CAST(mid AS BIGINT) AS media_id,
        16 + ({_s_uint("mid", 7, 48)}) AS width,
        16 + ({_s_uint("mid", 8, 48)}) AS height,
-       CASE ({_s_uint("mid", 9, 3)})
+       CASE ({_s_uint("mid", 9, 4)})
          WHEN 0 THEN 'image/bmp'
          WHEN 1 THEN 'image/x-portable-pixmap'
-         ELSE 'image/png' END AS mime
+         WHEN 2 THEN 'image/png'
+         ELSE 'image/jpeg' END AS mime
 FROM ids
 """
 

@@ -27,6 +27,7 @@ from osm2gtfs_ray.sources.pages import _uint, mix64
 from osm2gtfs_ray.stages.codecs import (
     decode_image,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     luma_features,
@@ -34,9 +35,27 @@ from osm2gtfs_ray.stages.codecs import (
 
 FEATURE_DIM = 64  # 8×8 luma grid
 
-_FORMATS = ("bmp", "ppm", "png")
-_MIMES = {"bmp": "image/bmp", "ppm": "image/x-portable-pixmap", "png": "image/png"}
-_ENCODERS = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}
+_FORMATS = ("bmp", "ppm", "png", "jpeg")
+_MIMES = {
+    "bmp": "image/bmp",
+    "ppm": "image/x-portable-pixmap",
+    "png": "image/png",
+    "jpeg": "image/jpeg",
+}
+
+
+def _encode_jpeg_420(img):
+    # 4:2:0 like most web JPEGs — exercises the decoder's interleaved
+    # MCU walk and chroma upsample, not just the trivial 4:4:4 layout
+    return encode_jpeg(img, quality=90, subsampling="420")
+
+
+_ENCODERS = {
+    "bmp": encode_bmp,
+    "ppm": encode_ppm,
+    "png": encode_png,
+    "jpeg": _encode_jpeg_420,
+}
 
 
 def media_dims_for_ids(ids: np.ndarray, seed: int = 42):

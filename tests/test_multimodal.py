@@ -100,10 +100,10 @@ def test_synthesize_deterministic():
 
 
 def test_real_decode_roundtrips_dims_and_is_real_bytes():
-    t = synthesize_media_batch(0, 12)
-    # all three formats appear
+    t = synthesize_media_batch(0, 16)
+    # all four formats appear
     assert set(t["mime"].to_pylist()) == {
-        "image/bmp", "image/x-portable-pixmap", "image/png"
+        "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg"
     }
     out = DecodeImage()(t)
     assert out["decoded_width"].to_pylist() == t["width"].to_pylist()
@@ -111,12 +111,24 @@ def test_real_decode_roundtrips_dims_and_is_real_bytes():
     f = np.array(out["features"].to_pylist())
     assert f.shape[1] == 64
     assert (f >= 0.0).all() and (f <= 1.0).all()
-    # decoded pixels byte-equal the generator's pixel array
+    # decoded pixels byte-equal the generator's pixel array for the
+    # lossless formats; JPEG is checked for bounded error below
     from osm2gtfs_ray.stages.multimodal import _pixels_for_id
 
-    img0 = decode_image(t["payload"][0].as_py())
-    w, h, _ = media_dims_for_ids(np.array([0], dtype=np.uint64))
-    assert np.array_equal(img0, _pixels_for_id(0, int(w[0]), int(h[0]), 42))
+    mimes = t["mime"].to_pylist()
+    ids = t["media_id"].to_pylist()
+    w, h, _ = media_dims_for_ids(np.array(ids, dtype=np.uint64))
+    k_lossless = next(i for i, m in enumerate(mimes) if m != "image/jpeg")
+    img = decode_image(t["payload"][k_lossless].as_py())
+    ref = _pixels_for_id(ids[k_lossless], int(w[k_lossless]), int(h[k_lossless]), 42)
+    assert np.array_equal(img, ref)
+    k_jpeg = next(i for i, m in enumerate(mimes) if m == "image/jpeg")
+    img = decode_image(t["payload"][k_jpeg].as_py())
+    ref = _pixels_for_id(ids[k_jpeg], int(w[k_jpeg]), int(h[k_jpeg]), 42)
+    assert img.shape == ref.shape  # exact dims even for partial MCUs
+    # random-noise pixels under 4:2:0 chroma averaging are the JPEG
+    # absolute worst case (~45 observed); bounded, not exact
+    assert np.abs(img.astype(int) - ref.astype(int)).mean() < 60
 
 
 def test_unknown_format_raises():
