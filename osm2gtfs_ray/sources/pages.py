@@ -154,6 +154,88 @@ def _render_html_fast(i: int, esc_words: list, ents, seed: int, k: int) -> bytes
     return html.encode("utf-8")
 
 
+def _geo_spans_vector(ent_names: np.ndarray, elat_r: np.ndarray,
+                      elon_r: np.ndarray, e_off: np.ndarray):
+    """Per-row concatenated <span class="geo"/> markers, assembled with
+    Arrow binary_join over the flat entity arrays. Float formatting is
+    numpy's str() — shortest roundtrip repr, identical to Python's
+    str(float) used by the scalar renderer."""
+    import pyarrow.compute as pc
+
+    if len(ent_names):
+        pieces = (
+            '<span class="geo" data-name="' + ent_names
+            + '" data-lat="' + elat_r.astype(str).astype(object)
+            + '" data-lon="' + elon_r.astype(str).astype(object)
+            + '"></span>'
+        )
+    else:
+        pieces = np.empty(0, dtype=object)
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(np.asarray(e_off, dtype=np.int64)), pa.array(pieces, pa.string())
+    )
+    return pc.binary_join(lst, "")
+
+
+# dictionary for the html body words: plain-escaped vocab, plus every
+# word pre-wrapped in each highlight tag — so the per-word html choice
+# becomes a pure-numpy index bump and the whole body assembles through
+# Arrow's C-level dictionary_decode + binary_join (no Python strings)
+_VOCAB_HTML_PA = None
+_VOCAB_PLAIN_PA = None
+
+
+def _vocab_dicts():
+    global _VOCAB_HTML_PA, _VOCAB_PLAIN_PA
+    if _VOCAB_HTML_PA is None:
+        esc = [_escape(w) for w in VOCAB]
+        _VOCAB_PLAIN_PA = pa.array(list(VOCAB), pa.string())
+        _VOCAB_HTML_PA = pa.array(
+            esc
+            + [f"<b>{w}</b>" for w in esc]
+            + [f'<em class="hl">{w}</em>' for w in esc],
+            pa.string(),
+        )
+    return _VOCAB_PLAIN_PA, _VOCAB_HTML_PA
+
+
+def _render_html_vector(ids: np.ndarray, word_ids: np.ndarray,
+                        offsets: np.ndarray, k_all: np.ndarray,
+                        ent_names: np.ndarray, elat_r: np.ndarray,
+                        elon_r: np.ndarray, e_off: np.ndarray):
+    """Batch-vectorized _render_html_fast over VOCAB word ids: highlight
+    selection is an index bump into the pre-wrapped dictionary, the
+    rejoin is Arrow binary_join — no per-word Python. Returns a
+    pa.BinaryArray, byte-identical to the scalar renderer (asserted in
+    tests/test_flagship.py)."""
+    import pyarrow.compute as pc
+
+    _, dict_html = _vocab_dicts()
+    nv = len(VOCAB)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_words = np.diff(offsets)
+    k_all = np.asarray(k_all, dtype=np.int64)
+    j2 = (k_all * 2 + 3) % np.maximum(1, n_words)
+    hl = np.zeros(len(word_ids), dtype=np.int32)
+    m = j2 != k_all
+    hl[offsets[:-1][m] + j2[m]] = 2
+    hl[offsets[:-1] + k_all] = 1  # <b> wins when j2 == k (same word)
+    full_ids = word_ids.astype(np.int32) + hl * np.int32(nv)
+    words = pa.DictionaryArray.from_arrays(
+        pa.array(full_ids), dict_html
+    ).dictionary_decode()
+    body = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets), words), " "
+    )
+    geo = _geo_spans_vector(ent_names, elat_r, elon_r, e_off)
+    id_s = pa.array(ids.astype(np.int64).astype(str))
+    html = pc.binary_join_element_wise(
+        "<html><head><title>doc ", id_s, "</title>", geo,
+        "</head><body>", body, "</body></html>", "",
+    )
+    return pc.cast(html, pa.binary())
+
+
 def _render_html(i: int, text: str, ents, seed: int) -> bytes:
     """Wrap text in markup that TextExtractor inverts byte-identically.
 
@@ -212,8 +294,14 @@ def make_pages_for_ids(idx: np.ndarray, seed: int = 42) -> pa.Table:
     with the scalar per-page oracle ``_page_text_and_entities`` is
     asserted in tests/test_flagship.py.
     """
+    import pyarrow.compute as pc
+
     idx = np.asarray(idx, dtype=np.uint64)
-    urls = [f"https://example.org/p/{i:010d}" for i in idx]
+    urls = pc.binary_join_element_wise(
+        "https://example.org/p/",
+        pa.array(np.char.zfill(idx.astype(np.int64).astype(str), 10)),
+        "",
+    )
     ts = BASE_TS + (idx.astype("int64") * 37).astype("timedelta64[us]") * 1_000_000
     lang_ids = _uint(idx, 6, seed, len(LANGS))
 
@@ -223,9 +311,6 @@ def make_pages_for_ids(idx: np.ndarray, seed: int = 42) -> pa.Table:
     pos_flat = _flat_ranges(n_words).astype(np.uint64)
     page_flat = np.repeat(idx, n_words)
     word_ids = _uint(pos_flat + page_flat * np.uint64(1_000_003), 2, seed, len(VOCAB))
-    vocab_arr = np.array(VOCAB, dtype=object)
-    flat_words = vocab_arr[word_ids]
-    flat_esc = _VOCAB_ESC[word_ids]
 
     # --- entities for every page in one pass ---
     n_ent = _uint(idx, 3, seed, 4)
@@ -241,28 +326,26 @@ def make_pages_for_ids(idx: np.ndarray, seed: int = 42) -> pa.Table:
     elat_r = np.round(elat, 6)
     elon_r = np.round(elon, 6)
 
-    texts, htmls, langs = [], [], []
-    for n, i in enumerate(idx):
-        words = flat_words[offsets[n] : offsets[n + 1]].tolist()
-        text = " ".join(words)
-        ents = [
-            (ent_names[e], float(elat_r[e]), float(elon_r[e]))
-            for e in range(e_off[n], e_off[n + 1])
-        ]
-        texts.append(text)
-        htmls.append(
-            _render_html_fast(
-                int(i), flat_esc[offsets[n] : offsets[n + 1]].tolist(), ents, seed,
-                int(k_all[n]),
-            )
-        )
-        langs.append(LANGS[lang_ids[n]])
+    dict_plain, _ = _vocab_dicts()
+    texts = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            pa.array(np.asarray(offsets, dtype=np.int64)),
+            pa.DictionaryArray.from_arrays(
+                pa.array(word_ids.astype(np.int32)), dict_plain
+            ).dictionary_decode(),
+        ),
+        " ",
+    )
+    htmls = _render_html_vector(
+        idx, word_ids, offsets, k_all, ent_names, elat_r, elon_r, e_off
+    )
+    langs = np.array(LANGS, dtype=object)[lang_ids]
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
+            "url": urls,
             "warc_ts": pa.array(ts),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
+            "html": htmls,
+            "text": texts,
             "lang": pa.array(langs, pa.string()),
         },
         schema=PAGES_SCHEMA,
