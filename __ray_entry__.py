@@ -68,6 +68,7 @@ _GATE_ORDER = [
     "pii_redact", "random_projection", "inverted_index", "doc_quality",
     "ann_topk", "event_type_counts", "word_repetition", "dau_approx",
     "suppliers_with_sales", "nearest_events", "normalize_names",
+    "chunk_docs", "consistent_sample",
     "event_pivot", "props_extract", "event_segment",
     "customers_without_orders", "bbox_events", "nation_centroid",
     "simhash", "sessionize", "token_stats", "window_event_stats",
@@ -232,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": cq.q_contamination,
         "heavy_hitters": cq.q_heavy_hitters,
         "word_repetition": cq.q_word_repetition,
+        "chunk_docs": cq.q_chunk_docs,
+        "consistent_sample": cq.q_consistent_sample,
         "pii_redact": cl.q_pii_redact,
         "typo_pairs": cl.q_typo_pairs,
         "resample_ffill": cl.q_resample_ffill,
@@ -296,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": cq.SQL_CONTAMINATION,
         "heavy_hitters": cq.SQL_HEAVY_HITTERS,
         "word_repetition": cq.SQL_WORD_REPETITION,
+        "chunk_docs": cq.SQL_CHUNK_DOCS,
+        "consistent_sample": cq.SQL_CONSISTENT_SAMPLE,
         "pii_redact": cl.SQL_PII_REDACT,
         "typo_pairs": cl.SQL_TYPO_PAIRS,
         "resample_ffill": cl.SQL_RESAMPLE_FFILL,

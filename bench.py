@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "audio_features",
     "sessionize",
     "dup_components",
+    "chunk_docs",
+    "consistent_sample",
 ]
 
 

@@ -300,3 +300,155 @@ SELECT doc_id,
        CAST(MAX(c) AS BIGINT) AS top_word_n
 FROM per GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Token-budget document chunking with overlap — the RAG / pretraining
+# chunker. Chunks of CHUNK_CAP whitespace tokens, stride CHUNK_STRIDE
+# (overlap CAP - STRIDE), last chunk takes the tail. Fully vectorized:
+# Arrow regex split → numpy chunk enumeration (flat-ranges trick) →
+# one C-level take + binary_join re-assembles every chunk text; no
+# Python per token or per chunk. Embarrassingly parallel per batch —
+# no shuffle — so it streams at any scale.
+# Generalizes the reference's itinerary splitting (route → bounded
+# stop sequences, osm2gtfs/core/routes.py) to token windows.
+# --------------------------------------------------------------------------
+
+CHUNK_CAP = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_docs(sf_dir: str, capacity: int = CHUNK_CAP,
+                 stride: int = CHUNK_STRIDE):
+    from osm2gtfs_ray.sources.pages import _flat_ranges
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(txt)
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        offsets = np.asarray(lst.offsets, dtype=np.int64)
+        nt = np.diff(offsets)
+        # empty text splits to [''] — that is 0 tokens, not 1
+        nt = np.where(
+            pc.equal(trimmed, "").to_numpy(zero_copy_only=False), 0, nt
+        )
+        n_chunks = np.where(
+            nt == 0,
+            0,
+            np.where(nt <= capacity, 1, (nt - capacity + stride - 1) // stride + 1),
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk_id = _flat_ranges(n_chunks)
+        starts = chunk_id * stride
+        ends = np.minimum(starts + capacity, np.repeat(nt, n_chunks))
+        # gather each chunk's token span from the flat split values:
+        # overlapping spans can't share one offsets vector, so build the
+        # token index list (flat-ranges again) and take() once
+        ln = ends - starts
+        tok_idx = _flat_ranges(ln) + np.repeat(
+            np.repeat(offsets[:-1], n_chunks) + starts, ln
+        )
+        taken = lst.values.take(pa.array(tok_idx))
+        chunk_off = np.concatenate([[0], np.cumsum(ln)])
+        chunk_text = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(chunk_off), taken), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_chunks), pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "n_tok": pa.array(ln, pa.int64()),
+                "chunk_text": chunk_text,
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CHUNK_DOCS = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+n AS (SELECT doc_id, w, len(w) AS nt FROM toks),
+c AS (
+  SELECT doc_id, w, nt,
+         unnest(generate_series(
+           0,
+           CASE WHEN nt <= {CHUNK_CAP} THEN 0
+                ELSE CAST(CEIL((nt - {CHUNK_CAP}) / {CHUNK_STRIDE}.0) AS BIGINT)
+           END)) AS chunk_id
+  FROM n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_CAP}, nt)
+            - chunk_id * {CHUNK_STRIDE} AS BIGINT) AS n_tok,
+       COALESCE(array_to_string(
+         w[chunk_id * {CHUNK_STRIDE} + 1 :
+           LEAST(chunk_id * {CHUNK_STRIDE} + {CHUNK_CAP}, nt)], ' '), '')
+         AS chunk_text
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Consistent (hash-priority) sampling — fixed-size uniform sample with
+# NO coordination: priority = splitmix64(doc_id), keep the k smallest.
+# Mergeable (top-k of per-block top-ks == global top-k), deterministic,
+# partition-invariant, and stable under corpus growth (a doc's
+# membership changes only when a smaller-priority doc enters) — the
+# bottom-k sketch used for consistent corpus subsampling. Per-block
+# argpartition keeps k rows per block; the global merge sorts k ×
+# n_blocks rows (KBs).
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 100
+_SAMPLE_STREAM = 12
+_SAMPLE_SEED = 42
+
+
+def q_consistent_sample(sf_dir: str, k: int = SAMPLE_K):
+    from osm2gtfs_ray.sources.pages import _uhash
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pri = (_uhash(ids, _SAMPLE_STREAM, _SAMPLE_SEED)
+               >> np.uint64(1)).astype(np.int64)
+        if len(pri) > k:
+            keep = np.argpartition(pri, k)[:k]
+            ids, pri = ids[keep], pri[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "priority": pa.array(pri, pa.int64()),
+            }
+        )
+
+    cand = docs.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return cand.sort(["priority", "doc_id"]).limit(k)
+
+
+def _sql_consistent_sample() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_mix64
+
+    c = ((_SAMPLE_STREAM * 0xC0FFEE123457) % (1 << 64)) ^ (_SAMPLE_SEED << 32)
+    pri = _s_mix64(f"xor(CAST(doc_id AS UBIGINT), CAST({c} AS UBIGINT))")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(({pri}) >> 1 AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+SQL_CONSISTENT_SAMPLE = _sql_consistent_sample()

@@ -119,3 +119,87 @@ class TestMisraGries:
         # every term heavier than N/(k+1) must survive
         for t, tn in true[true > n_total / (k + 1)].items():
             assert int(est.get(t, 0)) > 0
+
+
+class TestChunkDocs:
+    def test_coverage_overlap_and_reconstruction(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.corpus_queries import q_chunk_docs
+
+        texts = [
+            " ".join(f"w{i}" for i in range(n))
+            for n in (0, 1, 10, 64, 65, 112, 113, 200)
+        ]
+        sf = _write_docs(str(tmp_path / "sf"), texts)
+        got = (
+            q_chunk_docs(sf, capacity=64, stride=48)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        for did, text in enumerate(texts):
+            toks = text.split()
+            rows = got[got["doc_id"] == did]
+            if not toks:
+                assert len(rows) == 0
+                continue
+            # chunk ids are 0..n-1, starts stride apart, tail covered
+            assert rows["chunk_id"].tolist() == list(range(len(rows)))
+            assert (rows["start_tok"] == rows["chunk_id"] * 48).all()
+            last = rows.iloc[-1]
+            assert last["start_tok"] + last["n_tok"] == len(toks)
+            # every chunk's text reconstructs its token span exactly
+            for _, r in rows.iterrows():
+                want = " ".join(toks[r["start_tok"]: r["start_tok"] + r["n_tok"]])
+                assert r["chunk_text"] == want
+            # every token index is covered by at least one chunk
+            cov = np.zeros(len(toks), dtype=bool)
+            for _, r in rows.iterrows():
+                cov[r["start_tok"]: r["start_tok"] + r["n_tok"]] = True
+            assert cov.all()
+
+    def test_partition_invariance(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.corpus_queries import q_chunk_docs
+
+        texts = [" ".join(f"t{i}x{j}" for j in range(20 + 13 * i)) for i in range(40)]
+        sf = _write_docs(str(tmp_path / "sf"), texts)
+        a = q_chunk_docs(sf).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        import ray.data  # noqa: F401  (repartition path)
+        from osm2gtfs_ray.sources.tables import read_table  # noqa: F401
+
+        b = q_chunk_docs(sf).to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestConsistentSample:
+    def test_partition_invariant_topk(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.corpus_queries import (
+            SAMPLE_K, q_consistent_sample,
+        )
+
+        texts = [f"doc {i}" for i in range(500)]
+        sf = _write_docs(str(tmp_path / "sf"), texts)
+        a = q_consistent_sample(sf).to_pandas()
+        b = q_consistent_sample(sf).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == SAMPLE_K
+        # priorities are the k smallest over the whole corpus
+        from osm2gtfs_ray.sources.pages import _uhash
+
+        all_pri = (_uhash(np.arange(500, dtype=np.uint64), 12, 42)
+                   >> np.uint64(1)).astype(np.int64)
+        want = np.sort(all_pri)[:SAMPLE_K]
+        assert np.array_equal(np.sort(a["priority"].to_numpy()), want)
+
+    def test_growth_stability(self, rd, tmp_path):
+        """Adding documents only ever replaces members with
+        smaller-priority newcomers — surviving members keep identical
+        (doc_id, priority) rows."""
+        from osm2gtfs_ray.pipelines.corpus_queries import q_consistent_sample
+
+        small = _write_docs(str(tmp_path / "a"), [f"d {i}" for i in range(300)])
+        big = _write_docs(str(tmp_path / "b"), [f"d {i}" for i in range(500)])
+        a = q_consistent_sample(small).to_pandas()
+        b = q_consistent_sample(big).to_pandas()
+        merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+        assert (merged["priority_a"] == merged["priority_b"]).all()
+        assert b["priority"].max() <= a["priority"].max()
