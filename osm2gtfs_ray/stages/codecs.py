@@ -491,57 +491,56 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
-    real marker (restart intervals are rejected at the header stage)."""
+    """Entropy-segment bit reader: the scan is unstuffed (0xFF00 →
+    0xFF) once up front and exposed as ONE big Python int, so reads of
+    any width are a shift+mask instead of per-bit loops — ~10× fewer
+    interpreter ops per Huffman symbol than a bit-at-a-time walk."""
 
     def __init__(self, data: bytes, pos: int):
-        self.d = data
-        self.p = pos
-        self.acc = 0
-        self.n = 0
+        end = data.find(b"\xff\xd9", pos)
+        scan = data[pos : end if end >= 0 else len(data)]
+        clean = scan.replace(b"\xff\x00", b"\xff")
+        # trailing pad of 1-bytes so peeks past the end stay valid
+        clean += b"\xff" * 4
+        self.nbits = len(clean) * 8
+        self.acc = int.from_bytes(clean, "big")
+        self.p = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            byte = self.d[self.p]
-            self.p += 1
-            if byte == 0xFF:
-                nxt = self.d[self.p]
-                if nxt == 0x00:
-                    self.p += 1  # stuffed
-                else:
-                    raise ValueError(f"unexpected JPEG marker 0xFF{nxt:02X} in scan")
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def peek16(self) -> int:
+        return (self.acc >> (self.nbits - self.p - 16)) & 0xFFFF
+
+    def skip(self, k: int):
+        self.p += k
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        v = (self.acc >> (self.nbits - self.p - k)) & ((1 << k) - 1)
+        self.p += k
         return v
 
 
-def _huff_decode_map(bits, vals):
-    out, code, k = {}, 0, 0
+def _huff_decode_lut(bits, vals) -> np.ndarray:
+    """Flat 2^16 lookup: LUT[next-16-bits] = (symbol << 5) | code_len
+    (0 = invalid). One peek + one index decodes any symbol."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
+            lo = code << (16 - ln)
+            lut[lo : lo + (1 << (16 - ln))] = (vals[k] << 5) | ln
             code += 1
             k += 1
         code <<= 1
-    return out
+    return lut
 
 
-def _read_symbol(br: _BitReader, table: dict) -> int:
-    code, ln = 0, 0
-    while ln < 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _read_symbol(br: _BitReader, lut: np.ndarray) -> int:
+    entry = int(lut[br.peek16()])
+    if entry == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    br.skip(entry & 31)
+    return entry >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -587,7 +586,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits_ = list(payload[q + 1 : q + 17])
                 nv = sum(bits_)
                 vals = list(payload[q + 17 : q + 17 + nv])
-                htabs[(tc, th)] = _huff_decode_map(bits_, vals)
+                htabs[(tc, th)] = _huff_decode_lut(bits_, vals)
                 q += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
