@@ -31,10 +31,17 @@ def q_media_decode(sf_dir: str):
     # batch sizes are payload-aware: these synthetic rasters are ≤64×64
     # (~12 KB encoded), so hundreds fit a batch; production-sized media
     # (multi-MB) would drop batch_size back to O(16-64) to bound actor
-    # heap at batch_size × concurrency × payload.
-    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=2048)
+    # heap at batch_size × concurrency × payload. The JPEG entropy coder
+    # is the per-image hot spot (~3-8 ms vs ~0.1 ms for the raw formats)
+    # so the stage is parallelism-bound: the pool is sized FIXED from the
+    # row count (~300 images per actor amortizes ~1 s actor startup) —
+    # an autoscaling (2,16) pool measured 7.4 s vs 4.3 s fixed at sf0.1
+    # because the ramp lags a job this short.
+    n_docs = docs.count()  # parquet metadata — no scan
+    pool = max(2, min(16, n_docs // 300 + 1))
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
     decoded = media.map_batches(
-        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=(1, 8)
+        DecodeImage, batch_format="pyarrow", batch_size=64, concurrency=pool
     )
 
     def proj(t: pa.Table) -> pa.Table:

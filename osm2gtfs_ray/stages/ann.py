@@ -398,8 +398,13 @@ def verify_cosine_pairs(pairs_ds, emb_ds, tau: float, dim: int = 64,
                 }
             )
 
+        # batch_size=None (per-block batches): upstream pair blocks are
+        # already sized ≤64k rows by the repartition/shard plans, and a
+        # coalescing batch_size here measured 10-17 s on its FIRST
+        # execution per session (the bundler serialized the wave) vs
+        # 0.4 s per-block — a 30x cliff for zero benefit.
         return pairs_ds.map_batches(
-            score_broadcast, batch_format="pyarrow", batch_size=65536
+            score_broadcast, batch_format="pyarrow", batch_size=None
         )
 
     a_side = normed.map_batches(
