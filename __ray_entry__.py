@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import analytics_queries as aq
     from osm2gtfs_ray.pipelines import corpus_queries as cq
     from osm2gtfs_ray.pipelines import clean_queries as cl
+    from osm2gtfs_ray.pipelines import web_queries as wq
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -268,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: real BMP/PPM/PNG decode, dims verified vs splitmix oracle
         "media_decode": mq.q_media_decode,
         "audio_features": mq.q_audio_features,
+        # webtext URL ops: engine parses+canonicalizes messy synthetic
+        # URLs; oracle re-derives the canonical form arithmetically
+        "url_canonicalize": wq.q_url_canonicalize,
+        "host_stats": wq.q_host_stats,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -290,10 +295,13 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import analytics_queries as aq
     from osm2gtfs_ray.pipelines import corpus_queries as cq
     from osm2gtfs_ray.pipelines import clean_queries as cl
+    from osm2gtfs_ray.pipelines import web_queries as wq
 
     return {
         "media_decode": mq.sql_media_decode(),
         "audio_features": mq.sql_audio_features(),
+        "url_canonicalize": wq.SQL_URL_CANONICALIZE,
+        "host_stats": wq.SQL_HOST_STATS,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "dup_components",
     "chunk_docs",
     "consistent_sample",
+    "url_canonicalize",
+    "host_stats",
 ]
 
 

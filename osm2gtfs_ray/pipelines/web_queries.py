@@ -1,0 +1,311 @@
+"""Webtext URL operators: canonicalization, host/domain extraction,
+and domain-level corpus aggregation.
+
+The synthetic corpus carries no URL column, so — exactly like the
+media/audio/PII queries — each document is assigned a deterministic
+MESSY url derived from doc_id via splitmix64 streams (mixed scheme
+case, optional ``www.`` prefix, default vs explicit ports, trailing
+slashes, shuffled query params, tracking params, fragments). The
+ENGINE's job is the real one: parse the URL (RE2 ``pc.extract_regex``)
+and canonicalize it field by field (lowercase scheme/host, strip
+``www.``, drop default ports, normalize the path, drop ``utm_*``
+tracking params, sort the remaining query params, drop the fragment).
+The SQL oracle never sees the messy form — it re-derives the expected
+CANONICAL url arithmetically from the same streams, so any parsing or
+normalization bug in the engine breaks the value hash.
+
+Reference semantics analogue: `osm2gtfs/core/helper.py` name/ref
+normalizers (string canonicalization before keying); the web shape
+(host/registrable-domain keys for corpus grouping) is the webtext
+generalization the graft targets.
+
+Scale notes: canonicalization is a pure per-batch map (zero shuffles);
+host_stats pre-aggregates (domain, host) partials inside each block
+before ONE small groupby over the bounded domain key space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+from osm2gtfs_ray.sources.pages import _uint
+
+SEED = 42  # pairs with flagship_oracle._SEED in the SQL expressions
+from osm2gtfs_ray.sources.tables import read_table
+
+# splitmix streams (numpy `_uint(ids, stream, SEED, mod)` pairs with
+# SQL `_s_uint("did", stream, mod)` bit-exactly)
+_S_HTTPS, _S_SCASE, _S_WWW, _S_HOST, _S_TLD = 201, 202, 203, 204, 205
+_S_SUB, _S_HCASE, _S_PORT, _S_DEPTH, _S_PA = 206, 207, 208, 209, 210
+_S_PB, _S_TRAIL, _S_ID, _S_Q, _S_REF = 211, 212, 213, 214, 215
+_S_UTM, _S_VI, _S_VQ, _S_VR, _S_REV, _S_FRAG, _S_SUBID = (
+    216, 217, 218, 219, 220, 221, 222,
+)
+_TLDS = ("com", "org", "net")
+_N_HOSTS = 50
+
+
+def synthesize_messy_urls(ids: np.ndarray) -> np.ndarray:
+    """Deterministic messy URL per id — pure numpy ``U`` kernels, one
+    C pass per concatenation, no Python per row."""
+    ids = np.asarray(ids, dtype=np.uint64)
+
+    def u(stream, mod):
+        return _uint(ids, stream, SEED, mod)
+
+    def s(x):
+        return x.astype("U20")
+
+    https = u(_S_HTTPS, 2) == 1
+    scheme = np.where(https, "https", "http")
+    scheme = np.where(u(_S_SCASE, 2) == 1, np.char.upper(scheme), scheme)
+
+    sub = np.where(
+        u(_S_SUB, 2) == 1,
+        np.char.add(np.char.add("m", s(u(_S_SUBID, 5))), "."),
+        "",
+    )
+    hostc = np.char.add(
+        np.char.add(np.char.add(sub, "site"), s(u(_S_HOST, _N_HOSTS))),
+        np.char.add(".", np.take(np.array(_TLDS), u(_S_TLD, len(_TLDS)))),
+    )
+    host = np.char.add(np.where(u(_S_WWW, 2) == 1, "www.", ""), hostc)
+    host = np.where(u(_S_HCASE, 2) == 1, np.char.upper(host), host)
+
+    pmode = u(_S_PORT, 3)
+    port = np.select(
+        [pmode == 1, pmode == 2], [np.where(https, ":443", ":80"), ":8080"], ""
+    )
+
+    depth = u(_S_DEPTH, 3)
+    p1 = np.char.add("/p", s(u(_S_PA, 20)))
+    path = np.select([depth == 1, depth == 2],
+                     [p1, np.char.add(p1, np.char.add("/q", s(u(_S_PB, 20))))],
+                     "")
+    path = np.char.add(
+        path, np.where((depth > 0) & (u(_S_TRAIL, 2) == 1), "/", "")
+    )
+
+    def piece(flag_stream, name, val):
+        has = u(flag_stream, 2) == 1
+        return np.where(has, np.char.add(name, val), "")
+
+    pid = piece(_S_ID, "id=", s(u(_S_VI, 100)))
+    pq = piece(_S_Q, "q=", s(u(_S_VQ, 100)))
+    pref = piece(_S_REF, "ref=", s(u(_S_VR, 100)))
+    putm = np.where(u(_S_UTM, 2) == 1, "utm_source=news", "")
+
+    def amp(p):
+        return np.where(p == "", "", np.char.add("&", p))
+
+    fwd = np.char.add(np.char.add(amp(pid), amp(pq)), np.char.add(amp(pref), amp(putm)))
+    rev = np.char.add(np.char.add(amp(putm), amp(pref)), np.char.add(amp(pq), amp(pid)))
+    qcat = np.where(u(_S_REV, 2) == 1, rev, fwd)
+    qs = np.where(
+        qcat == "", "", np.char.add("?", np.char.lstrip(qcat, "&"))
+    )
+    frag = np.where(u(_S_FRAG, 2) == 1, "#top", "")
+
+    out = np.char.add(scheme, "://")
+    for part in (host, port, path, qs, frag):
+        out = np.char.add(out, part)
+    return out
+
+
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
+    r"(?P<port>:[0-9]+)?(?P<path>[^?#]*)(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
+)
+
+
+def canonicalize_urls(urls: pa.Array) -> pa.Table:
+    """THE operator: parse + canonicalize a URL column. All Arrow RE2
+    / slice kernels plus one numpy lexsort for the param reorder —
+    nothing touches Python per row."""
+    parts = pc.extract_regex(urls, _URL_RE)
+    get = lambda f: pc.fill_null(pc.struct_field(parts, f), "")
+
+    scheme = pc.utf8_lower(get("scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(get("host")), r"^www\.", ""
+    )
+    domain = pc.fill_null(
+        pc.struct_field(
+            pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d"
+        ),
+        "",
+    )
+
+    port = get("port")
+    is_default = pc.or_(
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, ":80")),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, ":443")),
+    )
+    port = pc.if_else(is_default, "", port)
+
+    path = pc.replace_substring_regex(get("path"), r"/$", "")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+
+    # query params: strip "?", split, drop empties + tracking params,
+    # sort (param-string asc) within each row, rejoin
+    rawq = pc.replace_substring_regex(get("query"), r"^\?", "")
+    pieces = pc.split_pattern(rawq, "&")
+    flat = pc.list_flatten(pieces)
+    rows = pc.list_parent_indices(pieces).to_numpy(zero_copy_only=False)
+    keep = pc.and_(
+        pc.not_equal(flat, ""), pc.invert(pc.starts_with(flat, "utm_"))
+    ).to_numpy(zero_copy_only=False)
+    tracking = pc.starts_with(flat, "utm_").to_numpy(zero_copy_only=False)
+
+    n = len(urls)
+    n_params = np.bincount(rows, weights=keep, minlength=n).astype(np.int64)
+    n_tracking = np.bincount(rows, weights=tracking, minlength=n).astype(np.int64)
+
+    kept_rows = rows[keep]
+    kept_vals = np.asarray(flat.to_pylist(), dtype="U24")[keep]
+    order = np.lexsort((kept_vals, kept_rows))
+    counts = np.bincount(kept_rows, minlength=n).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    qs = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(kept_vals[order])
+        ),
+        "&",
+    )
+    qs_full = pc.if_else(
+        pc.equal(qs, ""), "", pc.binary_join_element_wise("?", qs, "")
+    )
+
+    url = pc.binary_join_element_wise(
+        scheme, "://", host, port, path, pc.fill_null(qs_full, ""), ""
+    )
+    return pa.table(
+        {
+            "url": url,
+            "host": host,
+            "domain": domain,
+            "n_params": pa.array(n_params, pa.int64()),
+            "n_tracking": pa.array(n_tracking, pa.int64()),
+        }
+    )
+
+
+def _canon_batch(t: pa.Table) -> pa.Table:
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    messy = synthesize_messy_urls(ids)
+    out = canonicalize_urls(pa.array(messy))
+    return out.add_column(0, "doc_id", pc.cast(t["doc_id"], pa.int64()))
+
+
+def q_url_canonicalize(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(_canon_batch, batch_format="pyarrow")
+
+
+def _sql_url_fields() -> str:
+    """CTE computing every per-doc draw once (each _s_uint expands to
+    a long bigint chain — evaluate once, concat later)."""
+    tld = f"CASE ({_s_uint('did', _S_TLD, 3)}) WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"
+    return f"""
+f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, did,
+         ({_s_uint('did', _S_HTTPS, 2)}) AS https,
+         ({_s_uint('did', _S_SUB, 2)}) AS has_sub,
+         ({_s_uint('did', _S_SUBID, 5)}) AS sub_id,
+         ({_s_uint('did', _S_HOST, _N_HOSTS)}) AS host_id,
+         {tld} AS tld,
+         ({_s_uint('did', _S_PORT, 3)}) AS pmode,
+         ({_s_uint('did', _S_DEPTH, 3)}) AS depth,
+         ({_s_uint('did', _S_PA, 20)}) AS pa,
+         ({_s_uint('did', _S_PB, 20)}) AS pb,
+         ({_s_uint('did', _S_ID, 2)}) AS has_id,
+         ({_s_uint('did', _S_Q, 2)}) AS has_q,
+         ({_s_uint('did', _S_REF, 2)}) AS has_ref,
+         ({_s_uint('did', _S_UTM, 2)}) AS has_utm,
+         ({_s_uint('did', _S_VI, 100)}) AS vi,
+         ({_s_uint('did', _S_VQ, 100)}) AS vq,
+         ({_s_uint('did', _S_VR, 100)}) AS vr
+  FROM (SELECT doc_id, CAST(doc_id AS UBIGINT) AS did FROM documents)
+),
+c AS (
+  SELECT doc_id,
+         CASE https WHEN 1 THEN 'https' ELSE 'http' END AS scheme,
+         CASE has_sub WHEN 1 THEN 'm' || sub_id || '.' ELSE '' END
+           || 'site' || host_id || '.' || tld AS host,
+         'site' || host_id || '.' || tld AS domain,
+         CASE pmode WHEN 2 THEN ':8080' ELSE '' END AS port,
+         CASE depth WHEN 0 THEN '/'
+                    WHEN 1 THEN '/p' || pa
+                    ELSE '/p' || pa || '/q' || pb END AS path,
+         concat_ws('&',
+           CASE has_id  WHEN 1 THEN 'id='  || vi END,
+           CASE has_q   WHEN 1 THEN 'q='   || vq END,
+           CASE has_ref WHEN 1 THEN 'ref=' || vr END) AS qs,
+         CAST(has_id + has_q + has_ref AS BIGINT) AS n_params,
+         CAST(has_utm AS BIGINT) AS n_tracking
+  FROM f
+)"""
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH {_sql_url_fields()}
+SELECT doc_id,
+       scheme || '://' || host || port || path
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url,
+       host, domain, n_params, n_tracking
+FROM c ORDER BY doc_id
+"""
+
+
+def q_host_stats(sf_dir: str):
+    """Domain-level corpus rollup over canonical hosts: docs, distinct
+    hosts, total chars per registrable domain. Block-local partials
+    over (domain, host) before ONE groupby on the bounded domain key —
+    the map-side combine keeps the shuffle at O(domains x hosts), not
+    O(corpus)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        canon = canonicalize_urls(pa.array(synthesize_messy_urls(ids)))
+        g = (
+            pa.table(
+                {
+                    "domain": canon["domain"],
+                    "host": canon["host"],
+                    "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                }
+            )
+            .group_by(["domain", "host"])
+            .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        )
+        return g.rename_columns(["domain", "host", "sum_chars", "n_docs"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": [df["domain"].iloc[0]],
+                "n_docs": np.int64(df["n_docs"].sum()),
+                "n_hosts": np.int64(df["host"].nunique()),
+                "sum_chars": np.int64(df["sum_chars"].sum()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("domain").map_groups(merge, batch_format="pandas")
+
+
+SQL_HOST_STATS = f"""
+WITH {_sql_url_fields()},
+d AS (SELECT c.doc_id, c.domain, c.host, n_chars
+      FROM c JOIN documents USING (doc_id))
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM d GROUP BY domain ORDER BY domain
+"""

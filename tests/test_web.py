@@ -1,0 +1,96 @@
+"""URL canonicalization kernel tests (pure Arrow — no Ray session).
+
+The oracle gate (`url_canonicalize`, `host_stats`) verifies the full
+pipeline against the SQL re-derivation; these tests pin the operator's
+field-by-field semantics on hand-written messy URLs so a kernel change
+that happens to cancel out in the synthetic stream still fails here.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from osm2gtfs_ray.pipelines.web_queries import (
+    canonicalize_urls,
+    synthesize_messy_urls,
+)
+
+
+def canon(url: str) -> dict:
+    t = canonicalize_urls(pa.array([url]))
+    return {c: t[c][0].as_py() for c in t.column_names}
+
+
+class TestCanonicalize:
+    def test_scheme_host_lowered_www_stripped(self):
+        r = canon("HTTPS://WWW.Site7.COM/p1")
+        assert r["url"] == "https://site7.com/p1"
+        assert r["host"] == "site7.com"
+        assert r["domain"] == "site7.com"
+
+    def test_default_ports_dropped_explicit_kept(self):
+        assert canon("http://a.com:80/x")["url"] == "http://a.com/x"
+        assert canon("https://a.com:443/x")["url"] == "https://a.com/x"
+        assert canon("http://a.com:8080/x")["url"] == "http://a.com:8080/x"
+        # :443 is NOT default for http
+        assert canon("http://a.com:443/x")["url"] == "http://a.com:443/x"
+
+    def test_trailing_slash_and_empty_path(self):
+        assert canon("http://a.com/p1/")["url"] == "http://a.com/p1"
+        assert canon("http://a.com")["url"] == "http://a.com/"
+        assert canon("http://a.com/")["url"] == "http://a.com/"
+
+    def test_query_sorted_tracking_dropped_fragment_dropped(self):
+        r = canon("http://a.com/p?ref=3&utm_source=news&id=9&q=2#top")
+        assert r["url"] == "http://a.com/p?id=9&q=2&ref=3"
+        assert r["n_params"] == 3
+        assert r["n_tracking"] == 1
+
+    def test_only_tracking_params_yields_bare_url(self):
+        r = canon("http://a.com/p?utm_source=news#frag")
+        assert r["url"] == "http://a.com/p"
+        assert r["n_params"] == 0
+        assert r["n_tracking"] == 1
+
+    def test_subdomain_kept_domain_is_registrable(self):
+        r = canon("https://m3.site12.org/p5/q7")
+        assert r["host"] == "m3.site12.org"
+        assert r["domain"] == "site12.org"
+
+    def test_www_plus_subdomain(self):
+        # www. strip is prefix-only; inner subdomain survives
+        r = canon("http://www.m1.site0.net/")
+        assert r["host"] == "m1.site0.net"
+        assert r["domain"] == "site0.net"
+
+
+class TestSyntheticStream:
+    def test_deterministic(self):
+        ids = np.arange(64, dtype=np.uint64)
+        a = synthesize_messy_urls(ids)
+        b = synthesize_messy_urls(ids)
+        assert (a == b).all()
+
+    def test_messy_variants_all_canonicalize_to_parseable(self):
+        ids = np.arange(512, dtype=np.uint64)
+        t = canonicalize_urls(pa.array(synthesize_messy_urls(ids)))
+        urls = t["url"].to_pylist()
+        assert all(u.startswith(("http://", "https://")) for u in urls)
+        # canonical forms carry no uppercase, www., default port,
+        # tracking param, or fragment
+        assert not any(
+            "www." in u or "utm_" in u or "#" in u or ":80/" in u
+            or ":443/" in u or u != u.lower()
+            for u in urls
+        )
+        # idempotence: canonicalizing canonical output is a fixpoint
+        again = canonicalize_urls(t["url"].combine_chunks())
+        assert again["url"].to_pylist() == urls
+
+    def test_stream_exercises_every_branch(self):
+        ids = np.arange(512, dtype=np.uint64)
+        messy = synthesize_messy_urls(ids).tolist()
+        assert any("HTTP" in m.split("://")[0] for m in messy)
+        assert any("www." in m.lower() for m in messy)
+        assert any(":8080" in m for m in messy)
+        assert any("#top" in m for m in messy)
+        assert any("utm_source" in m for m in messy)
