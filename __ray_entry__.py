@@ -68,7 +68,7 @@ _GATE_ORDER = [
     "pii_redact", "random_projection", "inverted_index", "doc_quality",
     "ann_topk", "event_type_counts", "word_repetition", "dau_approx",
     "suppliers_with_sales", "nearest_events", "normalize_names",
-    "chunk_docs", "consistent_sample",
+    "chunk_docs", "consistent_sample", "url_canonicalize", "host_stats",
     "event_pivot", "props_extract", "event_segment",
     "customers_without_orders", "bbox_events", "nation_centroid",
     "simhash", "sessionize", "token_stats", "window_event_stats",
