@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "consistent_sample",
     "url_canonicalize",
     "host_stats",
+    "robots_filter",
+    "pagerank",
+    "cell_pyramid",
 ]
 
 

@@ -250,3 +250,108 @@ FROM (
 ORDER BY dist_m, event_id
 LIMIT {_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# Tile pyramid: multi-zoom cell rollup cascade
+# --------------------------------------------------------------------------
+# The slippy-map / tile-server aggregation shape: per-cell counts at a
+# fine zoom, then each coarser zoom derived from the NEXT-FINER
+# AGGREGATED table (parent cell = coordinates >> 2, the geo/cells.py
+# Morton-prefix relation in row-major form). Only the fine level
+# touches the corpus — one shuffle over events; every coarser level
+# rolls up a bounded table (<= nx*ny rows), so the cascade costs
+# O(corpus) once + O(cells) per extra zoom regardless of input size.
+# Reference analogue: zoom-level aggregation over the stop/route maps
+# the reference renders (stops_creator's per-map grouping), generalized
+# to the raster pyramid a web-scale tile service builds.
+
+PYRAMID_LEVELS = (8, 6, 4)  # fine -> coarse, step 2 (factor-4 per axis)
+
+
+def q_cell_pyramid(sf_dir: str):
+    """Events per grid cell at three zoom levels. Output one row per
+    (level, cell_rm) with the contained event count."""
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fine(t: pa.Table) -> pa.Table:
+        lat, lon = _synth_latlon(t["event_id"].to_numpy())
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        g = (
+            pa.table({"cell_rm": iy * nx + ix})
+            .group_by("cell_rm")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell_rm", "partial"])
+
+    level_tbls = []
+    cur = (
+        ev.map_batches(fine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_rm")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+    cur_nx = nx
+    for li, level in enumerate(PYRAMID_LEVELS):
+        if li > 0:
+            # roll up the previous (already aggregated, bounded) level:
+            # parent coords = child coords >> 2 at a 2-level zoom step
+            pnx = cur_nx >> 2
+
+            def rollup(t: pa.Table, _nx=cur_nx, _pnx=pnx) -> pa.Table:
+                key = t["cell_rm"].to_numpy(zero_copy_only=False)
+                n = t["n"].to_numpy(zero_copy_only=False)
+                pkey = (key // _nx >> 2) * _pnx + (key % _nx >> 2)
+                g = (
+                    pa.table({"cell_rm": pkey, "partial": n})
+                    .group_by("cell_rm")
+                    .aggregate([("partial", "sum")])
+                )
+                return g.rename_columns(["cell_rm", "partial"])
+
+            cur = (
+                cur.map_batches(rollup, batch_format="pyarrow")
+                .groupby("cell_rm")
+                .aggregate(Sum("partial", alias_name="n"))
+            )
+            cur_nx = pnx
+
+        def emit(t: pa.Table, _lv=level) -> pa.Table:
+            return pa.table(
+                {
+                    "level": pa.array(np.full(len(t), _lv, dtype=np.int64)),
+                    "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                    "n": pc.cast(t["n"], pa.int64()),
+                }
+            )
+
+        cur = cur.materialize()  # rollup source AND emit source: read once
+        level_tbls.append(cur.map_batches(emit, batch_format="pyarrow"))
+
+    out = level_tbls[0]
+    for extra in level_tbls[1:]:
+        out = out.union(extra)
+    return out
+
+
+def _sql_pyramid_level(level: int) -> str:
+    nx, ny = 1 << level, 1 << (level - 1)
+    return f"""
+SELECT CAST({level} AS BIGINT) AS level,
+       CAST(
+         LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * {ny}) AS BIGINT), {ny - 1}) * {nx}
+         + LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * {nx}) AS BIGINT), {nx - 1})
+       AS BIGINT) AS cell_rm,
+       COUNT(*) AS n
+FROM pts GROUP BY 2"""
+
+
+SQL_CELL_PYRAMID = f"""
+WITH pts AS (
+  SELECT {_LAT_SQL.format(k='event_id')} AS lat,
+         {_LON_SQL.format(k='event_id')} AS lon
+  FROM events
+)
+{" UNION ALL ".join(_sql_pyramid_level(lv) for lv in PYRAMID_LEVELS)}
+"""

@@ -188,6 +188,7 @@ def canonicalize_urls(urls: pa.Array) -> pa.Table:
             "url": url,
             "host": host,
             "domain": domain,
+            "path": path,
             "n_params": pa.array(n_params, pa.int64()),
             "n_tracking": pa.array(n_tracking, pa.int64()),
         }
@@ -197,7 +198,7 @@ def canonicalize_urls(urls: pa.Array) -> pa.Table:
 def _canon_batch(t: pa.Table) -> pa.Table:
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     messy = synthesize_messy_urls(ids)
-    out = canonicalize_urls(pa.array(messy))
+    out = canonicalize_urls(pa.array(messy)).drop_columns(["path"])
     return out.add_column(0, "doc_id", pc.cast(t["doc_id"], pa.int64()))
 
 
@@ -308,4 +309,92 @@ SELECT domain,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# robots-style per-domain prefix filter
+# ---------------------------------------------------------------------------
+# Each registrable domain publishes one Disallow path prefix (the
+# robots.txt shape); the rule table is synthesized deterministically
+# from (host_id, tld) so the SQL oracle re-derives it arithmetically.
+# The ENGINE does the real crawl-side work: parse + canonicalize the
+# messy URL, look the rule up by the PARSED domain string (broadcast —
+# a real robots rule set is small by construction), vectorized prefix
+# match on the canonical path, then a map-side-combined count rollup.
+
+_S_ROBOT = 240
+_PREFIX_MOD = 20  # disallowed prefix "/p{0..19}" — true prefix
+#                   semantics: "/p1" also blocks "/p10".."/p19"
+
+
+def robots_rules() -> tuple[np.ndarray, np.ndarray]:
+    """(sorted domains, aligned disallow prefixes) for every
+    (host_id, tld) pair — 150 rows, the broadcast side."""
+    h = np.repeat(np.arange(_N_HOSTS, dtype=np.uint64), len(_TLDS))
+    t = np.tile(np.arange(len(_TLDS), dtype=np.uint64), _N_HOSTS)
+    dom = np.char.add(
+        np.char.add("site", h.astype("U4")),
+        np.char.add(".", np.take(np.array(_TLDS), t.astype(np.int64))),
+    )
+    j = _uint(h * np.uint64(len(_TLDS)) + t, _S_ROBOT, SEED, _PREFIX_MOD)
+    pre = np.char.add("/p", j.astype("U4"))
+    order = np.argsort(dom)
+    return dom[order], pre[order]
+
+
+def q_robots_filter(sf_dir: str):
+    """Per-domain allowed/blocked page counts under the domain's
+    Disallow prefix. Zero shuffles until ONE small groupby over the
+    bounded domain key space."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    domains, prefixes = robots_rules()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        canon = canonicalize_urls(pa.array(synthesize_messy_urls(ids)))
+        dom = np.asarray(canon["domain"].to_pylist(), dtype="U24")
+        path = np.asarray(canon["path"].to_pylist(), dtype="U24")
+        idx = np.searchsorted(domains, dom)
+        blocked = np.char.startswith(path, prefixes[idx]).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "domain": canon["domain"],
+                    "n_blocked": blocked,
+                    "n_allowed": 1 - blocked,
+                }
+            )
+            .group_by("domain")
+            .aggregate([("n_blocked", "sum"), ("n_allowed", "sum")])
+        )
+        return g.rename_columns(["domain", "n_blocked", "n_allowed"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Sum("n_blocked", alias_name="n_blocked"),
+            Sum("n_allowed", alias_name="n_allowed"),
+        )
+    )
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH {_sql_url_fields()},
+rules AS (
+  SELECT 'site' || h || '.' ||
+         CASE t WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS domain,
+         '/p' || ({_s_uint(f'CAST(h * {len(_TLDS)} + t AS UBIGINT)', _S_ROBOT, _PREFIX_MOD)})
+           AS dis
+  FROM range({_N_HOSTS}) r1(h), range({len(_TLDS)}) r2(t)
+),
+j AS (SELECT c.domain, starts_with(c.path, r.dis) AS blocked
+      FROM c JOIN rules r USING (domain))
+SELECT domain,
+       CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed
+FROM j GROUP BY domain ORDER BY domain
 """

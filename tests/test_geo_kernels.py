@@ -161,3 +161,41 @@ class TestPIP:
             np.array([0.5, 2.0]), np.array([0.5, 0.5]), 0.0, 0.0, 1.0, 1.0
         )
         np.testing.assert_array_equal(got, [True, False])
+
+
+class TestCellPyramid:
+    def test_levels_consistent(self, ray_session):
+        """Every zoom level holds the same total mass, and rolling the
+        fine level up by hand reproduces the coarser levels exactly."""
+        import pandas as pd
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            CELL_LEVEL,
+            PYRAMID_LEVELS,
+            q_cell_pyramid,
+        )
+
+        df = q_cell_pyramid("/root/testdata/sf0.001").to_pandas()
+        totals = df.groupby("level")["n"].sum()
+        assert len(set(totals.tolist())) == 1  # same mass at every zoom
+
+        fine = df[df["level"] == PYRAMID_LEVELS[0]]
+        for level in PYRAMID_LEVELS[1:]:
+            shift = 2 * (PYRAMID_LEVELS[0] - level)
+            fnx, pnx = 1 << PYRAMID_LEVELS[0], 1 << level
+            ix = fine["cell_rm"].to_numpy() % fnx
+            iy = fine["cell_rm"].to_numpy() // fnx
+            pkey = (iy >> shift // 2) * pnx + (ix >> shift // 2)
+            want = (
+                pd.DataFrame({"cell_rm": pkey, "n": fine["n"].to_numpy()})
+                .groupby("cell_rm")["n"]
+                .sum()
+                .sort_index()
+            )
+            got = (
+                df[df["level"] == level]
+                .set_index("cell_rm")["n"]
+                .sort_index()
+            )
+            assert (got.index == want.index).all()
+            assert (got.to_numpy() == want.to_numpy()).all()
