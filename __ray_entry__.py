@@ -276,8 +276,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": wq.q_url_canonicalize,
         "host_stats": wq.q_host_stats,
         "robots_filter": wq.q_robots_filter,
-        # link graph: fixed-point PageRank (bit-exact vs unrolled SQL)
+        "crawl_schedule": wq.q_crawl_schedule,
+        # link graph: fixed-point PageRank / BFS (bit-exact vs
+        # unrolled SQL), domain-level link rollup
         "pagerank": grq.q_pagerank,
+        "bfs_hops": grq.q_bfs_hops,
+        "domain_link_stats": grq.q_domain_link_stats,
+        "reciprocal_links": grq.q_reciprocal_links,
+        # retrieval: BM25 over the corpus's own top-df terms
+        "bm25_topk": tq.q_bm25_topk,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -309,7 +316,12 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": wq.SQL_URL_CANONICALIZE,
         "host_stats": wq.SQL_HOST_STATS,
         "robots_filter": wq.SQL_ROBOTS_FILTER,
+        "crawl_schedule": wq.SQL_CRAWL_SCHEDULE,
         "pagerank": grq.SQL_PAGERANK,
+        "bfs_hops": grq.SQL_BFS_HOPS,
+        "domain_link_stats": grq.SQL_DOMAIN_LINK_STATS,
+        "reciprocal_links": grq.SQL_RECIPROCAL_LINKS,
+        "bm25_topk": tq.SQL_BM25_TOPK,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "robots_filter",
     "pagerank",
     "cell_pyramid",
+    "crawl_schedule",
+    "bfs_hops",
+    "domain_link_stats",
+    "reciprocal_links",
+    "bm25_topk",
 ]
 
 

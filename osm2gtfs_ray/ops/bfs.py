@@ -1,0 +1,178 @@
+"""Distributed multi-source BFS over an edge list — hop distance.
+
+The frontier-expansion operator class: K rounds of reachability from a
+seed set, labeling every reached node with its hop distance (the
+minimum path length from any seed). Web-corpus use: crawl-depth
+assignment from a seed list, spam-neighborhood marking, and
+link-distance features for quality models.
+
+All state is integer (hop labels), so the result is bit-exact
+regardless of partitioning or visit order — a node's label is the
+ROUND it is first reached, and round boundaries are global barriers in
+both plans.
+
+Two physical plans, same result (the ops/pagerank.py pattern):
+
+* **Broadcast plan** (n_nodes <= BROADCAST_DIST_ROWS): the int64
+  distance vector rides the object store via one ``ray.put`` per
+  round; edges — the big side — stream through ``map_batches`` which
+  emits each block's UNIQUE newly-reached dsts, a ``groupby`` dedupes
+  them globally, and the driver stamps the round. Per-round driver
+  traffic is O(newly reached nodes), never O(edges).
+
+* **Shuffle plan** (``broadcast=False``): the distance table is a
+  Dataset. Each round: frontier (dist == round-1) ⋈ edges on src →
+  distinct dst → LEFT OUTER onto the distance table, filling nulls
+  (i.e. not-yet-reached nodes in the frontier's neighborhood) with
+  the round number. On a real cluster, hash-partitioning edges by src
+  once would amortize the join exchange across all K rounds.
+
+Reference semantics analogue: osm2gtfs's itinerary walk
+(`osm2gtfs/creators/routes_creator.py`) follows member chains
+hop-by-hop from route masters; BFS is the crawl-scale generalization
+(frontier expansion over the page link graph).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BROADCAST_DIST_ROWS = 2_000_000  # same bound as ops/pagerank.py ranks
+
+
+def _collect_arrow(ds) -> pa.Table:
+    import ray
+
+    refs = ds.to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"node": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def bfs_broadcast(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4):
+    """Broadcast plan: driver-held int64 distance vector (bounded by
+    BROADCAST_DIST_ROWS), one distributed pass over edges per round."""
+    import ray
+    import ray.data
+
+    dist = np.full(n_nodes, -1, dtype=np.int64)
+    dist[np.asarray(seeds, dtype=np.int64)] = 0
+    edges = edges.materialize()  # read once, iterate K times
+
+    for rnd in range(1, iters + 1):
+        ref = ray.put(dist)
+
+        def frontier_dsts(t: pa.Table, _ref=ref, _r=rnd) -> pa.Table:
+            d = ray.get(_ref)  # zero-copy plasma view
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            new = dst[(d[src] == _r - 1) & (d[dst] == -1)]
+            return pa.table({"node": np.unique(new)})
+
+        new_nodes = _collect_arrow(
+            edges.map_batches(frontier_dsts, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .select_columns(["node"])
+        )
+        nodes = new_nodes["node"].to_numpy(zero_copy_only=False)
+        if len(nodes) == 0:
+            break  # frontier exhausted — later rounds are no-ops
+        dist[nodes] = rnd
+
+    reached = np.flatnonzero(dist >= 0).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": reached, "hops": dist[reached]})
+    )
+
+
+def bfs_shuffle(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4,
+                num_partitions: int = 16):
+    """Shuffle plan: the distance table is a Dataset; per round one
+    src-keyed join and one dst-keyed LEFT OUTER merge."""
+    import ray.data
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": np.arange(n_nodes, dtype=np.int64),
+                "hops": np.where(
+                    np.isin(np.arange(n_nodes, dtype=np.int64), seeds), 0, -1
+                ).astype(np.int64),
+            }
+        )
+    ).materialize()
+    edges = edges.materialize()
+
+    for rnd in range(1, iters + 1):
+        def front_batch(t: pa.Table, _r=rnd) -> pa.Table:
+            f = t.filter(pc.equal(t["hops"], _r - 1))
+            return pa.table({"src": pc.cast(f["node"], pa.int64())})
+
+        front = dist.map_batches(front_batch, batch_format="pyarrow")
+        touched = edges.join(
+            front, join_type="inner", num_partitions=num_partitions, on=("src",)
+        )
+
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": np.unique(
+                        t["dst"].to_numpy(zero_copy_only=False)
+                    )
+                }
+            )
+
+        new = (
+            touched.map_batches(uniq, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t["node"], pa.int64()),
+                     "reach": np.ones(len(t), dtype=np.int64)}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        merged = dist.join(
+            new, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def update(t: pa.Table, _r=rnd) -> pa.Table:
+            hops = t["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = pc.fill_null(pc.cast(t["reach"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+            hops = np.where((hops < 0) & (hit > 0), _r, hops)
+            return pa.table(
+                {"node": pc.cast(t["node"], pa.int64()), "hops": hops}
+            )
+
+        dist = merged.map_batches(update, batch_format="pyarrow").materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["hops"], 0))
+        return pa.table(
+            {"doc_id": pc.cast(f["node"], pa.int64()),
+             "hops": pc.cast(f["hops"], pa.int64())}
+        )
+
+    return dist.map_batches(emit, batch_format="pyarrow")
+
+
+def bfs_hops(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4,
+             broadcast: bool | None = None, num_partitions: int = 16):
+    """Size-aware plan selection (the ops/pagerank.py rule)."""
+    if broadcast is None:
+        broadcast = n_nodes <= BROADCAST_DIST_ROWS
+    if broadcast:
+        return bfs_broadcast(edges, n_nodes, seeds, iters=iters)
+    return bfs_shuffle(edges, n_nodes, seeds, iters=iters,
+                       num_partitions=num_partitions)

@@ -102,11 +102,13 @@ def _s_uint_mod(idx: str, stream: int, mod_expr: str) -> str:
     )
 
 
-def _sql_pagerank() -> str:
+def _sql_edges() -> str:
+    """CTE chain re-deriving the synthetic edge table arithmetically
+    (nn, ids, deg, ek, edges) — shared by every link-graph oracle."""
     d0 = _s_uint_mod("did", _S_DST[0], "n - 1")
     d1 = _s_uint_mod("did", _S_DST[1], "n - 1")
     d2 = _s_uint_mod("did", _S_DST[2], "n - 1")
-    head = f"""
+    return f"""
 nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents),
 ids AS (SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS UBIGINT) AS did
         FROM documents),
@@ -123,7 +125,11 @@ edges AS (
   SELECT src, outdeg, d0 AS dst FROM ek
   UNION ALL SELECT src, outdeg, d1 FROM ek WHERE outdeg >= 2
   UNION ALL SELECT src, outdeg, d2 FROM ek WHERE outdeg >= 3
-),
+)"""
+
+
+def _sql_pagerank() -> str:
+    head = f"""{_sql_edges()},
 b AS (SELECT ({DAMP_DEN - DAMP_NUM} * (CAST({TOTAL_FP} AS HUGEINT) // n)) // {DAMP_DEN}
              AS base FROM nn),
 r0 AS (SELECT node, CAST({TOTAL_FP} AS HUGEINT) // n AS rank
@@ -143,4 +149,169 @@ SQL_PAGERANK = f"""
 WITH {_sql_pagerank()}
 SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_fp
 FROM r{PR_ITERS} ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (ops/bfs.py)
+# ---------------------------------------------------------------------------
+# Seeds = every 100th doc_id (a crawl seed list); output = (doc_id,
+# hops) for every node within BFS_ITERS hops, hops the shortest path
+# length. The oracle unrolls the rounds: level i = DISTINCT endpoints
+# of walks of length exactly i from the seed set, and MIN over levels
+# equals the shortest-path distance — bit-exact integer labels.
+
+BFS_ITERS = 4
+BFS_SEED_MOD = 100
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distance from the seed set within BFS_ITERS rounds."""
+    from osm2gtfs_ray.ops.bfs import bfs_hops
+
+    n = _n_docs(sf_dir)
+    seeds = np.arange(0, n, BFS_SEED_MOD, dtype=np.int64)
+    return bfs_hops(build_link_graph(sf_dir), n, seeds, iters=BFS_ITERS)
+
+
+def _sql_bfs() -> str:
+    levels = [f"d0 AS (SELECT node, 0 AS h FROM ids WHERE node % {BFS_SEED_MOD} = 0)"]
+    for i in range(1, BFS_ITERS + 1):
+        levels.append(
+            f"d{i} AS (SELECT DISTINCT e.dst AS node, {i} AS h\n"
+            f"       FROM edges e JOIN d{i - 1} s ON e.src = s.node)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(BFS_ITERS + 1))
+    return f"{_sql_edges()},\n{','.join(levels)}\n" + (
+        f"SELECT node AS doc_id, CAST(MIN(h) AS BIGINT) AS hops\n"
+        f"FROM ({union}) GROUP BY node ORDER BY doc_id"
+    )
+
+
+SQL_BFS_HOPS = f"WITH {_sql_bfs()}"
+
+
+# ---------------------------------------------------------------------------
+# Domain-level link rollup: inlinks / distinct source domains /
+# cross-domain inlinks per destination registrable domain
+# ---------------------------------------------------------------------------
+# The web-graph authority-by-domain shape (who links into this site,
+# and from how many places?). Each edge endpoint's domain comes from
+# web_queries.domains_of (the URL synthesizer's host/tld streams — no
+# URL string materialized). Plan: block-local (dst_domain, src_domain)
+# partials inside map_batches, then ONE groupby over the bounded
+# domain key space with a vectorized nunique merge — the shuffle
+# carries O(domains^2) partial rows, never O(edges).
+
+def q_domain_link_stats(sf_dir: str):
+    """(domain, n_inlinks, n_src_domains, n_external) per destination
+    registrable domain of the link graph."""
+    import pandas as pd
+
+    from osm2gtfs_ray.pipelines.web_queries import domains_of
+
+    edges = build_link_graph(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sd, dd = domains_of(src), domains_of(dst)
+        g = (
+            pa.table(
+                {
+                    "domain": dd,
+                    "src_domain": sd,
+                    "n": np.ones(len(dd), dtype=np.int64),
+                    "n_ext": (sd != dd).astype(np.int64),
+                }
+            )
+            .group_by(["domain", "src_domain"])
+            .aggregate([("n", "sum"), ("n_ext", "sum")])
+        )
+        return g.rename_columns(["domain", "src_domain", "n", "n_ext"])
+
+    def merge(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "domain": [df["domain"].iloc[0]],
+                "n_inlinks": np.int64(df["n"].sum()),
+                "n_src_domains": np.int64(df["src_domain"].nunique()),
+                "n_external": np.int64(df["n_ext"].sum()),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("domain").map_groups(merge, batch_format="pandas")
+
+
+def _sql_domain_link_stats() -> str:
+    from osm2gtfs_ray.pipelines.web_queries import _N_HOSTS, _S_HOST, _S_TLD, _TLDS
+
+    tld = (
+        f"CASE ({_s_uint('did', _S_TLD, len(_TLDS))}) "
+        "WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"
+    )
+    return f"""{_sql_edges()},
+dom AS (SELECT node,
+               'site' || ({_s_uint('did', _S_HOST, _N_HOSTS)}) || '.' || {tld}
+                 AS domain
+        FROM ids),
+le AS (SELECT s.domain AS sd, d.domain AS dd
+       FROM edges e JOIN dom s ON e.src = s.node
+                    JOIN dom d ON e.dst = d.node)
+SELECT dd AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+       CAST(COUNT(DISTINCT sd) AS BIGINT) AS n_src_domains,
+       CAST(SUM(CASE WHEN sd <> dd THEN 1 ELSE 0 END) AS BIGINT) AS n_external
+FROM le GROUP BY dd ORDER BY dd"""
+
+
+SQL_DOMAIN_LINK_STATS = f"WITH {_sql_domain_link_stats()}"
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-link detection: unordered pairs (a, b) linked in BOTH
+# directions — the web-spam / link-exchange signal. The shape is a
+# graph SELF-JOIN (edges ⋈ edges on reversed keys); the distributed
+# plan avoids the join entirely by sharding on the UNORDERED pair key,
+# which co-locates both directions of a pair by construction, then one
+# vectorized min/max-over-dir pass per shard. Reference analogue:
+# osm2gtfs's bidirectional route detection (routes_creator pairing the
+# two direction itineraries of one line), lifted to the crawl graph.
+
+def q_reciprocal_links(sf_dir: str):
+    """Distinct unordered pairs (a < b) with links a->b AND b->a."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    edges = build_link_graph(sf_dir)
+
+    def pairkey(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": np.minimum(src, dst),
+                "b": np.maximum(src, dst),
+                "dir": (src > dst).astype(np.int64),
+            }
+        )
+
+    keyed = edges.map_batches(pairkey, batch_format="pyarrow")
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False)["dir"].agg(["min", "max"])
+        hit = agg[(agg["min"] == 0) & (agg["max"] == 1)].reset_index()
+        return hit[["a", "b"]]
+
+    return sharded_map_groups(keyed, ["a", "b"], both_dirs)
+
+
+SQL_RECIPROCAL_LINKS = f"""
+WITH {_sql_edges()},
+p AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+             CASE WHEN src < dst THEN 0 ELSE 1 END AS dir
+      FROM edges),
+r AS (SELECT a, b FROM p GROUP BY a, b HAVING MIN(dir) = 0 AND MAX(dir) = 1)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM r ORDER BY a, b
 """

@@ -771,3 +771,183 @@ FROM (
 )
 GROUP BY norm_text
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval — the ranking function a web search index runs,
+# over the corpus's own most-frequent terms as the query set (so the
+# workload is self-contained at every sf). Single-term queries make
+# idf a per-term constant, so the ranking key reduces to the
+# tf-saturation / length-normalization core of BM25:
+#
+#     score ∝ tf / (tf + k1*(1 - b + b*dl/avgdl))      k1=1.2, b=0.75
+#
+# Both sides compute the key as ONE double division of two EXACT
+# int64s — tf / (20*T*tf + 6*T + 18*dl*N), the k1/b rationals and
+# avgdl=T/N cleared to integers — so the only float op is a single
+# IEEE divide evaluated identically in numpy and DuckDB; ties break on
+# doc_id. (At corpora where 20*T*tf overflows int64 the denominator
+# must move to double; the divide-once discipline stays.) Output
+# columns are integers/strings only, the tfidf_top_terms rule.
+#
+# Plan: batch-local postings + doc lengths (each doc wholly in one
+# row) → term-sharded df → tiny top-QN term list collected + broadcast
+# → candidate postings filtered per batch (no second shuffle of
+# non-query terms) → term-sharded top-k. Reference analogue: the
+# stop-name lookup ranking in osm2gtfs/creators/trips_creator*.py
+# (best-match selection per query key), generalized to corpus-scale
+# retrieval.
+# --------------------------------------------------------------------------
+
+_BM25_QN = 8   # query set: top-QN terms by (df desc, term asc)
+_BM25_K = 5    # docs returned per query term
+
+
+def q_bm25_topk(sf_dir: str, qn: int = _BM25_QN, k: int = _BM25_K):
+    """Top-k documents per query term under BM25 (k1=1.2, b=0.75).
+    Output: (term, rank, doc_id, tf, dl)."""
+    from ray.data.aggregate import Sum
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata — no scan
+
+    def postings(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        doc_ids = pc.take(t["doc_id"].combine_chunks(), parent)
+        keep = pc.not_equal(flat, "")
+        g = (
+            pa.table({"term": flat.filter(keep), "doc_id": doc_ids.filter(keep)})
+            .group_by(["term", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "doc_id", "tf"])
+
+    posts = docs.map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # per-term document frequency + per-term token mass (block partials
+    # are already unique on (term, doc_id), so count == df)
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"term": t["term"], "df": np.ones(len(t), np.int64),
+                      "mass": pc.cast(t["tf"], pa.int64())})
+            .group_by("term")
+            .aggregate([("df", "sum"), ("mass", "sum")])
+        )
+        return g.rename_columns(["term", "df", "mass"])
+
+    dfs = (
+        posts.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("mass", alias_name="mass"))
+    ).materialize()
+
+    # total corpus tokens T = distributed sum over the term table;
+    # query set = distributed top-QN by (df desc, term asc) — only QN
+    # rows ever reach the driver (the vocabulary table itself never
+    # does: corpus-scale vocabularies are millions of terms)
+    total_tokens = int(dfs.sum("mass"))
+    top = dfs.sort(["df", "term"], descending=[True, False]).limit(qn)
+    qterms = np.sort(
+        np.asarray([r["term"] for r in top.take_all()], dtype="U32")
+    )
+
+    # candidate pass: a SECOND tokenize over documents (each doc wholly
+    # in one row, so dl is exact under any batching — posting blocks
+    # could split a doc across batches). Emits (term, doc_id, tf, dl)
+    # for QUERY terms only; docs without a query term never reach the
+    # shuffle.
+    def candidates(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = np.bincount(parent[keep], minlength=len(t)).astype(np.int64)
+        terms = np.asarray(flat.to_pylist(), dtype="U32")
+        hit = keep & np.isin(terms, qterms)
+        g = (
+            pa.table({"term": terms[hit], "p": parent[hit]})
+            .group_by(["term", "p"])
+            .aggregate([([], "count_all")])
+        ).rename_columns(["term", "p", "tf"])
+        p = g["p"].to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "term": g["term"],
+                "doc_id": doc_ids[p],
+                "tf": pc.cast(g["tf"], pa.int64()),
+                "dl": dl[p],
+            }
+        )
+
+    cand = docs.map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].to_numpy(np.int64)
+        dl = g["dl"].to_numpy(np.int64)
+        den = 20 * total_tokens * tf + 6 * total_tokens + 18 * dl * n_docs
+        s = tf.astype(np.float64) / den
+        out = g.assign(score=s).sort_values(
+            ["term", "score", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out["rank"] = out.groupby("term", sort=False).cumcount() + 1
+        out = out[out["rank"] <= k]
+        return out[["term", "rank", "doc_id", "tf", "dl"]]
+
+    res = sharded_map_groups(cand, "term", topk)
+    return res.map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "tf": pc.cast(t["tf"], pa.int64()),
+                "dl": pc.cast(t["dl"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BM25_TOPK = rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM words WHERE term <> '' GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tt AS (SELECT SUM(dl) AS total FROM dl),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT term FROM df ORDER BY df DESC, term ASC LIMIT {_BM25_QN}),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         CAST(tf.tf AS DOUBLE)
+           / (20 * tt.total * tf.tf + 6 * tt.total + 18 * dl.dl * n.n_docs)
+           AS s
+  FROM tf JOIN qterms USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN tt
+)
+SELECT term, rank, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl
+FROM (
+  SELECT term, doc_id, tf, dl,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY s DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_K}
+ORDER BY term, rank
+"""

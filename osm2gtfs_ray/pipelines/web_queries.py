@@ -116,6 +116,19 @@ def synthesize_messy_urls(ids: np.ndarray) -> np.ndarray:
     return out
 
 
+def domains_of(ids: np.ndarray) -> np.ndarray:
+    """Registrable domain per doc_id — the same (host_id, tld) streams
+    the messy-URL synthesizer draws, without materializing the URL.
+    Used by the link-graph rollups (graph_queries), where only the
+    domain key is needed per edge endpoint."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    host_id = _uint(ids, _S_HOST, SEED, _N_HOSTS)
+    tld = np.take(np.array(_TLDS), _uint(ids, _S_TLD, SEED, len(_TLDS)))
+    return np.char.add(
+        np.char.add("site", host_id.astype("U4")), np.char.add(".", tld)
+    )
+
+
 _URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
     r"(?P<port>:[0-9]+)?(?P<path>[^?#]*)(?P<query>\?[^#]*)?(?P<frag>#.*)?$"
@@ -397,4 +410,56 @@ SELECT domain,
        CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
        CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed
 FROM j GROUP BY domain ORDER BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl politeness schedule
+# ---------------------------------------------------------------------------
+# A polite crawler fetches at most SLOTS pages per host per round, so
+# scheduling = rank pages WITHIN each host and assign round = rank //
+# SLOTS. Host groups are bounded (a host's frontier fits a shard) but
+# host COUNT is corpus-scale, so the per-key map_groups trap applies —
+# the plan is ops/sharded.sharded_map_groups: ONE host-hash shuffle,
+# then a single vectorized sort+cumcount pass per shard covering all
+# of its hosts. Reference analogue: osm2gtfs's per-route trip ordering
+# (creators/trips_creator* sorting stop_times within a trip) — grouped
+# sequence assignment, generalized to the crawl frontier.
+
+_CRAWL_SLOTS = 4
+
+
+def q_crawl_schedule(sf_dir: str):
+    """(doc_id, host, fetch_round): pages ranked by doc_id within
+    their canonical host, SLOTS pages per host per round."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hostof(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        canon = canonicalize_urls(pa.array(synthesize_messy_urls(ids)))
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()), "host": canon["host"]}
+        )
+
+    hosted = docs.map_batches(hostof, batch_format="pyarrow")
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["host", "doc_id"], kind="mergesort").copy(deep=False)
+        out["fetch_round"] = (
+            out.groupby("host", sort=False).cumcount().to_numpy(np.int64)
+            // _CRAWL_SLOTS
+        )
+        return out
+
+    return sharded_map_groups(hosted, "host", schedule)
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH {_sql_url_fields()}
+SELECT doc_id, host,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+            // {_CRAWL_SLOTS} AS BIGINT) AS fetch_round
+FROM c ORDER BY doc_id
 """

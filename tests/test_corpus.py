@@ -203,3 +203,55 @@ class TestConsistentSample:
         merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
         assert (merged["priority_a"] == merged["priority_b"]).all()
         assert b["priority"].max() <= a["priority"].max()
+
+
+class TestBM25:
+    def test_matches_brute(self, ray_session):
+        """Brute-force BM25 (floats, textbook form) must agree with the
+        engine's cleared-denominator integer ranking."""
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.text_queries import (
+            _BM25_K,
+            _BM25_QN,
+            q_bm25_topk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            q_bm25_topk(sf)
+            .to_pandas()
+            .sort_values(["term", "rank"])
+            .reset_index(drop=True)
+        )
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        toks = {
+            did: [w for w in txt.split() if w]
+            for did, txt in zip(
+                tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+            )
+        }
+        df = collections.Counter()
+        for ws in toks.values():
+            df.update(set(ws))
+        qterms = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_QN]
+        total = sum(len(ws) for ws in toks.values())
+        n = len(toks)
+        avgdl = total / n
+        k1, b = 1.2, 0.75
+        for term, _ in qterms:
+            scored = []
+            for did, ws in toks.items():
+                tf = ws.count(term)
+                if tf:
+                    s = tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+                    scored.append((-s, did, tf, len(ws)))
+            scored.sort()
+            sub = got[got["term"] == term]
+            assert len(sub) == min(_BM25_K, len(scored))
+            for row, (_, did, tf, dl) in zip(sub.itertuples(), scored):
+                assert row.doc_id == did
+                assert row.tf == tf
+                assert row.dl == dl

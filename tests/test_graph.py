@@ -156,3 +156,140 @@ class TestRobots:
             assert row["n_blocked"] == blocked[row["domain"]]
             assert row["n_allowed"] == allowed[row["domain"]]
         assert got["n_blocked"].sum() + got["n_allowed"].sum() == len(ids)
+
+
+def bfs_loop(edges: pa.Table, n: int, seeds: np.ndarray, iters: int) -> np.ndarray:
+    """Independent scalar-loop BFS reference (queue-free round form)."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[seeds] = 0
+    for r in range(1, iters + 1):
+        newly = set()
+        for s, d in zip(src.tolist(), dst.tolist()):
+            if dist[s] == r - 1 and dist[d] == -1:
+                newly.add(d)
+        if not newly:
+            break
+        dist[list(newly)] = r
+    return dist
+
+
+class TestBFS:
+    def _seeds(self, n):
+        return np.arange(0, n, 7, dtype=np.int64)
+
+    def test_matches_scalar_loop(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.bfs import bfs_broadcast
+
+        e = _edges_table()
+        want = bfs_loop(e, N, self._seeds(N), iters=3)
+        got = (
+            bfs_broadcast(ray.data.from_arrow(e), N, self._seeds(N), iters=3)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        reached = np.flatnonzero(want >= 0)
+        assert got["doc_id"].to_numpy().tolist() == reached.tolist()
+        assert got["hops"].to_numpy().tolist() == want[reached].tolist()
+
+    def test_plan_equivalence(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.bfs import bfs_broadcast, bfs_shuffle
+
+        e = _edges_table()
+        seeds = self._seeds(N)
+        a = (
+            bfs_broadcast(ray.data.from_arrow(e), N, seeds, iters=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            bfs_shuffle(ray.data.from_arrow(e), N, seeds, iters=3,
+                        num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_seed_hops_zero_and_monotone_reach(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.bfs import bfs_broadcast
+
+        e = _edges_table()
+        seeds = self._seeds(N)
+        got = bfs_broadcast(
+            ray.data.from_arrow(e), N, seeds, iters=3
+        ).to_pandas().set_index("doc_id")["hops"]
+        assert (got.loc[seeds] == 0).all()
+        # more rounds can only add reach, never change existing labels
+        more = bfs_broadcast(
+            ray.data.from_arrow(e), N, seeds, iters=4
+        ).to_pandas().set_index("doc_id")["hops"]
+        joined = got.to_frame("h3").join(more.to_frame("h4"), how="left")
+        assert (joined["h3"] == joined["h4"]).all()
+        assert len(more) >= len(got)
+
+
+class TestDomainLinkStats:
+    def test_matches_brute(self, ray_session):
+        import collections
+
+        from osm2gtfs_ray.pipelines.graph_queries import q_domain_link_stats
+        from osm2gtfs_ray.pipelines.web_queries import domains_of
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            q_domain_link_stats(sf)
+            .to_pandas()
+            .sort_values("domain")
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+        e = synthesize_edges(ids.astype(np.uint64), len(ids))
+        sd = domains_of(e["src"].to_numpy().astype(np.uint64))
+        dd = domains_of(e["dst"].to_numpy().astype(np.uint64))
+        n_in = collections.Counter(dd.tolist())
+        n_ext = collections.Counter(dd[sd != dd].tolist())
+        srcs = collections.defaultdict(set)
+        for s, d in zip(sd.tolist(), dd.tolist()):
+            srcs[d].add(s)
+        assert got["n_inlinks"].sum() == len(e)
+        for _, row in got.iterrows():
+            d = row["domain"]
+            assert row["n_inlinks"] == n_in[d]
+            assert row["n_external"] == n_ext[d]
+            assert row["n_src_domains"] == len(srcs[d])
+
+
+class TestReciprocalLinks:
+    def test_matches_brute(self, ray_session):
+        from osm2gtfs_ray.pipelines.graph_queries import q_reciprocal_links
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            q_reciprocal_links(sf)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+        e = synthesize_edges(ids.astype(np.uint64), len(ids))
+        fwd = set(zip(e["src"].to_numpy().tolist(), e["dst"].to_numpy().tolist()))
+        want = sorted({(min(s, d), max(s, d)) for (s, d) in fwd if (d, s) in fwd})
+        assert list(zip(got["a"].tolist(), got["b"].tolist())) == want
+        assert (got["a"] < got["b"]).all()

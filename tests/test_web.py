@@ -94,3 +94,31 @@ class TestSyntheticStream:
         assert any(":8080" in m for m in messy)
         assert any("#top" in m for m in messy)
         assert any("utm_source" in m for m in messy)
+
+
+class TestCrawlSchedule:
+    def test_rounds_are_per_host_dense_blocks(self, ray_session):
+        from osm2gtfs_ray.pipelines.web_queries import (
+            _CRAWL_SLOTS,
+            q_crawl_schedule,
+        )
+
+        got = (
+            q_crawl_schedule("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["host", "doc_id"])
+            .reset_index(drop=True)
+        )
+        # within each host, rounds follow cumcount // SLOTS exactly
+        want = got.groupby("host", sort=False).cumcount() // _CRAWL_SLOTS
+        assert (got["fetch_round"].to_numpy() == want.to_numpy()).all()
+        # every round of a host is full except possibly the last
+        sizes = got.groupby(["host", "fetch_round"]).size()
+        last = got.groupby("host")["fetch_round"].max()
+        for (h, r), n in sizes.items():
+            if r < last[h]:
+                assert n == _CRAWL_SLOTS
+            else:
+                assert 1 <= n <= _CRAWL_SLOTS
+        # one row per document
+        assert got["doc_id"].is_unique
