@@ -81,15 +81,18 @@ _GATE_ORDER = [
     "cell_histogram", "ann_ivf", "norm_dedup", "nation_revenue",
     "zscore_events", "heavy_hitters", "corpus_prep", "seq_pack",
     "stratified_sample", "union_actors", "interval_merge",
+    "robots_filter", "crawl_schedule", "reciprocal_links",
     "media_decode", "rolling_daily_revenue", "funnel_conversion",
     "quantile_price_sketch", "daily_active_users", "dup_components",
-    "fingerprint", "top_orders", "resample_ffill", "ann_ivf_kmeans",
+    "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
+    "ann_ivf_kmeans",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
-    "tfidf_top_terms", "spend_rank", "embedding_dedup_groups",
+    "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
     "cosine_lsh", "tile_assignments", "cohort_retention",
     "spatial_join_rows", "minhash_pairs", "typo_pairs",
-    "orders_with_lineitem", "audio_features",
+    "orders_with_lineitem", "pagerank", "audio_features", "cell_pyramid",
+    "bfs_hops",
 ]
 
 
