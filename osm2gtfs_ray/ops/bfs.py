@@ -40,6 +40,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 BROADCAST_DIST_ROWS = 2_000_000  # same bound as ops/pagerank.py ranks
+# below this node count the per-round frontier dedupe happens on the
+# driver (np.unique over collected block-local-unique dsts; stamping
+# is idempotent so duplicates are harmless) instead of paying a Ray
+# groupby exchange per round (the ops/pagerank.py DRIVER_MERGE rule)
+DRIVER_MERGE_NODES = 200_000
 
 
 def _collect_arrow(ds) -> pa.Table:
@@ -73,13 +78,16 @@ def bfs_broadcast(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4):
             new = dst[(d[src] == _r - 1) & (d[dst] == -1)]
             return pa.table({"node": np.unique(new)})
 
-        new_nodes = _collect_arrow(
-            edges.map_batches(frontier_dsts, batch_format="pyarrow")
-            .groupby("node")
-            .count()
-            .select_columns(["node"])
-        )
-        nodes = new_nodes["node"].to_numpy(zero_copy_only=False)
+        parts = edges.map_batches(frontier_dsts, batch_format="pyarrow")
+        if n_nodes <= DRIVER_MERGE_NODES:
+            nodes = np.unique(
+                _collect_arrow(parts)["node"].to_numpy(zero_copy_only=False)
+            )
+        else:
+            new_nodes = _collect_arrow(
+                parts.groupby("node").count().select_columns(["node"])
+            )
+            nodes = new_nodes["node"].to_numpy(zero_copy_only=False)
         if len(nodes) == 0:
             break  # frontier exhausted — later rounds are no-ops
         dist[nodes] = rnd

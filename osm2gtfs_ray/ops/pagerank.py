@@ -52,6 +52,11 @@ import pyarrow.compute as pc
 TOTAL_FP = 10**12  # fixed-point denominator: sum of initial ranks
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 BROADCAST_RANK_ROWS = 2_000_000  # same bound as ops/components.py labels
+# below this node count the per-round inflow merge happens on the
+# driver (np.add.at over collected block partials — each partial is
+# already <= min(block_edges, n) rows) instead of paying a Ray groupby
+# exchange per round; above it the groupby reduces driver traffic
+DRIVER_MERGE_NODES = 200_000
 
 
 def _base(n_nodes: int) -> int:
@@ -91,16 +96,27 @@ def pagerank_broadcast(edges, n_nodes: int, iters: int = 5):
             )
             return g.rename_columns(["node", "inflow"])
 
-        inflow = _collect_arrow(
-            edges.map_batches(partial, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("inflow", alias_name="inflow"))
-        )
-        nxt = np.full(n_nodes, base, dtype=np.int64)
-        nodes = inflow["node"].to_numpy(zero_copy_only=False)
-        infl = inflow["inflow"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nxt[nodes] += (DAMP_NUM * infl) // DAMP_DEN
-        ranks = nxt
+        parts = edges.map_batches(partial, batch_format="pyarrow")
+        if n_nodes <= DRIVER_MERGE_NODES:
+            # small graphs: block partials merge on the driver — skips
+            # one all-to-all exchange per round
+            inflow = _collect_arrow(parts)
+            infl_vec = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(
+                infl_vec,
+                inflow["node"].to_numpy(zero_copy_only=False),
+                inflow["inflow"].to_numpy(zero_copy_only=False).astype(np.int64),
+            )
+            ranks = base + (DAMP_NUM * infl_vec) // DAMP_DEN
+        else:
+            inflow = _collect_arrow(
+                parts.groupby("node").aggregate(Sum("inflow", alias_name="inflow"))
+            )
+            nxt = np.full(n_nodes, base, dtype=np.int64)
+            nodes = inflow["node"].to_numpy(zero_copy_only=False)
+            infl = inflow["inflow"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nxt[nodes] += (DAMP_NUM * infl) // DAMP_DEN
+            ranks = nxt
 
     import ray.data
 

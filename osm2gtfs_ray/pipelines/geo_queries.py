@@ -267,6 +267,10 @@ LIMIT {_TOPK}
 # to the raster pyramid a web-scale tile service builds.
 
 PYRAMID_LEVELS = (8, 6, 4)  # fine -> coarse, step 2 (factor-4 per axis)
+# fine tables at or below this many potential cells (8 B key + 8 B
+# count = 64 MB at the bound) roll up in ONE local pass after the
+# corpus shuffle; deeper pyramids run the per-level cascade
+LOCAL_PYRAMID_CELLS = 1 << 22
 
 
 def q_cell_pyramid(sf_dir: str):
@@ -286,12 +290,45 @@ def q_cell_pyramid(sf_dir: str):
         )
         return g.rename_columns(["cell_rm", "partial"])
 
-    level_tbls = []
     cur = (
         ev.map_batches(fine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell_rm")
         .aggregate(Sum("partial", alias_name="n"))
     )
+
+    if nx * ny <= LOCAL_PYRAMID_CELLS:
+        # bounded fine table: ONE corpus shuffle, then every level in a
+        # single local pass over the one merged block
+        def all_levels(t: pa.Table) -> pa.Table:
+            key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+            n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+            lvs, keys, ns = [], [], []
+            cnx = nx
+            for li, level in enumerate(PYRAMID_LEVELS):
+                if li > 0:
+                    pnx = cnx >> 2
+                    pkey = (key // cnx >> 2) * pnx + (key % cnx >> 2)
+                    order = np.argsort(pkey, kind="stable")
+                    uk, start = np.unique(pkey[order], return_index=True)
+                    key = uk
+                    n = np.add.reduceat(n[order], start)
+                    cnx = pnx
+                lvs.append(np.full(len(key), level, dtype=np.int64))
+                keys.append(key)
+                ns.append(n.astype(np.int64))
+            return pa.table(
+                {
+                    "level": np.concatenate(lvs),
+                    "cell_rm": np.concatenate(keys),
+                    "n": np.concatenate(ns),
+                }
+            )
+
+        return cur.repartition(1).map_batches(
+            all_levels, batch_format="pyarrow", batch_size=None
+        )
+
+    level_tbls = []
     cur_nx = nx
     for li, level in enumerate(PYRAMID_LEVELS):
         if li > 0:

@@ -199,3 +199,23 @@ class TestCellPyramid:
             )
             assert (got.index == want.index).all()
             assert (got.to_numpy() == want.to_numpy()).all()
+
+    def test_local_and_cascade_plans_agree(self, ray_session, monkeypatch):
+        """Forcing the per-level cascade (as if the pyramid were too
+        deep for one block) must reproduce the local-pass result."""
+        from osm2gtfs_ray.pipelines import geo_queries
+
+        local = (
+            geo_queries.q_cell_pyramid("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["level", "cell_rm"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(geo_queries, "LOCAL_PYRAMID_CELLS", 0)
+        cascade = (
+            geo_queries.q_cell_pyramid("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values(["level", "cell_rm"])
+            .reset_index(drop=True)
+        )
+        assert local.equals(cascade)
