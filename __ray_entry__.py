@@ -70,7 +70,8 @@ _GATE_ORDER = [
     "suppliers_with_sales", "nearest_events", "normalize_names",
     "chunk_docs", "consistent_sample", "url_canonicalize", "host_stats",
     "event_pivot", "props_extract", "event_segment",
-    "customers_without_orders", "bbox_events", "nation_centroid",
+    "customers_without_orders", "bbox_events", "tile_geometry",
+    "nation_centroid",
     "simhash", "sessionize", "token_stats", "window_event_stats",
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms",
@@ -85,7 +86,7 @@ _GATE_ORDER = [
     "media_decode", "rolling_daily_revenue", "funnel_conversion",
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
-    "ann_ivf_kmeans",
+    "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -288,6 +289,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_links": grq.q_reciprocal_links,
         # retrieval: BM25 over the corpus's own top-df terms
         "bm25_topk": tq.q_bm25_topk,
+        # anchor-text consensus per link target (majority vote with
+        # deterministic tie-break — the inlink-text index)
+        "anchor_top_terms": grq.q_anchor_top_terms,
+        # incremental-recrawl snapshot diff (native full_outer hash
+        # join / sharded union plan)
+        "crawl_delta": wq.q_crawl_delta,
+        # vector-layer audit: integer shoelace area, winding, bbox
+        "tile_geometry": gq.q_tile_geometry,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -325,6 +334,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_link_stats": grq.SQL_DOMAIN_LINK_STATS,
         "reciprocal_links": grq.SQL_RECIPROCAL_LINKS,
         "bm25_topk": tq.SQL_BM25_TOPK,
+        "anchor_top_terms": grq.SQL_ANCHOR_TOP_TERMS,
+        "crawl_delta": wq.SQL_CRAWL_DELTA,
+        "tile_geometry": gq.sql_tile_geometry(),
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "domain_link_stats",
     "reciprocal_links",
     "bm25_topk",
+    "anchor_top_terms",
+    "crawl_delta",
+    "tile_geometry",
 ]
 
 

@@ -392,3 +392,130 @@ WITH pts AS (
 )
 {" UNION ALL ".join(_sql_pyramid_level(lv) for lv in PYRAMID_LEVELS)}
 """
+
+
+# --------------------------------------------------------------------------
+# Per-tile polygon geometry: integer shoelace area, winding, bbox
+# --------------------------------------------------------------------------
+# The vector-tile audit pass a spatial engine runs over its polygon
+# layer before serving it: vertex count, signed shoelace area
+# (quantized to e6 integer coordinates, so the arithmetic is EXACT —
+# no float-summation-order hazard between engine and oracle), winding
+# orientation (OSM rings are CCW-outer by convention; a 'cw' row is a
+# data bug), and the e6 bbox. Reference analogue: osm2gtfs's shape
+# builder validating/ordering way geometry before emitting shapes.txt
+# (creators/trips_creator*.py shape handling, core/osm_connector.py
+# way node walks).
+#
+# Scale plan: pure per-batch map over the tiles table — zero shuffles,
+# ListArray offsets + np.add.reduceat kernels, no Python per ring. At
+# planet scale (~10^7 OSM polygons) this streams; the e6 quantization
+# is done per batch and each ring is translated to its first vertex
+# before the cross products so int64 never overflows (shoelace is
+# exactly translation-invariant in integer arithmetic).
+
+def _ring_components(t: pa.Table):
+    """(offsets, flat lat_e6, flat lon_e6) from a ring list column —
+    buffer-level access, no per-ring Python."""
+    ring = t["ring"].combine_chunks()
+    if isinstance(ring, pa.ChunkedArray):
+        ring = ring.combine_chunks()
+    offs = ring.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # rebase: sliced blocks carry parent offsets
+    flat = ring.flatten()
+    lat = flat.field("lat").to_numpy(zero_copy_only=False)
+    lon = flat.field("lon").to_numpy(zero_copy_only=False)
+    return offs, np.rint(lat * 1e6).astype(np.int64), np.rint(lon * 1e6).astype(np.int64)
+
+
+def tile_geometry_batch(t: pa.Table) -> pa.Table:
+    """Vectorized per-ring geometry kernel (no Ray): integer shoelace
+    over rings translated to their first vertex, reduceat bboxes."""
+    offs, y, x = _ring_components(t)  # y = lat_e6, x = lon_e6
+    starts, ends = offs[:-1], offs[1:]
+    # translate each ring to its first vertex (exact, avoids
+    # int64 overflow in the cross products)
+    xs = x - np.repeat(x[starts], ends - starts)
+    ys = y - np.repeat(y[starts], ends - starts)
+    # consecutive-pair cross products over the flat arrays; the
+    # pair at each ring's END (last of ring k with first of k+1)
+    # is excluded by summing only [start, end-1) per ring
+    cross = xs[:-1] * ys[1:] - xs[1:] * ys[:-1]
+    csum = np.concatenate([[0], np.cumsum(cross)])
+    area2 = csum[ends - 1] - csum[starts]
+    nv = ends - starts - 1  # rings are closed: last == first
+    return pa.table(
+        {
+            "tile_id": t["tile_id"],
+            "n_vertices": nv,
+            "area2_e12": np.abs(area2),
+            "orientation": np.where(area2 > 0, "ccw", "cw"),
+            "s_e6": np.minimum.reduceat(y, starts),
+            "w_e6": np.minimum.reduceat(x, starts),
+            "n_e6": np.maximum.reduceat(y, starts),
+            "e_e6": np.maximum.reduceat(x, starts),
+        }
+    )
+
+
+def q_tile_geometry(sf_dir: str, n_tiles: int = 64):
+    """(tile_id, n_vertices, area2_e12, orientation, s_e6, w_e6,
+    n_e6, e_e6) per polygon tile. area2_e12 = |2 * shoelace area| in
+    e6-coordinate units; orientation 'ccw' iff the signed area is
+    positive in the (lon, lat) plane."""
+    import ray.data
+
+    from osm2gtfs_ray.sources.pages import make_tiles_table
+
+    tiles = ray.data.from_arrow(make_tiles_table(n_tiles, seed=42))
+    return tiles.map_batches(
+        tile_geometry_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _tile_ring_literals(n_tiles: int = 64) -> str:
+    """Quantized UNCLOSED ring vertices as SQL VALUES rows
+    (tile_id, seq, x, y) — the op's input encoding; the geometry
+    itself is recomputed by DuckDB independently."""
+    from osm2gtfs_ray.sources.pages import make_tiles_table
+    from osm2gtfs_ray.stages.spatial_join import _unpack_tiles
+
+    tiles = make_tiles_table(n_tiles, seed=42)
+    tile_ids, lats, lons, _ = _unpack_tiles(tiles)
+    rows = []
+    for ti, tid in enumerate(tile_ids):
+        la = np.rint(lats[ti][:-1] * 1e6).astype(np.int64)
+        lo = np.rint(lons[ti][:-1] * 1e6).astype(np.int64)
+        for i in range(len(la)):
+            rows.append(f"('{tid}', {i}, {lo[i]}, {la[i]})")
+    return ",\n".join(rows)
+
+
+def sql_tile_geometry(n_tiles: int = 64) -> str:
+    return f"""
+WITH ring_t(tile_id, seq, x, y) AS (VALUES {_tile_ring_literals(n_tiles)}),
+m_t AS (SELECT tile_id, COUNT(*) AS m FROM ring_t GROUP BY tile_id),
+pair AS (
+  SELECT r1.tile_id, r1.x AS x1, r1.y AS y1, r2.x AS x2, r2.y AS y2
+  FROM ring_t r1
+  JOIN m_t USING (tile_id)
+  JOIN ring_t r2 ON r2.tile_id = r1.tile_id
+                AND r2.seq = (r1.seq + 1) % m_t.m
+),
+g AS (
+  SELECT tile_id,
+         SUM(CAST(x1 AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y1) AS area2
+  FROM pair GROUP BY tile_id
+)
+SELECT r.tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(ABS(g.area2) AS BIGINT) AS area2_e12,
+       CASE WHEN g.area2 > 0 THEN 'ccw' ELSE 'cw' END AS orientation,
+       CAST(MIN(r.y) AS BIGINT) AS s_e6,
+       CAST(MIN(r.x) AS BIGINT) AS w_e6,
+       CAST(MAX(r.y) AS BIGINT) AS n_e6,
+       CAST(MAX(r.x) AS BIGINT) AS e_e6
+FROM ring_t r JOIN g USING (tile_id)
+GROUP BY r.tile_id, g.area2
+ORDER BY r.tile_id
+"""

@@ -315,3 +315,107 @@ p AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
 r AS (SELECT a, b FROM p GROUP BY a, b HAVING MIN(dir) = 0 AND MAX(dir) = 1)
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM r ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: the inlink-text index. Every edge carries a
+# deterministic anchor term (splitmix on the edge key src*C + dst, so
+# the SQL oracle re-derives it arithmetically); per TARGET page the op
+# reports the consensus anchor (top term by count, ties to the lowest
+# term id), total inlink anchors and distinct terms. This is the
+# classic web-search signal ("what does the web call this page?").
+#
+# Reference semantics analogue: osm2gtfs's stop-name resolution picks
+# one display name per stop from several tagged sources with a fixed
+# preference order (creators/stops_creator*.py name fallbacks); here
+# the "sources" are the inlink anchors and the preference is majority
+# vote with a deterministic tie-break.
+#
+# Scale plan: anchors never exist as strings until the final bounded
+# projection — the shuffle carries (dst, term_id:int, n) block-local
+# partials (map-side combine), then ONE dst-hash shard pass computes
+# top/total/distinct for ALL of its targets vectorized. At crawl scale
+# hot targets (everyone links to the homepage) stay safe: partials
+# bound each block's contribution to <= N_ANCHOR_TERMS rows per dst.
+
+N_ANCHOR_TERMS = 24
+_S_ANCHOR = 245
+_EKEY_C = 0x9E3779B1  # Fibonacci-hash odd constant; wraps mod 2^64
+
+
+def q_anchor_top_terms(sf_dir: str):
+    """(doc_id, top_term, top_n, n_anchors, n_terms) per link target."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    edges = build_link_graph(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ekey = src * np.uint64(_EKEY_C) + dst
+        tid = _uint(ekey, _S_ANCHOR, SEED, N_ANCHOR_TERMS)
+        g = (
+            pa.table(
+                {
+                    "doc_id": dst.astype(np.int64),
+                    "term_id": tid,
+                    "n": np.ones(len(tid), dtype=np.int64),
+                }
+            )
+            .group_by(["doc_id", "term_id"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["doc_id", "term_id", "n"])
+
+    parts = edges.map_batches(partial, batch_format="pyarrow")
+
+    def top_terms(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["doc_id", "term_id"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["doc_id", "n", "term_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = agg.drop_duplicates("doc_id").rename(columns={"n": "top_n"})
+        stats = agg.groupby("doc_id", sort=False).agg(
+            n_anchors=("n", "sum"), n_terms=("term_id", "size")
+        )
+        out = top.merge(stats, on="doc_id")
+        out["top_term"] = "anchor" + out.pop("term_id").astype(str)
+        return out[["doc_id", "top_term", "top_n", "n_anchors", "n_terms"]]
+
+    return sharded_map_groups(parts, "doc_id", top_terms)
+
+
+def _sql_anchor() -> str:
+    ekey = (
+        f"CAST((CAST(src AS HUGEINT) * {_EKEY_C} + CAST(dst AS HUGEINT))"
+        f" % {2**64} AS UBIGINT)"
+    )
+    return f"""{_sql_edges()},
+ak AS (SELECT dst, {ekey} AS ekey FROM edges),
+terms AS (SELECT dst, ({_s_uint('ekey', _S_ANCHOR, N_ANCHOR_TERMS)}) AS term_id
+          FROM ak),
+cnt AS (SELECT dst, term_id, COUNT(*) AS n FROM terms GROUP BY dst, term_id),
+ranked AS (SELECT dst, term_id, n,
+                  ROW_NUMBER() OVER (PARTITION BY dst
+                                     ORDER BY n DESC, term_id) AS rn
+           FROM cnt),
+tot AS (SELECT dst, SUM(n) AS n_anchors, COUNT(*) AS n_terms
+        FROM cnt GROUP BY dst)
+SELECT r.dst AS doc_id,
+       'anchor' || CAST(r.term_id AS VARCHAR) AS top_term,
+       CAST(r.n AS BIGINT) AS top_n,
+       CAST(t.n_anchors AS BIGINT) AS n_anchors,
+       CAST(t.n_terms AS BIGINT) AS n_terms
+FROM ranked r JOIN tot t USING (dst)
+WHERE r.rn = 1 ORDER BY doc_id"""
+
+
+SQL_ANCHOR_TOP_TERMS = f"WITH {_sql_anchor()}"

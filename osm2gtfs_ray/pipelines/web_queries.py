@@ -463,3 +463,180 @@ SELECT doc_id, host,
             // {_CRAWL_SLOTS} AS BIGINT) AS fetch_round
 FROM c ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot delta: the incremental-recrawl diff. Two crawl
+# snapshots of the same URL space (each a ~90% sample, content version
+# occasionally bumped between them — both derived deterministically
+# from doc_id via splitmix streams) are FULL-OUTER joined on doc_id
+# and every page classified added / removed / changed / unchanged.
+# This is the op an incremental crawler runs before scheduling: what
+# appeared, what vanished, what must be refetched.
+#
+# Reference semantics analogue: osm2gtfs's cache refresh
+# (core/cache.py + --refresh-routes): compare the cached object set
+# against a fresh Overpass pull and rebuild only what differs —
+# lifted to a corpus-scale snapshot diff.
+#
+# Scale plan: each snapshot is a pruned projection (doc_id + one int
+# version — the "content hash") so the shuffle carries ~16 bytes/row;
+# the join is Ray Data's native hash-partitioned FULL OUTER
+# (ops/joins.hash_join), classification a per-batch Arrow map after
+# it. Absent-side versions use a -1 sentinel (never a valid version)
+# so the output hash-compares deterministically.
+
+_S_IN_A, _S_IN_B, _S_VER, _S_BUMP = 250, 251, 252, 253
+_VER_MOD = 1000
+
+
+def _snapshot(sf_dir: str, which: str):
+    """Snapshot A or B as a Dataset of (doc_id, v_old|v_new)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    col = "v_old" if which == "a" else "v_new"
+    s_in = _S_IN_A if which == "a" else _S_IN_B
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _uint(did, s_in, SEED, 10) != 0
+        did = did[keep]
+        ver = _uint(did, _S_VER, SEED, _VER_MOD)
+        if which == "b":
+            ver = ver + (_uint(did, _S_BUMP, SEED, 4) == 0).astype(np.int64)
+        return pa.table({"doc_id": did.astype(np.int64), col: ver})
+
+    return docs.map_batches(derive, batch_format="pyarrow")
+
+
+def _delta_sharded(sf_dir: str, n_shards: int = 8):
+    """Sharded full-outer plan: tag each snapshot with a side column,
+    union, ONE doc_id-hash shuffle, then a vectorized side-pivot per
+    shard (ops/sharded) — no join-aggregator actors, the cheap plan
+    when per-execution fixed cost matters."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    def tag(side):
+        def f(t: pa.Table) -> pa.Table:
+            v = t["v_old" if side == 0 else "v_new"]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "v": v,
+                    "side": np.full(len(t), side, dtype=np.int64),
+                }
+            )
+
+        return f
+
+    both = _snapshot(sf_dir, "a").map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(_snapshot(sf_dir, "b").map_batches(tag(1), batch_format="pyarrow"))
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "v"]].rename(columns={"v": "v_old"})
+        b = g[g["side"] == 1][["doc_id", "v"]].rename(columns={"v": "v_new"})
+        m = a.merge(b, on="doc_id", how="outer")
+        in_a, in_b = m["v_old"].notna(), m["v_new"].notna()
+        m["v_old"] = m["v_old"].fillna(-1).astype(np.int64)
+        m["v_new"] = m["v_new"].fillna(-1).astype(np.int64)
+        m["status"] = np.where(
+            ~in_a,
+            "added",
+            np.where(
+                ~in_b,
+                "removed",
+                np.where(m["v_old"] != m["v_new"], "changed", "unchanged"),
+            ),
+        )
+        return m[["doc_id", "status", "v_old", "v_new"]]
+
+    return sharded_map_groups(both, "doc_id", pivot, n_shards=n_shards)
+
+
+def q_crawl_delta(sf_dir: str, num_partitions: int | None = None,
+                  plan: str = "auto"):
+    """(doc_id, status, v_old, v_new): full-outer diff of snapshots
+    A and B; status in added/removed/changed/unchanged, absent side
+    version = -1. plan: 'sharded' (union + one hash shuffle),
+    'join' (Ray native full_outer hash join — the spill-safe path for
+    corpus-scale diffs), or 'auto' (sharded under 2M docs)."""
+    import pyarrow.parquet as pq
+
+    from osm2gtfs_ray.ops.joins import hash_join
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if plan == "auto":
+        plan = "sharded" if n <= 2_000_000 and num_partitions is None else "join"
+    if plan == "sharded":
+        return _delta_sharded(sf_dir, n_shards=max(8, min(512, n // 250_000)))
+
+    if num_partitions is None:
+        # each join partition is a long-lived aggregator actor — size
+        # the count to the data (~250k rows/partition) so small inputs
+        # don't pay 16 actor spin-ups; a trillion-row diff passes its
+        # own count (cluster-core multiple) explicitly.
+        num_partitions = max(2, min(64, n // 250_000 + 1))
+
+    joined = hash_join(
+        _snapshot(sf_dir, "a"),
+        _snapshot(sf_dir, "b"),
+        "doc_id",
+        join_type="full_outer",
+        num_partitions=num_partitions,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        # absent-side columns arrive null; fill BEFORE to_numpy so the
+        # block dtype stays int64 whether or not it contains nulls
+        in_a = pc.is_valid(t["v_old"]).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(t["v_new"]).to_numpy(zero_copy_only=False)
+        vo_i = pc.fill_null(pc.cast(t["v_old"], pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
+        vn_i = pc.fill_null(pc.cast(t["v_new"], pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
+        status = np.where(
+            ~in_a,
+            "added",
+            np.where(
+                ~in_b,
+                "removed",
+                np.where(vo_i != vn_i, "changed", "unchanged"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "status": pa.array(status, pa.string()),
+                "v_old": vo_i,
+                "v_new": vn_i,
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def _sql_crawl_delta() -> str:
+    ver = _s_uint("did", _S_VER, _VER_MOD)
+    bump = _s_uint("did", _S_BUMP, 4)
+    return f"""
+d AS (SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS UBIGINT) AS did
+      FROM documents),
+snap_a AS (SELECT id, ({ver}) AS v_old FROM d
+           WHERE ({_s_uint('did', _S_IN_A, 10)}) <> 0),
+snap_b AS (SELECT id, ({ver}) + CASE WHEN ({bump}) = 0 THEN 1 ELSE 0 END
+                  AS v_new
+           FROM d WHERE ({_s_uint('did', _S_IN_B, 10)}) <> 0)
+SELECT COALESCE(a.id, b.id) AS doc_id,
+       CASE WHEN a.id IS NULL THEN 'added'
+            WHEN b.id IS NULL THEN 'removed'
+            WHEN a.v_old <> b.v_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COALESCE(a.v_old, -1) AS BIGINT) AS v_old,
+       CAST(COALESCE(b.v_new, -1) AS BIGINT) AS v_new
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.id = b.id
+ORDER BY doc_id"""
+
+
+SQL_CRAWL_DELTA = f"WITH {_sql_crawl_delta()}"

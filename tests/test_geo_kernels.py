@@ -219,3 +219,81 @@ class TestCellPyramid:
             .reset_index(drop=True)
         )
         assert local.equals(cascade)
+
+
+class TestTileGeometry:
+    """Integer shoelace kernel (pipelines/geo_queries.tile_geometry_batch):
+    hand-computed areas, winding, slice rebasing — the SQL gate
+    (tile_geometry) is the independent DuckDB recomputation."""
+
+    @staticmethod
+    def _ring_table(rings):
+        import pyarrow as pa
+
+        ring_type = pa.list_(
+            pa.struct([("lat", pa.float64()), ("lon", pa.float64())])
+        )
+        return pa.table(
+            {
+                "tile_id": [f"t{i}" for i in range(len(rings))],
+                "ring": pa.array(
+                    [
+                        [{"lat": la, "lon": lo} for la, lo in r]
+                        for r in rings
+                    ],
+                    ring_type,
+                ),
+            }
+        )
+
+    def test_unit_square_ccw(self):
+        from osm2gtfs_ray.pipelines.geo_queries import tile_geometry_batch
+
+        # 1°x1° square, CCW in the (lon, lat) plane, closed
+        sq = [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]
+        out = tile_geometry_batch(self._ring_table([sq])).to_pandas().iloc[0]
+        assert out["n_vertices"] == 4
+        assert out["area2_e12"] == 2 * 10**6 * 10**6  # 2 * (1e6)^2
+        assert out["orientation"] == "ccw"
+        assert (out["s_e6"], out["w_e6"], out["n_e6"], out["e_e6"]) == (
+            0, 0, 10**6, 10**6,
+        )
+
+    def test_reversed_ring_is_cw_same_area(self):
+        from osm2gtfs_ray.pipelines.geo_queries import tile_geometry_batch
+
+        sq = [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]
+        rev = sq[::-1]
+        out = tile_geometry_batch(self._ring_table([sq, rev])).to_pandas()
+        assert out["area2_e12"].iloc[0] == out["area2_e12"].iloc[1]
+        assert list(out["orientation"]) == ["ccw", "cw"]
+
+    def test_translation_invariance_far_from_origin(self):
+        from osm2gtfs_ray.pipelines.geo_queries import tile_geometry_batch
+
+        # same square shifted to the antimeridian corner: the raw
+        # cross products would overflow int64 without the per-ring
+        # translation; the area must not change
+        sq = [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]
+        far = [(la + 88.0, lo + 178.0) for la, lo in sq]
+        out = tile_geometry_batch(self._ring_table([sq, far])).to_pandas()
+        assert out["area2_e12"].iloc[0] == out["area2_e12"].iloc[1]
+
+    def test_sliced_block_rebases_offsets(self):
+        from osm2gtfs_ray.pipelines.geo_queries import tile_geometry_batch
+
+        sq = [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]
+        tri = [(0, 0), (0, 2), (2, 0), (0, 0)]
+        t = self._ring_table([tri, sq])
+        full = tile_geometry_batch(t).to_pandas()
+        sliced = tile_geometry_batch(t.slice(1)).to_pandas()
+        assert sliced.iloc[0].equals(full.iloc[1])
+
+    def test_fixture_tiles_all_ccw_positive_area(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_tile_geometry
+
+        out = q_tile_geometry("unused").to_pandas()
+        assert len(out) == 64
+        assert (out["orientation"] == "ccw").all()
+        assert (out["area2_e12"] > 0).all()
+        assert (out["n_vertices"] >= 5).all()  # grid 5..8 verts, hot 8

@@ -293,3 +293,70 @@ class TestReciprocalLinks:
         want = sorted({(min(s, d), max(s, d)) for (s, d) in fwd if (d, s) in fwd})
         assert list(zip(got["a"].tolist(), got["b"].tolist())) == want
         assert (got["a"] < got["b"]).all()
+
+
+class TestAnchorTopTerms:
+    """Anchor consensus: majority vote per target with deterministic
+    tie-break (lowest term id). The SQL gate is the bit-exact oracle;
+    these pin the vote semantics against an independent pandas
+    reference over the same synthetic edges."""
+
+    def _reference(self, n=N):
+        import pandas as pd
+
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            N_ANCHOR_TERMS,
+            SEED,
+            _EKEY_C,
+            _S_ANCHOR,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        e = _edges_table(n)
+        src = e["src"].to_numpy().astype(np.uint64)
+        dst = e["dst"].to_numpy().astype(np.uint64)
+        ekey = src * np.uint64(_EKEY_C) + dst
+        tid = _uint(ekey, _S_ANCHOR, SEED, N_ANCHOR_TERMS)
+        df = pd.DataFrame({"doc_id": dst.astype(np.int64), "term_id": tid})
+        rows = []
+        for did, g in df.groupby("doc_id"):
+            cnt = g["term_id"].value_counts()
+            top_n = int(cnt.max())
+            top = int(min(cnt[cnt == top_n].index))  # tie -> lowest id
+            rows.append((did, f"anchor{top}", top_n, len(g), cnt.size))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "top_term", "top_n", "n_anchors", "n_terms"]
+        )
+
+    def test_matches_reference_vote(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import q_anchor_top_terms
+
+        pq.write_table(
+            pa.table({"doc_id": np.arange(N, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_anchor_top_terms(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._reference().sort_values("doc_id").reset_index(drop=True)
+        assert got.astype(want.dtypes.to_dict()).equals(want)
+
+    def test_anchor_mass_conserved(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import q_anchor_top_terms
+
+        pq.write_table(
+            pa.table({"doc_id": np.arange(N, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = q_anchor_top_terms(str(tmp_path)).to_pandas()
+        e = _edges_table()
+        assert got["n_anchors"].sum() == len(e)  # every edge voted once
+        assert (got["top_n"] <= got["n_anchors"]).all()
+        assert (got["n_terms"] <= got["n_anchors"]).all()

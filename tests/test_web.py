@@ -8,6 +8,7 @@ that happens to cancel out in the synthetic stream still fails here.
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from osm2gtfs_ray.pipelines.web_queries import (
     canonicalize_urls,
@@ -122,3 +123,64 @@ class TestCrawlSchedule:
                 assert 1 <= n <= _CRAWL_SLOTS
         # one row per document
         assert got["doc_id"].is_unique
+
+
+class TestCrawlDelta:
+    """Snapshot-diff semantics + plan equivalence (sharded union vs
+    Ray native full_outer hash join). The SQL gate (FULL OUTER JOIN
+    oracle) is the bit-exact check; these pin the classification rules
+    and that both distributed plans agree row-for-row."""
+
+    @pytest.fixture(scope="class")
+    def docs_dir(self, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("delta")
+        pq.write_table(
+            pa.table({"doc_id": np.arange(400, dtype=np.int64)}),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    def test_plan_equivalence(self, ray_session, docs_dir):
+        from osm2gtfs_ray.pipelines.web_queries import q_crawl_delta
+
+        def canon(df):
+            return df.sort_values("doc_id").reset_index(drop=True)
+
+        a = canon(q_crawl_delta(docs_dir, plan="sharded").to_pandas())
+        b = canon(q_crawl_delta(docs_dir, plan="join").to_pandas())
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    def test_classification_rules(self, ray_session, docs_dir):
+        from osm2gtfs_ray.pipelines.web_queries import (
+            _S_BUMP,
+            _S_IN_A,
+            _S_IN_B,
+            _S_VER,
+            _VER_MOD,
+            SEED,
+            q_crawl_delta,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        got = q_crawl_delta(docs_dir).to_pandas().set_index("doc_id")
+        did = np.arange(400, dtype=np.uint64)
+        in_a = _uint(did, _S_IN_A, SEED, 10) != 0
+        in_b = _uint(did, _S_IN_B, SEED, 10) != 0
+        ver = _uint(did, _S_VER, SEED, _VER_MOD)
+        bump = (_uint(did, _S_BUMP, SEED, 4) == 0).astype(np.int64)
+        # row set = union of the snapshots
+        assert set(got.index) == set(np.nonzero(in_a | in_b)[0].tolist())
+        for i in got.index:
+            row = got.loc[i]
+            if not in_a[i]:
+                assert row["status"] == "added" and row["v_old"] == -1
+            elif not in_b[i]:
+                assert row["status"] == "removed" and row["v_new"] == -1
+            elif bump[i]:
+                assert row["status"] == "changed"
+                assert row["v_new"] == row["v_old"] + 1 == ver[i] + 1
+            else:
+                assert row["status"] == "unchanged"
+                assert row["v_old"] == row["v_new"] == ver[i]
