@@ -86,7 +86,7 @@ _GATE_ORDER = [
     "media_decode", "rolling_daily_revenue", "funnel_conversion",
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
-    "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta",
+    "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": wq.q_crawl_delta,
         # vector-layer audit: integer shoelace area, winding, bbox
         "tile_geometry": gq.q_tile_geometry,
+        # Douglas-Peucker shape simplification (exact integer DP,
+        # level-BFS kernel; oracle = the recursion unrolled K levels)
+        "simplify_shapes": gq.q_simplify_shapes,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -337,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_top_terms": grq.SQL_ANCHOR_TOP_TERMS,
         "crawl_delta": wq.SQL_CRAWL_DELTA,
         "tile_geometry": gq.sql_tile_geometry(),
+        "simplify_shapes": gq.sql_simplify_shapes(),
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

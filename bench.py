@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "anchor_top_terms",
     "crawl_delta",
     "tile_geometry",
+    "simplify_shapes",
 ]
 
 

@@ -519,3 +519,154 @@ FROM ring_t r JOIN g USING (tile_id)
 GROUP BY r.tile_id, g.area2
 ORDER BY r.tile_id
 """
+
+
+# --------------------------------------------------------------------------
+# Shape simplification: Douglas-Peucker over per-route polylines
+# --------------------------------------------------------------------------
+# The post-pass a feed/tile service runs on emitted shapes before
+# serving them (the reference emits raw way geometry as shape points —
+# creators/trips_creator*.py; production simplifies those polylines).
+# Coordinates are synthesized as INTEGER e4 units on both sides (base
+# point per shape + bounded wander per vertex, splitmix streams), and
+# ops/simplify.py decides keep/drop with exact integer cross-product
+# comparisons — so the oracle (the DP recursion unrolled as K split
+# levels, one CTE pair per level) matches bit-for-bit, tie-breaks
+# included. Scale plan: ONE shape_id-hash shuffle, then the level-BFS
+# kernel simplifies every shape of a shard simultaneously (vectorized
+# across segments, no per-shape Python).
+
+N_SHAPES = 50
+SHAPE_PTS = 24  # per-shape vertex cap
+DP_EPS_E4 = 2000  # 0.2 degrees
+# SQL unroll depth: the fixture's measured BFS split depth is <= 11 at
+# every testdata size (the point set is identical for any events table
+# with >= N_SHAPES*SHAPE_PTS rows); 14 gives margin, and the engine
+# passes max_levels=DP_SQL_LEVELS so a depth divergence raises instead
+# of silently disagreeing with the unrolled oracle.
+DP_SQL_LEVELS = 14
+_S_SLAT, _S_SLON, _S_WLAT, _S_WLON = 260, 261, 262, 263
+_WANDER = 10001  # +/- 0.5 deg in e4 units
+
+
+def synth_shape_points(event_ids: np.ndarray):
+    """(shape_id, seq, x_e4, y_e4) per event id — integer coords only."""
+    from osm2gtfs_ray.sources.pages import _uint
+
+    eid = np.asarray(event_ids, dtype=np.uint64)
+    sid = (eid % np.uint64(N_SHAPES)).astype(np.int64)
+    seq = (eid // np.uint64(N_SHAPES)).astype(np.int64)
+    m = seq < SHAPE_PTS
+    eid, sid, seq = eid[m], sid[m], seq[m]
+    sid_u = sid.astype(np.uint64)
+    base_y = _uint(sid_u, _S_SLAT, 42, 1_200_000) - 600_000
+    base_x = _uint(sid_u, _S_SLON, 42, 3_400_000) - 1_700_000
+    y = base_y + _uint(eid, _S_WLAT, 42, _WANDER) - 5000
+    x = base_x + _uint(eid, _S_WLON, 42, _WANDER) - 5000
+    return sid, seq, x, y
+
+
+def q_simplify_shapes(sf_dir: str):
+    """Kept shape vertices after integer Douglas-Peucker
+    (eps = 0.2 deg): (shape_id, seq, x_e4, y_e4)."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.ops.simplify import dp_keep_mask
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        sid, seq, x, y = synth_shape_points(t["event_id"].to_numpy())
+        return pa.table({"shape_id": sid, "seq": seq, "x_e4": x, "y_e4": y})
+
+    pts = ev.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+    def simplify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shape_id", "seq"], kind="mergesort")
+        sid = g["shape_id"].to_numpy(np.int64)
+        starts = np.nonzero(np.diff(sid, prepend=sid[0] - 1))[0]
+        offsets = np.concatenate([starts, [len(sid)]])
+        keep = dp_keep_mask(
+            offsets,
+            g["x_e4"].to_numpy(np.int64),
+            g["y_e4"].to_numpy(np.int64),
+            DP_EPS_E4,
+            max_levels=DP_SQL_LEVELS,
+        )
+        return g[keep]
+
+    return sharded_map_groups(pts, "shape_id", simplify)
+
+
+def _sql_dp_level(i: int) -> str:
+    eps2 = DP_EPS_E4 * DP_EPS_E4
+    d2 = """CASE WHEN (CAST(b.x_e4 - a.x_e4 AS HUGEINT) * (b.x_e4 - a.x_e4)
+                 + CAST(b.y_e4 - a.y_e4 AS HUGEINT) * (b.y_e4 - a.y_e4)) = 0
+            THEN CAST(p.x_e4 - a.x_e4 AS HUGEINT) * (p.x_e4 - a.x_e4)
+                 + CAST(p.y_e4 - a.y_e4 AS HUGEINT) * (p.y_e4 - a.y_e4)
+            ELSE (CAST(p.x_e4 - a.x_e4 AS HUGEINT) * (b.y_e4 - a.y_e4)
+                  - CAST(p.y_e4 - a.y_e4 AS HUGEINT) * (b.x_e4 - a.x_e4))
+                 * (CAST(p.x_e4 - a.x_e4 AS HUGEINT) * (b.y_e4 - a.y_e4)
+                    - CAST(p.y_e4 - a.y_e4 AS HUGEINT) * (b.x_e4 - a.x_e4))
+            END"""
+    s2 = """GREATEST(CAST(b.x_e4 - a.x_e4 AS HUGEINT) * (b.x_e4 - a.x_e4)
+                 + CAST(b.y_e4 - a.y_e4 AS HUGEINT) * (b.y_e4 - a.y_e4), 1)"""
+    return f"""
+c{i} AS MATERIALIZED (
+  SELECT s.shape_id, s.i0, s.i1, p.seq, {d2} AS d2num, {s2} AS seglen2,
+         ROW_NUMBER() OVER (PARTITION BY s.shape_id, s.i0, s.i1
+                            ORDER BY {d2} DESC, p.seq) AS rn
+  FROM s{i} s
+  JOIN pts a ON a.shape_id = s.shape_id AND a.seq = s.i0
+  JOIN pts b ON b.shape_id = s.shape_id AND b.seq = s.i1
+  JOIN pts p ON p.shape_id = s.shape_id AND p.seq > s.i0 AND p.seq < s.i1
+),
+k{i} AS MATERIALIZED (SELECT shape_id, seq FROM c{i}
+         WHERE rn = 1 AND d2num > {eps2} * seglen2),
+s{i + 1} AS MATERIALIZED (
+  SELECT c.shape_id, c.i0, c.seq AS i1 FROM c{i} c
+  WHERE c.rn = 1 AND c.d2num > {eps2} * c.seglen2 AND c.seq - c.i0 >= 2
+  UNION ALL
+  SELECT c.shape_id, c.seq AS i0, c.i1 FROM c{i} c
+  WHERE c.rn = 1 AND c.d2num > {eps2} * c.seglen2 AND c.i1 - c.seq >= 2
+)"""
+
+
+def sql_simplify_shapes() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    base_y = _s_uint("sidu", _S_SLAT, 1_200_000)
+    base_x = _s_uint("sidu", _S_SLON, 3_400_000)
+    wy = _s_uint("eid", _S_WLAT, _WANDER)
+    wx = _s_uint("eid", _S_WLON, _WANDER)
+    k = DP_SQL_LEVELS
+    levels = ",".join(_sql_dp_level(i) for i in range(k))
+    kept = " UNION ALL ".join(f"SELECT shape_id, seq FROM k{i}" for i in range(k))
+    return f"""
+WITH raw AS (
+  SELECT CAST(event_id AS UBIGINT) AS eid,
+         CAST(event_id % {N_SHAPES} AS UBIGINT) AS sidu,
+         CAST(event_id % {N_SHAPES} AS BIGINT) AS shape_id,
+         CAST(event_id // {N_SHAPES} AS BIGINT) AS seq
+  FROM events WHERE event_id // {N_SHAPES} < {SHAPE_PTS}
+),
+pts AS MATERIALIZED (
+  SELECT shape_id, seq,
+         ({base_x}) - 1700000 + ({wx}) - 5000 AS x_e4,
+         ({base_y}) - 600000 + ({wy}) - 5000 AS y_e4
+  FROM raw
+),
+ends AS (SELECT shape_id, MAX(seq) AS last FROM pts GROUP BY shape_id),
+s0 AS (SELECT shape_id, 0 AS i0, last AS i1 FROM ends WHERE last >= 2),
+{levels},
+kept AS (
+  SELECT shape_id, 0 AS seq FROM ends
+  UNION ALL SELECT shape_id, last FROM ends WHERE last > 0
+  UNION ALL {kept}
+)
+SELECT p.shape_id, p.seq, CAST(p.x_e4 AS BIGINT) AS x_e4,
+       CAST(p.y_e4 AS BIGINT) AS y_e4
+FROM pts p JOIN kept USING (shape_id, seq)
+ORDER BY p.shape_id, p.seq
+"""

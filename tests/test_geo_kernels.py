@@ -297,3 +297,97 @@ class TestTileGeometry:
         assert (out["orientation"] == "ccw").all()
         assert (out["area2_e12"] > 0).all()
         assert (out["n_vertices"] >= 5).all()  # grid 5..8 verts, hot 8
+
+
+class TestSimplifyShapes:
+    """Douglas-Peucker kernel (ops/simplify.py): fuzz vs the recursive
+    reference, degenerate chords, extent guard, depth cap. The SQL gate
+    (simplify_shapes) is the bit-exact unrolled-CTE oracle."""
+
+    def test_fuzz_vs_recursive_reference(self):
+        import numpy as np
+
+        from osm2gtfs_ray.ops.simplify import dp_keep_mask, dp_reference
+
+        rng = np.random.default_rng(7)
+        for _ in range(60):
+            offs, xs, ys, per = [0], [], [], []
+            for _s in range(int(rng.integers(1, 5))):
+                m = int(rng.integers(2, 30))
+                x = rng.integers(-5000, 5000, m)
+                y = rng.integers(-5000, 5000, m)
+                xs.append(x); ys.append(y); per.append((x, y))
+                offs.append(offs[-1] + m)
+            eps = int(rng.integers(0, 3000))
+            mask = dp_keep_mask(
+                np.array(offs), np.concatenate(xs), np.concatenate(ys), eps
+            )
+            want = np.concatenate(
+                [
+                    np.array(dp_reference(list(zip(x.tolist(), y.tolist())), eps))
+                    for x, y in per
+                ]
+            )
+            assert (mask == want).all()
+
+    def test_degenerate_chord_and_identical_points(self):
+        import numpy as np
+
+        from osm2gtfs_ray.ops.simplify import dp_keep_mask, dp_reference
+
+        x = np.array([0, 100, 0, 0]); y = np.array([0, 0, 50, 0])
+        m = dp_keep_mask(np.array([0, 4]), x, y, 10)
+        assert (m == np.array(dp_reference([(0, 0), (100, 0), (0, 50), (0, 0)], 10))).all()
+        z = np.zeros(5, dtype=np.int64)
+        m = dp_keep_mask(np.array([0, 5]), z, z, 3)
+        assert m.tolist() == [True, False, False, False, True]
+
+    def test_extent_guard_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from osm2gtfs_ray.ops.simplify import dp_keep_mask
+
+        x = np.array([0, 100_000, 0])
+        y = np.array([0, 0, 1])
+        with _pytest.raises(ValueError, match="extent"):
+            dp_keep_mask(np.array([0, 3]), x, y, 10)
+
+    def test_depth_cap_raises_and_fixture_fits_oracle_unroll(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from osm2gtfs_ray.ops.simplify import dp_keep_mask
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            DP_EPS_E4,
+            DP_SQL_LEVELS,
+            synth_shape_points,
+        )
+
+        # a strictly convex arc with eps=0 splits one level per point
+        n = 12
+        t = np.arange(n, dtype=np.int64)
+        x, y = t, t * t
+        with _pytest.raises(RuntimeError, match="max_levels"):
+            dp_keep_mask(np.array([0, n]), x, y, 0, max_levels=2)
+        # the registered fixture must fit the SQL oracle's unroll at
+        # every testdata size (point set is capped per shape)
+        for n_events in (1000, 1200, 10000, 100000):
+            sid, seq, xx, yy = synth_shape_points(
+                np.arange(n_events, dtype=np.uint64)
+            )
+            o = np.lexsort((seq, sid))
+            sid, xx, yy = sid[o], xx[o], yy[o]
+            starts = np.nonzero(np.diff(sid, prepend=sid[0] - 1))[0]
+            offsets = np.concatenate([starts, [len(sid)]])
+            dp_keep_mask(offsets, xx, yy, DP_EPS_E4, max_levels=DP_SQL_LEVELS)
+
+    def test_endpoints_always_kept_eps_huge(self):
+        import numpy as np
+
+        from osm2gtfs_ray.ops.simplify import dp_keep_mask
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(-5000, 5000, 20); y = rng.integers(-5000, 5000, 20)
+        m = dp_keep_mask(np.array([0, 20]), x, y, 30_000)
+        assert m[0] and m[-1] and m.sum() == 2
