@@ -74,7 +74,7 @@ _GATE_ORDER = [
     "nation_centroid",
     "simhash", "sessionize", "token_stats", "window_event_stats",
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
-    "quantile_qty", "corr_qty_price", "top_terms",
+    "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -87,6 +87,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
+    "cocitation",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -300,6 +301,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Douglas-Peucker shape simplification (exact integer DP,
         # level-BFS kernel; oracle = the recursion unrolled K levels)
         "simplify_shapes": gq.q_simplify_shapes,
+        # 3x3 k-ring density smoothing (lon wrap / lat clamp)
+        "cell_smooth": gq.q_cell_smooth,
+        # domain co-citation pairs (2-hop link similarity, capped
+        # per-target pair enumeration)
+        "cocitation": grq.q_cocitation,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -341,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": wq.SQL_CRAWL_DELTA,
         "tile_geometry": gq.sql_tile_geometry(),
         "simplify_shapes": gq.sql_simplify_shapes(),
+        "cell_smooth": gq.SQL_CELL_SMOOTH,
+        "cocitation": grq.SQL_COCITATION,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "crawl_delta",
     "tile_geometry",
     "simplify_shapes",
+    "cell_smooth",
+    "cocitation",
 ]
 
 

@@ -670,3 +670,134 @@ SELECT p.shape_id, p.seq, CAST(p.x_e4 AS BIGINT) AS x_e4,
 FROM pts p JOIN kept USING (shape_id, seq)
 ORDER BY p.shape_id, p.seq
 """
+
+
+# --------------------------------------------------------------------------
+# k-ring density smoothing: 3x3 cell convolution (heatmap render pass)
+# --------------------------------------------------------------------------
+# The raster smoothing a tile service applies before rendering a
+# density layer: each cell's smoothed mass = the sum of raw counts
+# over its 3x3 neighborhood, with longitude WRAPPING at the
+# antimeridian and latitude rows CLAMPED at the poles (no phantom
+# neighbors past the edge row). Reference analogue: the reference
+# renders stop density per map region (stops_creator grouping);
+# smoothing is the standard render-side convolution on that grid.
+#
+# Scale plan: the corpus is touched by exactly ONE shuffle (the
+# per-cell count groupby — same shape as q_cell_histogram); the
+# convolution then runs over the BOUNDED cell table. Two plans, same
+# result (plan-equivalence pytest): 'local' densifies the <= nx*ny
+# grid in one block and sums 9 shifted views (np.roll for the lon
+# wrap); 'shuffle' emits 9 (neighbor_cell, partial) rows per non-zero
+# cell inside map_batches and re-groups — the path for grids too fine
+# to densify on one worker.
+
+def _smooth_counts(sf_dir: str):
+    """Raw per-cell counts at CELL_LEVEL (one corpus shuffle)."""
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lat, lon = _synth_latlon(t["event_id"].to_numpy())
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        g = (
+            pa.table({"cell_rm": iy * nx + ix})
+            .group_by("cell_rm")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell_rm", "partial"])
+
+    return (
+        ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_rm")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def q_cell_smooth(sf_dir: str, plan: str = "local"):
+    """(cell_rm, n_smooth) for every cell whose 3x3 neighborhood holds
+    at least one event; lon wraps, lat clamps."""
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    counts = _smooth_counts(sf_dir)
+
+    if plan == "local":
+
+        def convolve(t: pa.Table) -> pa.Table:
+            key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+            n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+            grid = np.zeros((ny, nx), dtype=np.int64)
+            grid[key // nx, key % nx] = n
+            sm = np.zeros_like(grid)
+            for dy in (-1, 0, 1):
+                if dy < 0:
+                    src, dst = grid[1:], sm[:-1]
+                elif dy > 0:
+                    src, dst = grid[:-1], sm[1:]
+                else:
+                    src, dst = grid, sm
+                for dx in (-1, 0, 1):
+                    dst += np.roll(src, dx, axis=1)
+            iy, ix = np.nonzero(sm)
+            return pa.table(
+                {"cell_rm": iy * nx + ix, "n_smooth": sm[iy, ix]}
+            )
+
+        return counts.repartition(1).map_batches(
+            convolve, batch_format="pyarrow", batch_size=None
+        )
+
+    # shuffle plan: emit the 9 neighbor partials per cell, re-group
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        outs_k, outs_n = [], []
+        for dy in (-1, 0, 1):
+            ny_ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                k = (iy[ny_ok] + dy) * nx + (ix[ny_ok] + dx + nx) % nx
+                outs_k.append(k)
+                outs_n.append(n[ny_ok])
+        return pa.table(
+            {"cell_rm": np.concatenate(outs_k), "p": np.concatenate(outs_n)}
+        )
+
+    out = (
+        counts.map_batches(emit, batch_format="pyarrow")
+        .groupby("cell_rm")
+        .aggregate(Sum("p", alias_name="n_smooth"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                "n_smooth": pc.cast(t["n_smooth"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CELL_SMOOTH = f"""
+WITH c AS (
+  SELECT CAST(
+           LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * 128) AS BIGINT), 127) AS BIGINT
+         ) AS iy,
+         CAST(
+           LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * 256) AS BIGINT), 255) AS BIGINT
+         ) AS ix,
+         COUNT(*) AS n
+  FROM (
+    SELECT {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon
+    FROM events
+  )
+  GROUP BY 1, 2
+),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT (c.iy + o.dy) * 256 + ((c.ix + o.dx + 256) % 256) AS cell_rm,
+       CAST(SUM(c.n) AS BIGINT) AS n_smooth
+FROM c JOIN o ON c.iy + o.dy >= 0 AND c.iy + o.dy < 128
+GROUP BY 1
+"""

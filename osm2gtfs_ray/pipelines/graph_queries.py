@@ -419,3 +419,102 @@ WHERE r.rn = 1 ORDER BY doc_id"""
 
 
 SQL_ANCHOR_TOP_TERMS = f"WITH {_sql_anchor()}"
+
+
+# ---------------------------------------------------------------------------
+# Domain co-citation: pairs of source domains that link to the same
+# targets ("sites that cite the same pages are related" — the classic
+# co-citation similarity signal, the 2-hop complement of
+# q_domain_link_stats). Hot-target guard: a mega-inlinked page would
+# contribute O(indegree^2) pairs, so each target's DISTINCT source
+# domains are ranked ascending and capped at COCITE_CAP before pair
+# enumeration — a documented, SQL-replicated semantic (ROW_NUMBER <=
+# cap on both sides), the same skew discipline as the LSH bucket caps
+# in stages/dedup.py. Reference analogue: osm2gtfs's shared-stop line
+# pairing (two routes serving the same stop are related), lifted to
+# the crawl graph.
+#
+# Scale plan: dedup+rank+pairs run vectorized per dst-hash shard
+# (ops/pairs.intra_group_pair_indices — Python loops only over
+# distinct group SIZES), pair counts are combined per shard, then ONE
+# bounded groupby over the (domain, domain) key space.
+
+COCITE_CAP = 16
+COCITE_MIN_SHARED = 2
+
+
+def q_cocitation(sf_dir: str):
+    """(a, b, n_shared): unordered domain pairs co-cited by at least
+    COCITE_MIN_SHARED distinct targets."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.pairs import intra_group_pair_indices, new_group_mask
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.pipelines.web_queries import domains_of
+
+    edges = build_link_graph(sf_dir)
+
+    def to_domains(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"dst": dst, "sd": domains_of(src)})
+
+    ds = edges.map_batches(to_domains, batch_format="pyarrow")
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["dst", "sd"]).sort_values(
+            ["dst", "sd"], kind="mergesort"
+        )
+        rank = g.groupby("dst", sort=False).cumcount().to_numpy()
+        g = g[rank < COCITE_CAP]
+        new = new_group_mask(g, ["dst"])
+        ai, bi = intra_group_pair_indices(new)
+        sd = g["sd"].to_numpy()
+        pairs = pd.DataFrame({"a": sd[ai], "b": sd[bi]})
+        return (
+            pairs.groupby(["a", "b"], sort=False)
+            .size()
+            .rename("n_partial")
+            .reset_index()
+        )
+
+    parts = sharded_map_groups(ds, "dst", shard_pairs)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["a", "b"], sort=False)["n_partial"]
+            .sum()
+            .rename("n_shared")
+            .reset_index()
+        )
+        return out[out["n_shared"] >= COCITE_MIN_SHARED]
+
+    return sharded_map_groups(parts, ["a", "b"], finish)
+
+
+def _sql_cocitation() -> str:
+    from osm2gtfs_ray.pipelines.web_queries import _N_HOSTS, _S_HOST, _S_TLD, _TLDS
+
+    tld = (
+        f"CASE ({_s_uint('did', _S_TLD, len(_TLDS))}) "
+        "WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"
+    )
+    return f"""{_sql_edges()},
+dom AS (SELECT node,
+               'site' || ({_s_uint('did', _S_HOST, _N_HOSTS)}) || '.' || {tld}
+                 AS domain
+        FROM ids),
+le AS (SELECT DISTINCT e.dst, s.domain AS sd
+       FROM edges e JOIN dom s ON e.src = s.node),
+rk AS (SELECT dst, sd,
+              ROW_NUMBER() OVER (PARTITION BY dst ORDER BY sd) AS rn
+       FROM le),
+kept AS (SELECT dst, sd FROM rk WHERE rn <= {COCITE_CAP}),
+pr AS (SELECT l.sd AS a, r.sd AS b
+       FROM kept l JOIN kept r ON l.dst = r.dst AND l.sd < r.sd)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr GROUP BY a, b HAVING COUNT(*) >= {COCITE_MIN_SHARED}
+ORDER BY a, b"""
+
+
+SQL_COCITATION = f"WITH {_sql_cocitation()}"

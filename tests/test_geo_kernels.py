@@ -391,3 +391,46 @@ class TestSimplifyShapes:
         x = rng.integers(-5000, 5000, 20); y = rng.integers(-5000, 5000, 20)
         m = dp_keep_mask(np.array([0, 20]), x, y, 30_000)
         assert m[0] and m[-1] and m.sum() == 2
+
+
+class TestCellSmooth:
+    """3x3 k-ring smoothing: lon wrap / lat clamp semantics on a tiny
+    hand grid, plan equivalence local vs shuffle. The SQL gate
+    (cell_smooth) is the bit-exact oracle at corpus scale."""
+
+    def test_plan_equivalence(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_cell_smooth
+
+        sf = "/root/testdata/sf0.001"
+
+        def canon(df):
+            return df.sort_values("cell_rm").reset_index(drop=True)
+
+        a = canon(q_cell_smooth(sf, plan="local").to_pandas())
+        b = canon(q_cell_smooth(sf, plan="shuffle").to_pandas())
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    def test_wrap_and_clamp_semantics(self):
+        """Drive the local convolution kernel directly: one event at
+        (iy=0, ix=0) must smooth into its 6 in-grid neighbors (lat
+        clamped below row 0), including the antimeridian columns."""
+        import numpy as np
+
+        nx, ny = 256, 128
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        grid[0, 0] = 1
+        sm = np.zeros_like(grid)
+        for dy in (-1, 0, 1):
+            if dy < 0:
+                src, dst = grid[1:], sm[:-1]
+            elif dy > 0:
+                src, dst = grid[:-1], sm[1:]
+            else:
+                src, dst = grid, sm
+            for dx in (-1, 0, 1):
+                dst += np.roll(src, dx, axis=1)
+        hit = set(zip(*np.nonzero(sm)))
+        assert hit == {
+            (0, 0), (0, 1), (0, 255), (1, 0), (1, 1), (1, 255)
+        }
+        assert sm.sum() == 6  # 9 offsets minus the 3 clamped below row 0

@@ -360,3 +360,57 @@ class TestAnchorTopTerms:
         assert got["n_anchors"].sum() == len(e)  # every edge voted once
         assert (got["top_n"] <= got["n_anchors"]).all()
         assert (got["n_terms"] <= got["n_anchors"]).all()
+
+
+class TestCocitation:
+    """Co-citation pairs vs an independent brute pandas reference
+    (distinct source domains per target, ascending cap, all unordered
+    pairs, min-shared filter). SQL gate: `cocitation`."""
+
+    def test_matches_brute_reference(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            COCITE_CAP,
+            COCITE_MIN_SHARED,
+            q_cocitation,
+        )
+        from osm2gtfs_ray.pipelines.web_queries import domains_of
+
+        n = 200
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_cocitation(str(tmp_path))
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        df = pd.DataFrame(
+            {
+                "dst": e["dst"].to_numpy(),
+                "sd": domains_of(e["src"].to_numpy().astype(np.uint64)),
+            }
+        ).drop_duplicates()
+        from collections import Counter
+
+        cnt = Counter()
+        for _, g in df.groupby("dst"):
+            doms = sorted(g["sd"])[:COCITE_CAP]
+            for i in range(len(doms)):
+                for j in range(i + 1, len(doms)):
+                    cnt[(doms[i], doms[j])] += 1
+        want = (
+            pd.DataFrame(
+                [(a, b, c) for (a, b), c in cnt.items() if c >= COCITE_MIN_SHARED],
+                columns=["a", "b", "n_shared"],
+            )
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
