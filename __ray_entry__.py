@@ -87,7 +87,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation",
+    "cocitation", "triangles",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain co-citation pairs (2-hop link similarity, capped
         # per-target pair enumeration)
         "cocitation": grq.q_cocitation,
+        # degree-ordered triangle counting / local clustering table
+        # (auto plan: driver-local numpy below 500k edges, the
+        # 8-exchange shuffle plan at scale)
+        "triangles": grq.q_triangles,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -349,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_shapes": gq.sql_simplify_shapes(),
         "cell_smooth": gq.SQL_CELL_SMOOTH,
         "cocitation": grq.SQL_COCITATION,
+        "triangles": grq.SQL_TRIANGLES,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "simplify_shapes",
     "cell_smooth",
     "cocitation",
+    "triangles",
 ]
 
 

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from ray.data.aggregate import Sum
 
 from osm2gtfs_ray.ops.pagerank import DAMP_NUM, DAMP_DEN, TOTAL_FP, pagerank
 from osm2gtfs_ray.pipelines.flagship_oracle import _s_mix64, _s_uint
@@ -518,3 +519,284 @@ ORDER BY a, b"""
 
 
 SQL_COCITATION = f"WITH {_sql_cocitation()}"
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering shape: (doc_id, n_tri, n_wedge)
+# ---------------------------------------------------------------------------
+# The classic degree-ordered triangle enumeration (Latapy / "forward"
+# algorithm): undirect + dedup the link graph, orient every edge from
+# the lower (degree, id) endpoint to the higher, enumerate wedges at
+# each tail, and close them against the oriented edge set. Degree
+# orientation is THE skew guard — a hub of indegree h contributes
+# O(h^2) wedges undirected but only O(outdeg^2) oriented, and oriented
+# outdegree is bounded by O(sqrt(m)) — so wedge volume is O(m^1.5)
+# worst-case instead of O(sum deg^2). n_wedge = d*(d-1)/2 makes the
+# output the local-clustering-coefficient table (cc = n_tri/n_wedge).
+#
+# Reference analogue: osm2gtfs's shared-stop route pairing extended
+# one hop — three routes mutually sharing stops form a "triangle" of
+# related lines; here it is the mutual-linkage density of the crawl
+# graph.
+#
+# Scale plan (plan="shuffle"): every stage is a bounded shuffle —
+# pair-hash dedup, node-keyed degree count (map-side partials), two
+# hash joins to attach ranks, ONE tail-hash shard for vectorized
+# wedge enumeration (ops/pairs — Python loops only over distinct
+# group sizes), a composite-key hash join to close wedges, and a
+# final LEFT join onto the degree table. Rank = d * n + node fits
+# int64 up to n ~ 3e9 docs; past that, switch the comparator to the
+# (d, node) tuple (np.lexsort) — documented, not needed at any test
+# scale. plan="local" is the ops/components.py driver fast path:
+# below TRI_DRIVER_EDGES the edge list (16 B/edge — <= 8 MB) is
+# collected once and the identical algorithm runs as one vectorized
+# numpy pass, skipping ~8 fixed-cost exchanges; plan="auto" picks by
+# edge count (same bound and rationale as components.py's CC path).
+
+TRI_DRIVER_EDGES = 500_000
+
+
+def _triangles_local(a: np.ndarray, b: np.ndarray, n: int) -> pa.Table:
+    """The degree-ordered enumeration, single vectorized numpy pass
+    over deduped undirected pairs (a < b). Shared semantics with the
+    shuffle plan — plan-equivalence is pytested."""
+    from osm2gtfs_ray.ops.pairs import intra_group_pair_indices
+
+    key = a * np.int64(n) + b
+    key = np.unique(key)
+    a, b = key // n, key % n
+    d = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    rank = d.astype(np.int64) * np.int64(n) + np.arange(n, dtype=np.int64)
+    ra, rb = rank[a], rank[b]
+    fwd = ra < rb
+    u = np.where(fwd, a, b)
+    v = np.where(fwd, b, a)
+    rv = np.maximum(ra, rb)
+    o = np.lexsort((rv, u))
+    u, v = u[o], v[o]
+    new = np.empty(len(u), dtype=bool)
+    if len(u):
+        new[0] = True
+        new[1:] = u[1:] != u[:-1]
+    i, j = intra_group_pair_indices(new)
+    wv, ww, wc = v[i], v[j], u[i]
+    oriented = np.sort(u * np.int64(n) + v)
+    wk = wv * np.int64(n) + ww
+    pos = np.searchsorted(oriented, wk)
+    pos_c = np.minimum(pos, max(len(oriented) - 1, 0))
+    hit = (pos < len(oriented)) & (oriented[pos_c] == wk) if len(oriented) else np.zeros(0, bool)
+    tri_nodes = np.concatenate([wc[hit], wv[hit], ww[hit]])
+    ntri = np.bincount(tri_nodes, minlength=n)
+    ids = np.flatnonzero(d >= 2)
+    return pa.table(
+        {
+            "doc_id": ids.astype(np.int64),
+            "n_tri": ntri[ids].astype(np.int64),
+            "n_wedge": (d[ids].astype(np.int64) * (d[ids] - 1)) // 2,
+        }
+    )
+
+
+def q_triangles(sf_dir: str, plan: str = "auto"):
+    """(doc_id, n_tri, n_wedge) for every node of undirected degree
+    >= 2: triangles through the node, and C(d, 2) wedge capacity."""
+    import pandas as pd
+    import ray
+
+    from osm2gtfs_ray.ops.joins import _as_arrow, hash_join
+    from osm2gtfs_ray.ops.pairs import intra_group_pair_indices, new_group_mask
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    n = _n_docs(sf_dir)
+    edges = build_link_graph(sf_dir)
+    if plan == "auto":
+        # outdeg <= 3 bounds the edge count at 3n without a sizing pass
+        plan = "local" if 3 * n <= TRI_DRIVER_EDGES else "shuffle"
+    if plan == "local":
+        t = _as_arrow(edges.map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        ))
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = a != b
+        return ray.data.from_arrow(_triangles_local(a[keep], b[keep], n))
+
+    # join partitions are long-lived aggregator actors — size them to
+    # the data (~250k edges/partition) so small inputs don't pay 4x16
+    # actor spin-ups; a cluster-scale run passes its own count
+    np_ = max(2, min(64, 2 * n // 250_000 + 1))
+
+    # 1. undirected distinct pairs (drop self-loops), pair-hash sharded
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": a[keep], "b": b[keep]})
+
+    und = sharded_map_groups(
+        edges.map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        n_shards=4 * np_,
+    )
+
+    # 2. undirected degree per node (map-side partials, one groupby)
+    def deg_partial(g: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([g["a"], g["b"]], ignore_index=True)
+        vc = both.value_counts()
+        return pd.DataFrame(
+            {"node": vc.index.to_numpy(np.int64), "p": vc.to_numpy(np.int64)}
+        )
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Sum("p", alias_name="d"))
+    )
+
+    # 3. attach ranks (rank = d * n + node) and orient low -> high
+    ra = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "a": pc.cast(t["node"], pa.int64()),
+                "ra": pc.add(
+                    pc.multiply(pc.cast(t["d"], pa.int64()), np.int64(n)),
+                    pc.cast(t["node"], pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rb = deg.map_batches(
+        lambda t: pa.table(
+            {
+                "b": pc.cast(t["node"], pa.int64()),
+                "rb": pc.add(
+                    pc.multiply(pc.cast(t["d"], pa.int64()), np.int64(n)),
+                    pc.cast(t["node"], pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ranked = hash_join(
+        hash_join(und, ra, "a", num_partitions=np_),
+        rb, "b", num_partitions=np_,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["b"], pa.int64()).to_numpy(zero_copy_only=False)
+        ra_ = pc.cast(t["ra"], pa.int64()).to_numpy(zero_copy_only=False)
+        rb_ = pc.cast(t["rb"], pa.int64()).to_numpy(zero_copy_only=False)
+        fwd = ra_ < rb_
+        return pa.table(
+            {
+                "u": np.where(fwd, a, b),
+                "v": np.where(fwd, b, a),
+                "rv": np.maximum(ra_, rb_),
+            }
+        )
+
+    oe = ranked.map_batches(orient, batch_format="pyarrow")
+
+    # 4. wedges at each tail u: out-neighbors sorted by rank, all pairs
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "rv"], kind="mergesort")
+        new = new_group_mask(g, ["u"])
+        i, j = intra_group_pair_indices(new)
+        v = g["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"v": v[i], "w": v[j], "c": g["u"].to_numpy(np.int64)[i]}
+        )
+
+    wg = sharded_map_groups(oe, "u", wedges, n_shards=4 * np_)
+
+    # 5. close: wedge (v, w) is a triangle iff oriented edge (v, w)
+    closing = oe.map_batches(
+        lambda t: pa.table(
+            {
+                "v": pc.cast(t["u"], pa.int64()),
+                "w": pc.cast(t["v"], pa.int64()),
+                "hit": np.ones(len(t), dtype=np.int8),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tri = hash_join(wg, closing, ["v", "w"], num_partitions=np_)
+
+    # 6. per-node triangle participation (each triangle -> 3 rows)
+    def explode(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                pc.cast(t["c"], pa.int64()).to_numpy(zero_copy_only=False),
+                pc.cast(t["v"], pa.int64()).to_numpy(zero_copy_only=False),
+                pc.cast(t["w"], pa.int64()).to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": u, "p": cnt.astype(np.int64)})
+
+    tric = (
+        tri.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("p", alias_name="n_tri"))
+    )
+
+    # 7. LEFT join onto degree-(>=2) nodes; n_wedge = C(d, 2)
+    base = deg.filter(expr="d >= 2")
+    out = hash_join(base, tric, "node", join_type="left_outer",
+                    num_partitions=np_)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["d"], pa.int64()).to_numpy(zero_copy_only=False)
+        nt = pc.fill_null(pc.cast(t["n_tri"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["node"], pa.int64()),
+                "n_tri": nt,
+                "n_wedge": d * (d - 1) // 2,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_triangles() -> str:
+    return f"""{_sql_edges()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+       FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       GROUP BY node),
+rk AS (SELECT u.a, u.b,
+              da.d * n + u.a AS ra, db.d * n + u.b AS rb
+       FROM und u JOIN dg da ON da.node = u.a
+                  JOIN dg db ON db.node = u.b
+       CROSS JOIN nn),
+oe AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+              CASE WHEN ra < rb THEN b ELSE a END AS v,
+              GREATEST(ra, rb) AS rv
+       FROM rk),
+wg AS (SELECT e1.v AS v, e2.v AS w, e1.u AS c
+       FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.rv < e2.rv),
+tr AS (SELECT wg.c, wg.v, wg.w
+       FROM wg JOIN oe e ON e.u = wg.v AND e.v = wg.w),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+       FROM (SELECT c AS node FROM tr
+             UNION ALL SELECT v FROM tr
+             UNION ALL SELECT w FROM tr)
+       GROUP BY node)
+SELECT dg.node AS doc_id,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(dg.d * (dg.d - 1) // 2 AS BIGINT) AS n_wedge
+FROM dg LEFT JOIN tc ON tc.node = dg.node
+WHERE dg.d >= 2
+ORDER BY doc_id"""
+
+
+SQL_TRIANGLES = f"WITH {_sql_triangles()}"
