@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "cell_smooth",
     "cocitation",
     "triangles",
+    "hits",
 ]
 
 

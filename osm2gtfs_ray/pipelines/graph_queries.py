@@ -800,3 +800,60 @@ ORDER BY doc_id"""
 
 
 SQL_TRIANGLES = f"WITH {_sql_triangles()}"
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (ops/hits.py) — K=3 exact fixed-point rounds
+# ---------------------------------------------------------------------------
+# The oracle unrolls each round as raw-sum / global-total / renorm CTE
+# triples; because both sides use the same integer floor arithmetic
+# (raw * 10^9 // total, all values bounded so int64 never widens),
+# the match is bit-exact — any error in either join direction, the
+# renorm divisor, or a missing zero-score node breaks the value hash.
+
+HITS_ITERS = 3
+
+
+def q_hits(sf_dir: str):
+    """(doc_id, hub_fp, auth_fp) after HITS_ITERS mutual-reinforcement
+    rounds; int64 fixed-point over denominator 10^9."""
+    from osm2gtfs_ray.ops.hits import hits
+
+    n = _n_docs(sf_dir)
+    return hits(build_link_graph(sf_dir), n, iters=HITS_ITERS)
+
+
+def _sql_hits() -> str:
+    from osm2gtfs_ray.ops.hits import TOTAL_HITS
+
+    parts = [
+        f"""h0 AS (SELECT node, CAST({TOTAL_HITS} AS HUGEINT) // n AS v
+       FROM ids CROSS JOIN nn)"""
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        # MATERIALIZED: each round CTE is referenced twice (raw sum
+        # + renorm divisor); without it DuckDB inlines and the plan
+        # expands 4^K — the oracle would never finish
+        parts.append(f"""
+ar{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(h.v) AS s
+        FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+at{i} AS (SELECT SUM(s) AS tot FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT node, (s * {TOTAL_HITS}) // tot AS v
+       FROM ar{i} CROSS JOIN at{i}),
+hr{i} AS MATERIALIZED (SELECT e.src AS node, SUM(a.v) AS s
+        FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+ht{i} AS (SELECT SUM(s) AS tot FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT node, (s * {TOTAL_HITS}) // tot AS v
+       FROM hr{i} CROSS JOIN ht{i})""")
+    k = HITS_ITERS
+    return f"""{_sql_edges()},
+{','.join(parts)}
+SELECT ids.node AS doc_id,
+       CAST(COALESCE(h.v, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a.v, 0) AS BIGINT) AS auth_fp
+FROM ids LEFT JOIN h{k} h ON h.node = ids.node
+         LEFT JOIN a{k} a ON a.node = ids.node
+ORDER BY doc_id"""
+
+
+SQL_HITS = f"WITH {_sql_hits()}"

@@ -487,3 +487,45 @@ class TestTriangles:
         a = canon(q_triangles(str(tmp_path), plan="local"))
         b = canon(q_triangles(str(tmp_path), plan="shuffle"))
         assert b.astype(a.dtypes.to_dict()).equals(a)
+
+
+class TestHits:
+    """Fixed-point HITS invariants + plan equivalence; the SQL gate
+    (`hits`, unrolled renorm CTE rounds) is the bit-exact oracle."""
+
+    def test_plan_equivalence_and_invariants(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.ops.hits import TOTAL_HITS, hits_shuffle
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            HITS_ITERS,
+            build_link_graph,
+            q_hits,
+        )
+
+        n = 300
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+
+        def canon(ds):
+            return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        got = canon(q_hits(str(tmp_path)))  # broadcast at this n
+        sh = canon(
+            hits_shuffle(
+                build_link_graph(str(tmp_path)), n,
+                iters=HITS_ITERS, num_partitions=2,
+            )
+        )
+        assert sh.astype(got.dtypes.to_dict()).equals(got)
+        assert len(got) == n
+        # integer L1 renorm: floor keeps each mass in (TOTAL - n, TOTAL]
+        for col in ("hub_fp", "auth_fp"):
+            tot = got[col].sum()
+            assert TOTAL_HITS - n < tot <= TOTAL_HITS
+            assert (got[col] >= 0).all()
+        # mutual reinforcement is non-degenerate: scores differ
+        assert got["hub_fp"].nunique() > 10
+        assert got["auth_fp"].nunique() > 10
