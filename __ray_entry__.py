@@ -87,7 +87,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "triangles", "hits",
+    "cocitation", "triangles", "hits", "pmi_bigrams",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup
         "token_stats": tq.q_token_stats,
         "top_terms": tq.q_top_terms,
+        # PMI bigram collocations (exact fixed-point big-int scores)
+        "pmi_bigrams": tq.q_pmi_bigrams,
         "inverted_index": tq.q_inverted_index,
         "tfidf_top_terms": tq.q_tfidf_top_terms,
         "norm_dedup": tq.q_norm_dedup,
@@ -400,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_events": gq.SQL_NEAREST_EVENTS,
         "token_stats": tq.SQL_TOKEN_STATS,
         "top_terms": tq.SQL_TOP_TERMS,
+        "pmi_bigrams": tq.SQL_PMI_BIGRAMS,
         "inverted_index": tq.SQL_INVERTED_INDEX,
         "tfidf_top_terms": tq.SQL_TFIDF_TOP_TERMS,
         "norm_dedup": tq.SQL_NORM_DEDUP,

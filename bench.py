@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "cocitation",
     "triangles",
     "hits",
+    "pmi_bigrams",
 ]
 
 

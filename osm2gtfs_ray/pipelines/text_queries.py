@@ -951,3 +951,165 @@ FROM (
 WHERE rank <= {_BM25_K}
 ORDER BY term, rank
 """
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations: top-k adjacent word pairs by pointwise
+# mutual information — the classic collocation-discovery statistic
+# ("New York" scores high because its joint count dwarfs what its
+# unigram frequencies predict). Scores are EXACT fixed-point integers:
+#
+#     pmi_fp = (c12 * N_u^2 * 10^6) // (N_b * c1 * c2)
+#
+# (monotone in exp(PMI); log is not needed for ranking). The bounded
+# candidate stage computes it in Python big-ints (N_u^2 overflows
+# int64 at corpus scale) and emits int64 — bit-exact vs the oracle's
+# HUGEINT arithmetic. MIN count guard c12 >= PMI_MIN_PAIR kills the
+# singleton-pair noise PMI is notorious for.
+#
+# Scale plan: bigrams never leave their batch raw — per-batch Arrow
+# group-by partials (ragged-offset vectorized adjacent pairing, no
+# Python per token) -> ONE pair-hash sharded sum; unigram counts the
+# same shape; the two global totals are Dataset sums; candidates
+# (post-filter, vocabulary-bounded) take two hash joins for c1/c2 and
+# a distributive per-block top-k before the tiny driver head.
+
+PMI_MIN_PAIR = 5
+PMI_K = 100
+PMI_SCALE = 10**6
+
+
+def _split_tokens(texts: pa.ChunkedArray):
+    """Trimmed whitespace split; returns (values, offsets) of the
+    ListArray. Empty docs yield a single '' token (excluded by
+    callers), interior runs of whitespace never produce ''."""
+    arr = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(texts.combine_chunks()), r"\s+"
+    )
+    return arr.values, arr.offsets.to_numpy()
+
+
+def q_pmi_bigrams(sf_dir: str, k: int = PMI_K):
+    """Top-k (w1, w2, n_pair, pmi_fp) adjacent-token collocations."""
+    from osm2gtfs_ray.ops.joins import hash_join
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(t: pa.Table) -> pd.DataFrame:
+        flat, _ = _split_tokens(t["text"])
+        words = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": words}).group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "n_part"]).to_pandas()
+
+    def big_partial(t: pa.Table) -> pd.DataFrame:
+        flat, offs = _split_tokens(t["text"])
+        lens = np.diff(offs)
+        nbig = np.maximum(lens - 1, 0)
+        tot = int(nbig.sum())
+        cs = np.concatenate(([0], np.cumsum(nbig)[:-1]))
+        j = np.repeat(offs[:-1] - cs, nbig) + np.arange(tot, dtype=np.int64)
+        g = (
+            pa.table({"w1": flat.take(j), "w2": flat.take(j + 1)})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["w1", "w2", "n_part"]).to_pandas()
+
+    def shard_sum(cols):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            return (
+                g.groupby(cols, sort=False)["n_part"].sum().reset_index(name="c")
+            )
+        return f
+
+    uni = sharded_map_groups(
+        docs.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "term", shard_sum(["term"]),
+    ).materialize()
+    big = sharded_map_groups(
+        docs.map_batches(big_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"], shard_sum(["w1", "w2"]),
+    ).materialize()
+
+    n_u = int(uni.sum("c"))
+    n_b = int(big.sum("c"))
+
+    cand = big.filter(expr=f"c >= {PMI_MIN_PAIR}")
+    u1 = uni.map_batches(
+        lambda t: pa.table({"w1": t["term"], "c1": pc.cast(t["c"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    u2 = uni.map_batches(
+        lambda t: pa.table({"w2": t["term"], "c2": pc.cast(t["c"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        hash_join(cand, u1, "w1", num_partitions=2),
+        u2, "w2", num_partitions=2,
+    )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # keep the block schema stable for empty joins
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype="object"),
+                    "w2": pd.Series(dtype="object"),
+                    "n_pair": pd.Series(dtype="int64"),
+                    "pmi_fp": pd.Series(dtype="int64"),
+                }
+            )
+        # Python big-ints: c12 * N_u^2 * SCALE overflows int64 at scale
+        pmi = [
+            (int(c12) * n_u * n_u * PMI_SCALE) // (n_b * int(c1) * int(c2))
+            for c12, c1, c2 in zip(df["c"], df["c1"], df["c2"])
+        ]
+        out = pd.DataFrame(
+            {
+                "w1": df["w1"],
+                "w2": df["w2"],
+                "n_pair": df["c"].astype("int64"),
+                "pmi_fp": pd.Series(pmi, index=df.index, dtype="int64"),
+            }
+        )
+        return out.sort_values(
+            ["pmi_fp", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+
+    tops = joined.map_batches(block_topk, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values(
+            ["pmi_fp", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+SQL_PMI_BIGRAMS = rf"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents
+),
+uni AS (SELECT unnest(ws) AS term FROM toks),
+uc AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS c FROM uni GROUP BY term),
+nu AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nu FROM uni),
+big AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS HUGEINT) AS c12 FROM big GROUP BY w1, w2),
+nb AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nb FROM big),
+cand AS (SELECT * FROM bc WHERE c12 >= {PMI_MIN_PAIR})
+SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS n_pair,
+       CAST((c.c12 * nu.nu * nu.nu * {PMI_SCALE}) // (nb.nb * u1.c * u2.c)
+            AS BIGINT) AS pmi_fp
+FROM cand c
+JOIN uc u1 ON u1.term = c.w1
+JOIN uc u2 ON u2.term = c.w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_fp DESC, w1, w2 LIMIT {PMI_K}
+"""

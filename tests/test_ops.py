@@ -891,3 +891,61 @@ class TestIntraGroupPairs:
             pd.DataFrame({"k": [1, 2, 3], "id": [9, 8, 7]}), ["k"], "id"
         )
         assert len(ai) == 0
+
+
+class TestPMIBigrams:
+    """PMI collocations vs an independent brute reference (python
+    dict counting + exact big-int formula). SQL gate: `pmi_bigrams`."""
+
+    def test_matches_brute_reference(self, ray_session, tmp_path):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.text_queries import (
+            PMI_MIN_PAIR,
+            PMI_SCALE,
+            q_pmi_bigrams,
+        )
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+            for _ in range(120)
+        ] + ["", "   ", "solo"]
+        pq.write_table(
+            pa.table({"text": pa.array(docs, pa.string())}),
+            tmp_path / "documents.parquet",
+        )
+        got = q_pmi_bigrams(str(tmp_path), k=30).reset_index(drop=True)
+
+        uc, bc = Counter(), Counter()
+        n_u = n_b = 0
+        for d in docs:
+            ws = re.split(r"\s+", d.strip()) if d.strip() else []
+            for w in ws:
+                uc[w] += 1
+                n_u += 1
+            for x, y in zip(ws, ws[1:]):
+                bc[(x, y)] += 1
+                n_b += 1
+        rows = [
+            (x, y, c, (c * n_u * n_u * PMI_SCALE) // (n_b * uc[x] * uc[y]))
+            for (x, y), c in bc.items()
+            if c >= PMI_MIN_PAIR
+        ]
+        want = (
+            pd.DataFrame(rows, columns=["w1", "w2", "n_pair", "pmi_fp"])
+            .sort_values(
+                ["pmi_fp", "w1", "w2"], ascending=[False, True, True],
+                kind="mergesort",
+            )
+            .head(30)
+            .reset_index(drop=True)
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
+        assert len(got) > 0
