@@ -87,7 +87,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "triangles", "hits", "pmi_bigrams",
+    "cocitation", "triangles", "hits", "pmi_bigrams", "snap_points",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_shapes": gq.q_simplify_shapes,
         # 3x3 k-ring density smoothing (lon wrap / lat clamp)
         "cell_smooth": gq.q_cell_smooth,
+        # GPS-sample -> nearest-polyline-segment snap (map matching
+        # lite; exact integer metric, cell co-partitioned argmin)
+        "snap_points": gq.q_snap_points,
         # domain co-citation pairs (2-hop link similarity, capped
         # per-target pair enumeration)
         "cocitation": grq.q_cocitation,
@@ -357,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_geometry": gq.sql_tile_geometry(),
         "simplify_shapes": gq.sql_simplify_shapes(),
         "cell_smooth": gq.SQL_CELL_SMOOTH,
+        "snap_points": gq.sql_snap_points(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "triangles",
     "hits",
     "pmi_bigrams",
+    "snap_points",
 ]
 
 

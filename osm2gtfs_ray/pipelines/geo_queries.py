@@ -801,3 +801,232 @@ SELECT (c.iy + o.dy) * 256 + ((c.ix + o.dx + 256) % 256) AS cell_rm,
 FROM c JOIN o ON c.iy + o.dy >= 0 AND c.iy + o.dy < 128
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# GPS-sample -> polyline snap (map-matching lite): each sample snaps
+# to the nearest SEGMENT of the shape network within radius R
+# --------------------------------------------------------------------------
+# The reference's stop<->way matching (osm2gtfs stops_creator snaps
+# stop positions onto way geometry) lifted to scale: samples are
+# shape vertices + jitter (a GPS trace around the route), segments
+# are consecutive-vertex pairs, and the snap minimizes an EXACT
+# integer distance. The defined metric avoids cross-multiplying
+# rationals: d2 = |p-a|^2 - (t_num^2 // t_den) for interior
+# projections (floored once — a deterministic sub-unit quantization
+# both sides replicate), endpoint distances otherwise. Radius-bounded
+# candidates keep every intermediate product inside int64:
+# |p-a| <= R + segdiag ~ 9.2e4 so |p-a|^2 * 1 and t_num^2 <= 1.7e18.
+#
+# Scale plan: segments are replicated to each 2^17-e4 grid cell their
+# R-expanded bbox touches (<= 4 cells typical — bounded by segment
+# length, never data volume); each sample lives in exactly ONE cell,
+# so a single cell-hash co-partition makes the per-point argmin
+# complete within its shard. No all-pairs stage exists anywhere: the
+# bbox predicate prunes inside the shard before the distance kernel.
+# Unmatched samples (nothing within R) emit no row — the reference's
+# unmatched-stop semantics.
+
+_S_PX, _S_PY = 264, 265
+SNAP_JITTER = 40001  # +/- 2.0 deg e4 jitter around the true vertex
+SNAP_R = 50_000  # snap radius, e4 units (5 deg — covers the jitter)
+SNAP_CELLW = 1 << 17
+
+
+def synth_snap_points(event_ids: np.ndarray):
+    """(point_id, px, py): jittered GPS samples around shape vertices."""
+    from osm2gtfs_ray.sources.pages import _uint
+
+    sid, seq, x, y = synth_shape_points(event_ids)
+    eid = (sid + np.int64(N_SHAPES) * seq).astype(np.uint64)
+    px = x + _uint(eid, _S_PX, 42, SNAP_JITTER) - (SNAP_JITTER - 1) // 2
+    py = y + _uint(eid, _S_PY, 42, SNAP_JITTER) - (SNAP_JITTER - 1) // 2
+    return eid.astype(np.int64), px, py
+
+
+def _snap_d2(px, py, x1, y1, x2, y2):
+    """Exact int64 point-to-segment metric (floored interior term)."""
+    dx, dy = x2 - x1, y2 - y1
+    t_den = dx * dx + dy * dy
+    wx, wy = px - x1, py - y1
+    t_num = wx * dx + wy * dy
+    d_a = wx * wx + wy * wy
+    vx, vy = px - x2, py - y2
+    d_b = vx * vx + vy * vy
+    interior = d_a - (t_num * t_num) // np.maximum(t_den, 1)
+    return np.where(
+        (t_num <= 0) | (t_den == 0), d_a,
+        np.where(t_num >= t_den, d_b, interior),
+    )
+
+
+def q_snap_points(sf_dir: str):
+    """(point_id, shape_id, seq, d2) — nearest segment within SNAP_R
+    per GPS sample; ties broken by (d2, shape_id, seq)."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.sources.pages import _flat_ranges
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def points(t: pa.Table) -> pa.Table:
+        pid, px, py = synth_snap_points(t["event_id"].to_numpy())
+        cell = (px // SNAP_CELLW) * np.int64(1 << 16) + (py // SNAP_CELLW)
+        z = np.zeros(len(pid), dtype=np.int64)
+        return pa.table(
+            {"cell": cell, "kind": z, "id": pid, "seq": z,
+             "x1": px, "y1": py, "x2": z, "y2": z}
+        )
+
+    def segments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shape_id", "seq"], kind="mergesort")
+        sid = g["shape_id"].to_numpy(np.int64)
+        seq = g["seq"].to_numpy(np.int64)
+        x = g["x_e4"].to_numpy(np.int64)
+        y = g["y_e4"].to_numpy(np.int64)
+        # adjacent-in-shape pairs: same shape AND consecutive seq
+        m = (sid[1:] == sid[:-1]) & (seq[1:] == seq[:-1] + 1)
+        i = np.flatnonzero(m)
+        out = pd.DataFrame(
+            {"shape_id": sid[i], "seq": seq[i],
+             "x1": x[i], "y1": y[i], "x2": x[i + 1], "y2": y[i + 1]}
+        )
+        # replicate to every cell the R-expanded bbox touches
+        cx0 = (np.minimum(out["x1"], out["x2"]).to_numpy() - SNAP_R) // SNAP_CELLW
+        cx1 = (np.maximum(out["x1"], out["x2"]).to_numpy() + SNAP_R) // SNAP_CELLW
+        cy0 = (np.minimum(out["y1"], out["y2"]).to_numpy() - SNAP_R) // SNAP_CELLW
+        cy1 = (np.maximum(out["y1"], out["y2"]).to_numpy() + SNAP_R) // SNAP_CELLW
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        rep = nx * ny
+        r = out.loc[out.index.repeat(rep)].reset_index(drop=True)
+        off = _flat_ranges(rep)
+        nyr = np.repeat(ny.to_numpy() if hasattr(ny, "to_numpy") else ny, rep)
+        cx = np.repeat(cx0, rep) + off // nyr
+        cy = np.repeat(cy0, rep) + off % nyr
+        return pd.DataFrame(
+            {"cell": cx * np.int64(1 << 16) + cy,
+             "kind": np.ones(len(r), dtype=np.int64),
+             "id": r["shape_id"].to_numpy(np.int64),
+             "seq": r["seq"].to_numpy(np.int64),
+             "x1": r["x1"].to_numpy(np.int64),
+             "y1": r["y1"].to_numpy(np.int64),
+             "x2": r["x2"].to_numpy(np.int64),
+             "y2": r["y2"].to_numpy(np.int64)}
+        )
+
+    def synth(t: pa.Table) -> pa.Table:
+        sid, seq, x, y = synth_shape_points(t["event_id"].to_numpy())
+        return pa.table({"shape_id": sid, "seq": seq, "x_e4": x, "y_e4": y})
+
+    seg_ds = sharded_map_groups(
+        ev.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True),
+        "shape_id", segments,
+    )
+    pt_ds = ev.map_batches(points, batch_format="pyarrow", zero_copy_batch=True)
+
+    def snap_shard(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["kind"] == 0]
+        segs = g[g["kind"] == 1]
+        cols = ["doc", "shape_id", "seq", "d2"]
+        if pts.empty or segs.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols}
+                                ).rename(columns={"doc": "point_id"})
+        m = pts[["cell", "id", "x1", "y1"]].rename(
+            columns={"id": "point_id", "x1": "px", "y1": "py"}
+        ).merge(
+            segs[["cell", "id", "seq", "x1", "y1", "x2", "y2"]].rename(
+                columns={"id": "shape_id"}
+            ),
+            on="cell",
+        )
+        if m.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols}
+                                ).rename(columns={"doc": "point_id"})
+        px, py = m["px"].to_numpy(np.int64), m["py"].to_numpy(np.int64)
+        x1, y1 = m["x1"].to_numpy(np.int64), m["y1"].to_numpy(np.int64)
+        x2, y2 = m["x2"].to_numpy(np.int64), m["y2"].to_numpy(np.int64)
+        ok = (
+            (px >= np.minimum(x1, x2) - SNAP_R)
+            & (px <= np.maximum(x1, x2) + SNAP_R)
+            & (py >= np.minimum(y1, y2) - SNAP_R)
+            & (py <= np.maximum(y1, y2) + SNAP_R)
+        )
+        m = m[ok]
+        d2 = _snap_d2(
+            m["px"].to_numpy(np.int64), m["py"].to_numpy(np.int64),
+            m["x1"].to_numpy(np.int64), m["y1"].to_numpy(np.int64),
+            m["x2"].to_numpy(np.int64), m["y2"].to_numpy(np.int64),
+        )
+        out = pd.DataFrame(
+            {"point_id": m["point_id"].to_numpy(np.int64),
+             "shape_id": m["shape_id"].to_numpy(np.int64),
+             "seq": m["seq"].to_numpy(np.int64), "d2": d2}
+        )
+        out = out.sort_values(
+            ["point_id", "d2", "shape_id", "seq"], kind="mergesort"
+        ).drop_duplicates("point_id")
+        return out
+
+    return sharded_map_groups(pt_ds.union(seg_ds), "cell", snap_shard)
+
+
+def sql_snap_points() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    base_y = _s_uint("sidu", _S_SLAT, 1_200_000)
+    base_x = _s_uint("sidu", _S_SLON, 3_400_000)
+    wy = _s_uint("eid", _S_WLAT, _WANDER)
+    wx = _s_uint("eid", _S_WLON, _WANDER)
+    jx = _s_uint("eid", _S_PX, SNAP_JITTER)
+    jy = _s_uint("eid", _S_PY, SNAP_JITTER)
+    half = (SNAP_JITTER - 1) // 2
+    t_den = "(CAST(s.x2 - s.x1 AS HUGEINT) * (s.x2 - s.x1) + CAST(s.y2 - s.y1 AS HUGEINT) * (s.y2 - s.y1))"
+    t_num = "(CAST(p.px - s.x1 AS HUGEINT) * (s.x2 - s.x1) + CAST(p.py - s.y1 AS HUGEINT) * (s.y2 - s.y1))"
+    d_a = "(CAST(p.px - s.x1 AS HUGEINT) * (p.px - s.x1) + CAST(p.py - s.y1 AS HUGEINT) * (p.py - s.y1))"
+    d_b = "(CAST(p.px - s.x2 AS HUGEINT) * (p.px - s.x2) + CAST(p.py - s.y2 AS HUGEINT) * (p.py - s.y2))"
+    return f"""
+WITH raw AS (
+  SELECT CAST(event_id AS UBIGINT) AS eid,
+         CAST(event_id % {N_SHAPES} AS UBIGINT) AS sidu,
+         CAST(event_id % {N_SHAPES} AS BIGINT) AS shape_id,
+         CAST(event_id // {N_SHAPES} AS BIGINT) AS seq
+  FROM events WHERE event_id // {N_SHAPES} < {SHAPE_PTS}
+),
+pts AS MATERIALIZED (
+  SELECT eid, shape_id, seq,
+         ({base_x}) - 1700000 + ({wx}) - 5000 AS x_e4,
+         ({base_y}) - 600000 + ({wy}) - 5000 AS y_e4
+  FROM raw
+),
+seg AS MATERIALIZED (
+  SELECT a.shape_id, a.seq, a.x_e4 AS x1, a.y_e4 AS y1,
+         b.x_e4 AS x2, b.y_e4 AS y2
+  FROM pts a JOIN pts b ON b.shape_id = a.shape_id AND b.seq = a.seq + 1
+),
+qp AS MATERIALIZED (
+  SELECT CAST(eid AS BIGINT) AS point_id,
+         x_e4 + ({jx}) - {half} AS px,
+         y_e4 + ({jy}) - {half} AS py
+  FROM pts
+),
+cand AS (
+  SELECT p.point_id, s.shape_id, s.seq,
+         CASE WHEN {t_num} <= 0 OR {t_den} = 0 THEN {d_a}
+              WHEN {t_num} >= {t_den} THEN {d_b}
+              ELSE {d_a} - ({t_num} * {t_num}) // {t_den} END AS d2
+  FROM qp p JOIN seg s
+    ON p.px >= LEAST(s.x1, s.x2) - {SNAP_R}
+   AND p.px <= GREATEST(s.x1, s.x2) + {SNAP_R}
+   AND p.py >= LEAST(s.y1, s.y2) - {SNAP_R}
+   AND p.py <= GREATEST(s.y1, s.y2) + {SNAP_R}
+),
+best AS (
+  SELECT point_id, shape_id, seq, CAST(d2 AS BIGINT) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY point_id
+                            ORDER BY d2, shape_id, seq) AS rn
+  FROM cand
+)
+SELECT point_id, shape_id, seq, d2 FROM best WHERE rn = 1
+ORDER BY point_id
+"""

@@ -434,3 +434,85 @@ class TestCellSmooth:
             (0, 0), (0, 1), (0, 255), (1, 0), (1, 1), (1, 255)
         }
         assert sm.sum() == 6  # 9 offsets minus the 3 clamped below row 0
+
+
+class TestSnapPoints:
+    """Point->segment snap vs a cell-free brute argmin over ALL
+    segments (validates the cell replication/co-partition logic
+    independently); plus exact-metric edge cases. SQL gate:
+    `snap_points` (brute bbox join + ROW_NUMBER argmin)."""
+
+    def test_matches_cellfree_brute(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            N_SHAPES,
+            SHAPE_PTS,
+            SNAP_R,
+            _snap_d2,
+            q_snap_points,
+            synth_shape_points,
+            synth_snap_points,
+        )
+
+        n_ev = N_SHAPES * SHAPE_PTS + 37  # extra ids past the cap ignored
+        pq.write_table(
+            pa.table({"event_id": np.arange(n_ev, dtype=np.int64)}),
+            tmp_path / "events.parquet",
+        )
+        got = (
+            q_snap_points(str(tmp_path))
+            .to_pandas()
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+
+        ids = np.arange(n_ev, dtype=np.uint64)
+        sid, seq, x, y = synth_shape_points(ids)
+        pid, px, py = synth_snap_points(ids)
+        o = np.lexsort((seq, sid))
+        sid, seq, x, y = sid[o], seq[o], x[o], y[o]
+        m = (sid[1:] == sid[:-1]) & (seq[1:] == seq[:-1] + 1)
+        i = np.flatnonzero(m)
+        rows = []
+        for k in range(len(pid)):
+            ok = (
+                (px[k] >= np.minimum(x[i], x[i + 1]) - SNAP_R)
+                & (px[k] <= np.maximum(x[i], x[i + 1]) + SNAP_R)
+                & (py[k] >= np.minimum(y[i], y[i + 1]) - SNAP_R)
+                & (py[k] <= np.maximum(y[i], y[i + 1]) + SNAP_R)
+            )
+            j = i[ok]
+            if not len(j):
+                continue
+            d2 = _snap_d2(px[k], py[k], x[j], y[j], x[j + 1], y[j + 1])
+            order = np.lexsort((seq[j], sid[j], d2))
+            b = order[0]
+            rows.append((int(pid[k]), int(sid[j][b]), int(seq[j][b]), int(d2[b])))
+        import pandas as pd
+
+        want = (
+            pd.DataFrame(rows, columns=["point_id", "shape_id", "seq", "d2"])
+            .sort_values("point_id")
+            .reset_index(drop=True)
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
+        assert len(got) > 0
+
+    def test_metric_edge_cases(self):
+        from osm2gtfs_ray.pipelines.geo_queries import _snap_d2
+
+        a = np.array([0], dtype=np.int64)
+        # interior projection: p=(5,3) onto x-axis segment (0,0)-(10,0)
+        assert _snap_d2(a + 5, a + 3, a, a, a + 10, a)[0] == 9
+        # before start -> endpoint a
+        assert _snap_d2(a - 4, a + 3, a, a, a + 10, a)[0] == 25
+        # past end -> endpoint b
+        assert _snap_d2(a + 14, a + 3, a, a, a + 10, a)[0] == 25
+        # degenerate zero-length segment -> plain point distance
+        assert _snap_d2(a + 3, a + 4, a, a, a, a)[0] == 25
+        # floored interior term: p=(1,1) on (0,0)-(3,1): d_a=2,
+        # t_num=4, t_den=10 -> 2 - 16//10 = 1 (exact would be 0.4)
+        assert _snap_d2(a + 1, a + 1, a, a, a + 3, a + 1)[0] == 1
