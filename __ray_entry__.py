@@ -75,6 +75,7 @@ _GATE_ORDER = [
     "simhash", "sessionize", "token_stats", "window_event_stats",
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
+    "triangles",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -87,11 +88,12 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "triangles", "hits", "pmi_bigrams", "snap_points",
+    "cocitation", "hits", "snap_points",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
-    "cosine_lsh", "tile_assignments", "cohort_retention",
+    "cosine_lsh", "tile_assignments", "cohort_retention", "pmi_bigrams",
+    "dup_ngram_spans",
     "spatial_join_rows", "minhash_pairs", "typo_pairs",
     "orders_with_lineitem", "pagerank", "audio_features", "cell_pyramid",
     "bfs_hops",
@@ -227,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": tq.q_top_terms,
         # PMI bigram collocations (exact fixed-point big-int scores)
         "pmi_bigrams": tq.q_pmi_bigrams,
+        # per-doc duplicate 5-gram span counts (intra-corpus dup signal)
+        "dup_ngram_spans": tq.q_dup_ngram_spans,
         "inverted_index": tq.q_inverted_index,
         "tfidf_top_terms": tq.q_tfidf_top_terms,
         "norm_dedup": tq.q_norm_dedup,
@@ -407,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": tq.SQL_TOKEN_STATS,
         "top_terms": tq.SQL_TOP_TERMS,
         "pmi_bigrams": tq.SQL_PMI_BIGRAMS,
+        "dup_ngram_spans": tq.SQL_DUP_NGRAM_SPANS,
         "inverted_index": tq.SQL_INVERTED_INDEX,
         "tfidf_top_terms": tq.SQL_TFIDF_TOP_TERMS,
         "norm_dedup": tq.SQL_NORM_DEDUP,

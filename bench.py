@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "hits",
     "pmi_bigrams",
     "snap_points",
+    "dup_ngram_spans",
 ]
 
 

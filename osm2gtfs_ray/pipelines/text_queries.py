@@ -1113,3 +1113,109 @@ JOIN uc u2 ON u2.term = c.w2
 CROSS JOIN nu CROSS JOIN nb
 ORDER BY pmi_fp DESC, w1, w2 LIMIT {PMI_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Duplicate n-gram span fraction: per doc, how many of its word
+# 5-gram positions carry a gram that also appears in ANOTHER document
+# — the intra-corpus duplicate-span signal behind exact-substring
+# dedup (train-set memorization risk scales with it). Distinct from
+# ngram_jaccard (pairwise similarity) and contamination (overlap vs a
+# benchmark subset): this is a per-document corpus-wide measure.
+#
+# Scale plan: a doc lives wholly in one batch, so per-batch
+# (gram, doc) position-count partials are already globally unique per
+# pair; ONE gram-hash sharded pass computes document frequency per
+# gram (group size == distinct docs) and flags dup positions; ONE
+# doc-keyed groupby sums the per-doc totals. Gram strings travel the
+# first shuffle (the top_terms discipline); nothing vocabulary-sized
+# ever sits on one node.
+
+DUPGRAM_K = 5
+
+
+def q_dup_ngram_spans(sf_dir: str):
+    """(doc_id, n_grams, n_dup): word-5-gram positions total / with
+    corpus document-frequency >= 2. Docs with < 5 tokens emit no row."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    k = DUPGRAM_K
+
+    def gram_partial(t: pa.Table) -> pd.DataFrame:
+        flat, offs = _split_tokens(t["text"])
+        lens = np.diff(offs)
+        ng = np.maximum(lens - (k - 1), 0)
+        tot = int(ng.sum())
+        if tot == 0:
+            return pd.DataFrame(
+                {"g": pd.Series(dtype="object"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "npos": pd.Series(dtype="int64")}
+            )
+        cs = np.concatenate(([0], np.cumsum(ng)[:-1]))
+        j = np.repeat(offs[:-1] - cs, ng) + np.arange(tot, dtype=np.int64)
+        parts = [flat.take(j + d) for d in range(k)]
+        g = pc.binary_join_element_wise(*parts, " ")
+        did = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), ng)
+        agg = (
+            pa.table({"g": g, "doc_id": did})
+            .group_by(["g", "doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["g", "doc_id", "npos"]).to_pandas()
+
+    parts = docs.map_batches(
+        gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        # (g, doc_id) pairs are globally unique -> group size IS the
+        # gram's document frequency
+        dfreq = g.groupby("g", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "npos": g["npos"].to_numpy(np.int64),
+                "ndup": np.where(dfreq.to_numpy() >= 2,
+                                 g["npos"].to_numpy(np.int64), 0),
+            }
+        )
+
+    mid = sharded_map_groups(parts, "g", per_gram)
+    agg = mid.groupby("doc_id").aggregate(
+        Sum("npos", alias_name="n_grams"), Sum("ndup", alias_name="n_dup")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                "n_dup": pc.cast(t["n_dup"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DUP_NGRAM_SPANS = rf"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+{DUPGRAM_K - 1}], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - {DUPGRAM_K - 1})) AS i
+  ) t
+),
+gd AS (SELECT g, doc_id, CAST(COUNT(*) AS BIGINT) AS npos
+       FROM grams GROUP BY g, doc_id),
+df AS (SELECT g, COUNT(*) AS df FROM gd GROUP BY g)
+SELECT gd.doc_id, CAST(SUM(gd.npos) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df >= 2 THEN gd.npos ELSE 0 END) AS BIGINT)
+         AS n_dup
+FROM gd JOIN df USING (g)
+GROUP BY gd.doc_id ORDER BY gd.doc_id
+"""

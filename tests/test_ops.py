@@ -949,3 +949,67 @@ class TestPMIBigrams:
         )
         assert got.astype(want.dtypes.to_dict()).equals(want)
         assert len(got) > 0
+
+
+class TestDupNgramSpans:
+    """Per-doc duplicate 5-gram spans vs a brute dict reference,
+    including a crafted shared passage. SQL gate: `dup_ngram_spans`."""
+
+    def test_matches_brute_reference(self, ray_session, tmp_path):
+        import re
+        from collections import Counter, defaultdict
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.text_queries import (
+            DUPGRAM_K,
+            q_dup_ngram_spans,
+        )
+
+        shared = "alpha beta gamma delta epsilon zeta eta"
+        docs = [
+            f"unique{i} words here only {i} " + (shared if i % 3 == 0 else f"tail {i}")
+            for i in range(60)
+        ] + ["", "  ", "short doc"]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_dup_ngram_spans(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        gd = defaultdict(Counter)  # gram -> doc -> positions
+        for i, d in enumerate(docs):
+            ws = re.split(r"\s+", d.strip()) if d.strip() else []
+            for j in range(len(ws) - DUPGRAM_K + 1):
+                gd[" ".join(ws[j:j + DUPGRAM_K])][i] += 1
+        per = defaultdict(lambda: [0, 0])
+        for g, byh in gd.items():
+            dup = len(byh) >= 2
+            for i, npos in byh.items():
+                per[i][0] += npos
+                if dup:
+                    per[i][1] += npos
+        want = (
+            pd.DataFrame(
+                [(i, a, b) for i, (a, b) in per.items()],
+                columns=["doc_id", "n_grams", "n_dup"],
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
+        assert got["n_dup"].sum() > 0  # shared passage detected
+        # docs under K tokens emit no row
+        assert len(docs) - 3 == len(got)
