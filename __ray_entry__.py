@@ -88,7 +88,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "hits", "snap_points",
+    "cocitation", "hits", "kcore", "snap_points",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -322,6 +322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities: K=3 exact fixed-point rounds
         # (broadcast vectors <= 2M nodes, shuffle-join plan at scale)
         "hits": grq.q_hits,
+        # 3-core peeling to the true fixpoint (raises past the
+        # unrolled-oracle round budget; broadcast + shuffle plans)
+        "kcore": grq.q_kcore,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -368,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,
+        "kcore": grq.SQL_KCORE,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "contamination": cq.SQL_CONTAMINATION,

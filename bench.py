@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "pmi_bigrams",
     "snap_points",
     "dup_ngram_spans",
+    "kcore",
 ]
 
 

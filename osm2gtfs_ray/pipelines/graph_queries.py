@@ -857,3 +857,76 @@ ORDER BY doc_id"""
 
 
 SQL_HITS = f"WITH {_sql_hits()}"
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (ops/kcore.py) — iterative peeling, K = 3
+# ---------------------------------------------------------------------------
+# The oracle unrolls KCORE_SQL_ROUNDS peeling rounds (filtered edge
+# set -> degree count -> >= K survivors, all MATERIALIZED); once the
+# peel converges the remaining rounds are no-ops, and the engine
+# RAISES if the true fixpoint needs more rounds than the oracle
+# budget (the DP_SQL_LEVELS discipline — divergence can never be
+# silent). Peeling on this graph family converges in <= 15 rounds at
+# 50k nodes (round count grows ~log n); 24 gives margin.
+
+KCORE_K = 3
+KCORE_SQL_ROUNDS = 24
+
+
+def build_und_edges(sf_dir: str):
+    """Deduped undirected pairs (a < b) of the link graph — one
+    pair-hash sharded dedup over the synthesized edge stream."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    n = _n_docs(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": a[keep], "b": b[keep]})
+
+    return sharded_map_groups(
+        build_link_graph(sf_dir).map_batches(undirect, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda g: g.drop_duplicates(["a", "b"]),
+        n_shards=max(8, min(256, 2 * n // 250_000 + 1)),
+    )
+
+
+def q_kcore(sf_dir: str):
+    """(doc_id, deg_core) for every node of the 3-core, deg_core its
+    degree within the core (>= 3 by definition)."""
+    from osm2gtfs_ray.ops.kcore import kcore
+
+    n = _n_docs(sf_dir)
+    return kcore(
+        build_und_edges(sf_dir), n, KCORE_K, max_rounds=KCORE_SQL_ROUNDS
+    )
+
+
+def _sql_kcore() -> str:
+    k, r = KCORE_K, KCORE_SQL_ROUNDS
+    parts = [f"""
+d1 AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+a1 AS MATERIALIZED (SELECT node FROM d1 WHERE dg >= {k})"""]
+    for i in range(2, r + 1):
+        parts.append(f"""
+e{i} AS MATERIALIZED (SELECT u.a, u.b FROM und u
+  JOIN a{i - 1} x ON x.node = u.a JOIN a{i - 1} y ON y.node = u.b),
+d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS dg FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg >= {k})""")
+    return f"""{_sql_edges()},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                            GREATEST(src, dst) AS b
+                     FROM edges WHERE src <> dst),
+{','.join(parts)}
+SELECT node AS doc_id, CAST(dg AS BIGINT) AS deg_core
+FROM d{r} WHERE dg >= {k} ORDER BY doc_id"""
+
+
+SQL_KCORE = f"WITH {_sql_kcore()}"

@@ -529,3 +529,78 @@ class TestHits:
         # mutual reinforcement is non-degenerate: scores differ
         assert got["hub_fp"].nunique() > 10
         assert got["auth_fp"].nunique() > 10
+
+
+class TestKCore:
+    """3-core peeling vs a brute numpy peel loop; plan equivalence;
+    round-budget guard raises. SQL gate: `kcore` (unrolled rounds)."""
+
+    def _brute(self, n, k=3):
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        s, d = e["src"].to_numpy(), e["dst"].to_numpy()
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        key = np.unique(a[a != b].astype(np.int64) * n + b[a != b])
+        a, b = key // n, key % n
+        alive = np.ones(n, dtype=bool)
+        while True:
+            m = alive[a] & alive[b]
+            deg = np.bincount(a[m], minlength=n) + np.bincount(b[m], minlength=n)
+            drop = alive & (deg < k)
+            if not drop.any():
+                return np.flatnonzero(alive), deg[alive]
+            alive &= ~drop
+
+    def test_matches_brute_and_plans_agree(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.ops.kcore import kcore_shuffle
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            KCORE_K,
+            build_und_edges,
+            q_kcore,
+        )
+
+        n = 300
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_kcore(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ids, deg = self._brute(n, KCORE_K)
+        assert got["doc_id"].to_numpy().tolist() == ids.tolist()
+        assert got["deg_core"].to_numpy().tolist() == deg.tolist()
+        assert (got["deg_core"] >= KCORE_K).all() and len(got) > 0
+
+        sh = (
+            kcore_shuffle(build_und_edges(str(tmp_path)), KCORE_K,
+                          num_partitions=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sh.astype(got.dtypes.to_dict()).equals(got)
+
+    def test_round_budget_raises(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            KCORE_K,
+            build_und_edges,
+        )
+        from osm2gtfs_ray.ops.kcore import kcore_broadcast
+
+        n = 300
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        with _pytest.raises(RuntimeError, match="max_rounds"):
+            kcore_broadcast(build_und_edges(str(tmp_path)), n, KCORE_K,
+                            max_rounds=1)
