@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "snap_points",
     "dup_ngram_spans",
     "kcore",
+    "shape_length",
 ]
 
 

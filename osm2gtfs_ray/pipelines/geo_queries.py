@@ -1030,3 +1030,92 @@ best AS (
 SELECT point_id, shape_id, seq, d2 FROM best WHERE rn = 1
 ORDER BY point_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-shape polyline length — exact integer metric via corrected isqrt
+# --------------------------------------------------------------------------
+# The route-length rollup (reference: shapes_creator emits per-route
+# shape geometry; length is its first derived stat). Exact semantics:
+# len_e4 = sum over segments of isqrt(dx^2 + dy^2) — the floored
+# integer square root per segment. Both sides compute isqrt EXACTLY:
+# float sqrt gives a seed r = floor(sqrt(x)) that can be off by one
+# ULP; the +/-1 correction (r -= r*r > x; r += (r+1)^2 <= x) makes it
+# the true integer root for any x < 2^52, which seg_len2 <= 2e8 is
+# comfortably under (agreement fuzz-tested in tests + the SQL gate).
+# One shape-hash shuffle; adjacent-pair diffs vectorized per shard.
+
+def q_shape_length(sf_dir: str):
+    """(shape_id, n_segs, len_e4) per synthetic shape."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        sid, seq, x, y = synth_shape_points(t["event_id"].to_numpy())
+        return pa.table({"shape_id": sid, "seq": seq, "x_e4": x, "y_e4": y})
+
+    pts = ev.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+    def lengths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shape_id", "seq"], kind="mergesort")
+        sid = g["shape_id"].to_numpy(np.int64)
+        seq = g["seq"].to_numpy(np.int64)
+        x = g["x_e4"].to_numpy(np.int64)
+        y = g["y_e4"].to_numpy(np.int64)
+        m = (sid[1:] == sid[:-1]) & (seq[1:] == seq[:-1] + 1)
+        i = np.flatnonzero(m)
+        dx, dy = x[i + 1] - x[i], y[i + 1] - y[i]
+        d2 = dx * dx + dy * dy
+        r = np.floor(np.sqrt(d2.astype(np.float64))).astype(np.int64)
+        r = r - (r * r > d2) + ((r + 1) * (r + 1) <= d2)
+        out = pd.DataFrame({"shape_id": sid[i], "len": r})
+        agg = out.groupby("shape_id", sort=False)["len"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "shape_id": agg.index.to_numpy(np.int64),
+                "n_segs": agg["size"].to_numpy(np.int64),
+                "len_e4": agg["sum"].to_numpy(np.int64),
+            }
+        )
+
+    return sharded_map_groups(pts, "shape_id", lengths)
+
+
+def sql_shape_length() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    base_y = _s_uint("sidu", _S_SLAT, 1_200_000)
+    base_x = _s_uint("sidu", _S_SLON, 3_400_000)
+    wy = _s_uint("eid", _S_WLAT, _WANDER)
+    wx = _s_uint("eid", _S_WLON, _WANDER)
+    d2 = ("(CAST(b.x_e4 - a.x_e4 AS BIGINT) * (b.x_e4 - a.x_e4)"
+          " + CAST(b.y_e4 - a.y_e4 AS BIGINT) * (b.y_e4 - a.y_e4))")
+    r0 = f"CAST(FLOOR(SQRT(CAST({d2} AS DOUBLE))) AS BIGINT)"
+    return f"""
+WITH raw AS (
+  SELECT CAST(event_id AS UBIGINT) AS eid,
+         CAST(event_id % {N_SHAPES} AS UBIGINT) AS sidu,
+         CAST(event_id % {N_SHAPES} AS BIGINT) AS shape_id,
+         CAST(event_id // {N_SHAPES} AS BIGINT) AS seq
+  FROM events WHERE event_id // {N_SHAPES} < {SHAPE_PTS}
+),
+pts AS MATERIALIZED (
+  SELECT shape_id, seq,
+         ({base_x}) - 1700000 + ({wx}) - 5000 AS x_e4,
+         ({base_y}) - 600000 + ({wy}) - 5000 AS y_e4
+  FROM raw
+),
+seg AS (
+  SELECT a.shape_id,
+         {r0} - CASE WHEN {r0} * {r0} > {d2} THEN 1 ELSE 0 END
+              + CASE WHEN ({r0} + 1) * ({r0} + 1) <= {d2} THEN 1 ELSE 0 END
+           AS seg_len
+  FROM pts a JOIN pts b ON b.shape_id = a.shape_id AND b.seq = a.seq + 1
+)
+SELECT shape_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(seg_len) AS BIGINT) AS len_e4
+FROM seg GROUP BY shape_id ORDER BY shape_id
+"""

@@ -516,3 +516,64 @@ class TestSnapPoints:
         # floored interior term: p=(1,1) on (0,0)-(3,1): d_a=2,
         # t_num=4, t_den=10 -> 2 - 16//10 = 1 (exact would be 0.4)
         assert _snap_d2(a + 1, a + 1, a, a, a + 3, a + 1)[0] == 1
+
+
+class TestShapeLength:
+    """Exact corrected-isqrt polyline length vs a scalar reference;
+    isqrt fuzz vs math.isqrt. SQL gate: `shape_length`."""
+
+    def test_isqrt_correction_exact(self):
+        import math
+
+        rng = np.random.default_rng(3)
+        x = np.concatenate(
+            [rng.integers(0, 2 * 10**8, 50_000),
+             np.array([0, 1, 2, 3, 4, 2 * 10**8 - 1])]
+        ).astype(np.int64)
+        r = np.floor(np.sqrt(x.astype(np.float64))).astype(np.int64)
+        r = r - (r * r > x) + ((r + 1) * (r + 1) <= x)
+        want = np.array([math.isqrt(int(v)) for v in x[:200]])
+        assert (r[:200] == want).all()
+        assert ((r * r <= x) & ((r + 1) * (r + 1) > x)).all()
+
+    def test_matches_scalar_reference(self, ray_session, tmp_path):
+        import math
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            N_SHAPES,
+            SHAPE_PTS,
+            q_shape_length,
+            synth_shape_points,
+        )
+
+        n_ev = N_SHAPES * SHAPE_PTS
+        pq.write_table(
+            pa.table({"event_id": np.arange(n_ev, dtype=np.int64)}),
+            tmp_path / "events.parquet",
+        )
+        got = (
+            q_shape_length(str(tmp_path))
+            .to_pandas()
+            .sort_values("shape_id")
+            .reset_index(drop=True)
+        )
+        sid, seq, x, y = synth_shape_points(np.arange(n_ev, dtype=np.uint64))
+        o = np.lexsort((seq, sid))
+        sid, x, y = sid[o], x[o], y[o]
+        want = {}
+        for s in np.unique(sid):
+            m = sid == s
+            xs, ys = x[m], y[m]
+            tot = sum(
+                math.isqrt(int((xs[i + 1] - xs[i]) ** 2 + (ys[i + 1] - ys[i]) ** 2))
+                for i in range(len(xs) - 1)
+            )
+            want[int(s)] = (len(xs) - 1, tot)
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            ns, ln = want[int(row["shape_id"])]
+            assert row["n_segs"] == ns and row["len_e4"] == ln
