@@ -1171,9 +1171,10 @@ def q_dup_ngram_spans(sf_dir: str):
 
     def per_gram(g: pd.DataFrame) -> pd.DataFrame:
         # (g, doc_id) pairs are globally unique -> group size IS the
-        # gram's document frequency
+        # gram's document frequency; pre-reduce per doc inside the
+        # shard so the doc shuffle moves O(docs) not O(grams) rows
         dfreq = g.groupby("g", sort=False)["doc_id"].transform("size")
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(np.int64),
                 "npos": g["npos"].to_numpy(np.int64),
@@ -1181,21 +1182,28 @@ def q_dup_ngram_spans(sf_dir: str):
                                  g["npos"].to_numpy(np.int64), 0),
             }
         )
+        return out.groupby("doc_id", sort=False, as_index=False)[
+            ["npos", "ndup"]
+        ].sum()
 
     mid = sharded_map_groups(parts, "g", per_gram)
-    agg = mid.groupby("doc_id").aggregate(
-        Sum("npos", alias_name="n_grams"), Sum("ndup", alias_name="n_dup")
-    )
-    return agg.map_batches(
-        lambda t: pa.table(
+
+    # second sharded pass instead of a Ray groupby: the hash-shuffle
+    # Aggregate spun ~6x longer than the whole rest of the query on
+    # this 5k-key table (measured 30s -> 4.7s end-to-end at sf0.1)
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False, as_index=False)[
+            ["npos", "ndup"]
+        ].sum()
+        return pd.DataFrame(
             {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "n_grams": pc.cast(t["n_grams"], pa.int64()),
-                "n_dup": pc.cast(t["n_dup"], pa.int64()),
+                "doc_id": agg["doc_id"].to_numpy(np.int64),
+                "n_grams": agg["npos"].to_numpy(np.int64),
+                "n_dup": agg["ndup"].to_numpy(np.int64),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return sharded_map_groups(mid, "doc_id", per_doc)
 
 
 SQL_DUP_NGRAM_SPANS = rf"""
