@@ -75,7 +75,7 @@ _GATE_ORDER = [
     "simhash", "sessionize", "token_stats", "window_event_stats",
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
-    "triangles", "shape_length",
+    "triangles", "shape_length", "hotspots",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -314,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snap_points": gq.q_snap_points,
         # per-shape polyline length (exact corrected-isqrt metric)
         "shape_length": gq.q_shape_length,
+        # density-peak detection: 8-neighbor NMS over entity cells
+        "hotspots": gq.q_hotspots,
         # domain co-citation pairs (2-hop link similarity, capped
         # per-target pair enumeration)
         "cocitation": grq.q_cocitation,
@@ -371,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_smooth": gq.SQL_CELL_SMOOTH,
         "snap_points": gq.sql_snap_points(),
         "shape_length": gq.sql_shape_length(),
+        "hotspots": gq.sql_hotspots(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,

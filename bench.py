@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dup_ngram_spans",
     "kcore",
     "shape_length",
+    "hotspots",
 ]
 
 

@@ -1119,3 +1119,178 @@ SELECT shape_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
        CAST(SUM(seg_len) AS BIGINT) AS len_e4
 FROM seg GROUP BY shape_id ORDER BY shape_id
 """
+
+
+# --------------------------------------------------------------------------
+# Hotspot detection: non-maximum suppression over the density grid
+# --------------------------------------------------------------------------
+# A cell is a hotspot iff its GEO-ENTITY count is >= HOT_MIN and no
+# cell of its 8-neighborhood (lon wraps, lat clamps — off-grid
+# neighbors hold 0) beats it, where "beats" is the deterministic
+# lexicographic order (n, lower cell id wins ties) — plateau ties
+# can't yield two adjacent hotspots. Entities (the flagship's
+# hot-centered page positions, sources/pages._entity_latlon) actually
+# CLUSTER, so the NMS has real peaks to find — the event stream is
+# uniform by construction and would be vacuous here.
+#
+# Plans: 'local' densifies the bounded grid once and compares 8
+# shifted (value, id) views; 'shuffle' emits each cell's (n, id) to
+# its 9 neighbor targets and resolves per target in ONE bounded
+# groupby — the grid-too-fine-to-densify path. Corpus is touched by
+# exactly one shuffle (the per-cell count groupby).
+
+HOT_MIN = 5
+
+
+def _entity_cell_counts(sf_dir: str):
+    """(cell_rm, n): per-grid-cell count of synthesized geo entities
+    (same fan / position streams as the flagship + its SQL oracle)."""
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.sources.pages import _flat_ranges, _uint
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n_ent = _uint(did, 3, 42, 4)
+        d = np.repeat(did, n_ent)
+        j = _flat_ranges(n_ent).astype(np.uint64)
+        eidx = d * np.uint64(8) + j
+        lat, lon = pg._entity_latlon(eidx, 42)
+        lat, lon = np.round(lat, 6), np.round(lon, 6)
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        g = (
+            pa.table({"cell_rm": iy * nx + ix})
+            .group_by("cell_rm")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell_rm", "partial"])
+
+    return (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_rm")
+        .aggregate(Sum("partial", alias_name="n"))
+    )
+
+
+def q_hotspots(sf_dir: str, plan: str = "local"):
+    """(cell_rm, n) for every NMS-surviving density peak."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    counts = _entity_cell_counts(sf_dir)  # one corpus shuffle
+
+    if plan == "local":
+
+        def nms(t: pa.Table) -> pa.Table:
+            key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+            n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+            grid = np.zeros((ny, nx), dtype=np.int64)
+            grid[key // nx, key % nx] = n
+            cid = (np.arange(ny)[:, None] * nx + np.arange(nx)[None, :]).astype(
+                np.int64
+            )
+            beaten = np.zeros((ny, nx), dtype=bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nbv = np.zeros_like(grid)
+                    nbi = np.full((ny, nx), np.int64(1) << 60)
+                    src_v = np.roll(grid, -dx, axis=1)
+                    src_i = np.roll(cid, -dx, axis=1)
+                    if dy < 0:
+                        nbv[1:], nbi[1:] = src_v[:-1], src_i[:-1]
+                    elif dy > 0:
+                        nbv[:-1], nbi[:-1] = src_v[1:], src_i[1:]
+                    else:
+                        nbv, nbi = src_v, src_i
+                    beaten |= (nbv > grid) | ((nbv == grid) & (nbi < cid))
+            hot = (grid >= HOT_MIN) & ~beaten
+            iy, ix = np.nonzero(hot)
+            return pa.table(
+                {"cell_rm": iy * nx + ix, "n": grid[iy, ix]}
+            )
+
+        return counts.repartition(1).map_batches(
+            nms, batch_format="pyarrow", batch_size=None
+        )
+
+    # shuffle plan: every cell sends (n, id) to its 9 targets
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        tk, sv, si, ctr = [], [], [], []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                tgt = (iy[ok] + dy) * nx + (ix[ok] + dx + nx) % nx
+                tk.append(tgt)
+                sv.append(n[ok])
+                si.append(key[ok])
+                ctr.append(
+                    np.full(ok.sum(), dy == 0 and dx == 0, dtype=bool)
+                )
+        return pa.table(
+            {
+                "tgt": np.concatenate(tk),
+                "v": np.concatenate(sv),
+                "src": np.concatenate(si),
+                "is_center": np.concatenate(ctr),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        c = g[g["is_center"] & (g["tgt"] == g["src"])]
+        nb = g[~g["is_center"]]
+        cv = c.set_index("tgt")["v"]
+        m = nb.merge(cv.rename("cv"), left_on="tgt", right_index=True)
+        beat = (m["v"] > m["cv"]) | ((m["v"] == m["cv"]) & (m["src"] < m["tgt"]))
+        beaten = set(m.loc[beat, "tgt"].to_numpy())
+        keep = c[(c["v"] >= HOT_MIN) & ~c["tgt"].isin(beaten)]
+        return pd.DataFrame(
+            {
+                "cell_rm": keep["tgt"].to_numpy(np.int64),
+                "n": keep["v"].to_numpy(np.int64),
+            }
+        )
+
+    return sharded_map_groups(
+        counts.map_batches(emit, batch_format="pyarrow"), "tgt", resolve
+    )
+
+
+SQL_HOTSPOTS_TEMPLATE = """
+WITH {entities},
+c AS MATERIALIZED (
+  SELECT LEAST(CAST(FLOOR(((p.lat + 90.0) / 180.0) * 128) AS BIGINT), 127) AS iy,
+         LEAST(CAST(FLOOR(((p.lon + 180.0) / 360.0) * 256) AS BIGINT), 255) AS ix,
+         COUNT(*) AS n
+  FROM pts p GROUP BY 1, 2
+),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+SELECT c.iy * 256 + c.ix AS cell_rm, CAST(c.n AS BIGINT) AS n
+FROM c
+WHERE c.n >= {hot_min} AND NOT EXISTS (
+  SELECT 1 FROM o JOIN c nb
+    ON nb.iy = c.iy + o.dy
+   AND nb.ix = (c.ix + o.dx + 256) % 256
+  WHERE nb.n > c.n
+     OR (nb.n = c.n AND nb.iy * 256 + nb.ix < c.iy * 256 + c.ix)
+)
+ORDER BY cell_rm
+"""
+
+
+def sql_hotspots() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _entity_ctes
+
+    return SQL_HOTSPOTS_TEMPLATE.format(
+        entities=_entity_ctes(), hot_min=HOT_MIN
+    )

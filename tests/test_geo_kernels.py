@@ -577,3 +577,57 @@ class TestShapeLength:
         for _, row in got.iterrows():
             ns, ln = want[int(row["shape_id"])]
             assert row["n_segs"] == ns and row["len_e4"] == ln
+
+
+class TestHotspots:
+    """NMS density peaks: plan equivalence, hot-center recovery, and
+    tie/suppression semantics on a hand grid. SQL gate: `hotspots`."""
+
+    def test_finds_hot_centers_and_plans_agree(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import CELL_LEVEL, q_hotspots
+        from osm2gtfs_ray.sources.pages import HOT_CENTERS
+
+        sf = "/root/testdata/sf0.001"
+        nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+
+        def canon(ds):
+            return ds.to_pandas().sort_values("cell_rm").reset_index(drop=True)
+
+        a = canon(q_hotspots(sf, plan="local"))
+        b = canon(q_hotspots(sf, plan="shuffle"))
+        assert b.astype(a.dtypes.to_dict()).equals(a)
+        # every hot center's cell is among the detected peaks
+        want = set()
+        for lat, lon in HOT_CENTERS:
+            ix = min(int(((lon + 180.0) / 360.0) * nx), nx - 1)
+            iy = min(int(((lat + 90.0) / 180.0) * ny), ny - 1)
+            want.add(iy * nx + ix)
+        assert want <= set(a["cell_rm"].tolist())
+
+    def test_tie_break_suppression(self):
+        """Two adjacent equal-count peaks: only the lower cell id
+        survives (the deterministic plateau rule)."""
+        nx, ny = 256, 128
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        grid[10, 10] = 7
+        grid[10, 11] = 7  # adjacent tie
+        grid[50, 50] = 7  # isolated peak
+        cid = (np.arange(ny)[:, None] * nx + np.arange(nx)[None, :]).astype(np.int64)
+        beaten = np.zeros((ny, nx), dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nbv = np.zeros_like(grid)
+                nbi = np.full((ny, nx), np.int64(1) << 60)
+                sv = np.roll(grid, -dx, axis=1)
+                si = np.roll(cid, -dx, axis=1)
+                if dy < 0:
+                    nbv[1:], nbi[1:] = sv[:-1], si[:-1]
+                elif dy > 0:
+                    nbv[:-1], nbi[:-1] = sv[1:], si[1:]
+                else:
+                    nbv, nbi = sv, si
+                beaten |= (nbv > grid) | ((nbv == grid) & (nbi < cid))
+        hot = (grid >= 5) & ~beaten
+        assert set(zip(*np.nonzero(hot))) == {(10, 10), (50, 50)}
