@@ -88,7 +88,7 @@ _GATE_ORDER = [
     "quantile_price_sketch", "daily_active_users", "dup_components",
     "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
     "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "hits", "kcore", "snap_points",
+    "cocitation", "hits", "kcore", "snap_points", "grid_clusters",
     "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
     "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
     "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
@@ -316,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_length": gq.q_shape_length,
         # density-peak detection: 8-neighbor NMS over entity cells
         "hotspots": gq.q_hotspots,
+        # DBSCAN-lite: 8-connected components of dense entity cells
+        "grid_clusters": gq.q_grid_clusters,
         # domain co-citation pairs (2-hop link similarity, capped
         # per-target pair enumeration)
         "cocitation": grq.q_cocitation,
@@ -374,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "snap_points": gq.sql_snap_points(),
         "shape_length": gq.sql_shape_length(),
         "hotspots": gq.sql_hotspots(),
+        "grid_clusters": gq.sql_grid_clusters(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,

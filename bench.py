@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "kcore",
     "shape_length",
     "hotspots",
+    "grid_clusters",
 ]
 
 

@@ -1294,3 +1294,124 @@ def sql_hotspots() -> str:
     return SQL_HOTSPOTS_TEMPLATE.format(
         entities=_entity_ctes(), hot_min=HOT_MIN
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite): connected components of core
+# cells under 8-adjacency
+# --------------------------------------------------------------------------
+# Core cells = grid cells holding >= CLUSTER_MINPTS entities; clusters
+# = 8-connected components of core cells (lon wraps, lat clamps), the
+# grid formulation of density clustering (each cluster labeled by its
+# min cell id — deterministic). Reference analogue: the reference's
+# greedy 500 m stop clustering (ops/cluster.py, G5) is the pointwise
+# version; this is the raster version that scales to planetary grids.
+#
+# Scale plan: ONE corpus shuffle (entity cell counts); the core-cell
+# table is bounded by the GRID (32768 cells at level 8), never the
+# corpus, so the 9-target adjacency emit + per-target shard resolve +
+# ops/components CC all run on bounded data no matter the input size.
+
+CLUSTER_MINPTS = 2
+
+
+def q_grid_clusters(sf_dir: str):
+    """(cell_rm, cluster_id, n) per core cell; cluster_id = min cell
+    of its 8-connected core component."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.components import connected_components
+    from osm2gtfs_ray.ops.joins import broadcast_join
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    core = _entity_cell_counts(sf_dir).filter(
+        expr=f"n >= {CLUSTER_MINPTS}"
+    ).materialize()  # bounded by the grid; reused by CC + final join
+
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        tk, sk = [], []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                tk.append((iy[ok] + dy) * nx + (ix[ok] + dx + nx) % nx)
+                sk.append(key[ok])
+        return pa.table({"tgt": np.concatenate(tk), "src": np.concatenate(sk)})
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # a (tgt, src) row is an adjacency edge iff tgt is itself core;
+        # the (0,0) self-emission marks exactly the core targets
+        is_core = set(g.loc[g["tgt"] == g["src"], "tgt"].to_numpy())
+        keep = g[g["tgt"].isin(is_core)]
+        return pd.DataFrame(
+            {"a": keep["tgt"].to_numpy(np.int64),
+             "b": keep["src"].to_numpy(np.int64)}
+        )
+
+    pairs = sharded_map_groups(
+        core.map_batches(emit, batch_format="pyarrow"), "tgt", resolve
+    )
+    labels = connected_components(pairs)
+
+    out = broadcast_join(
+        labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "cell_rm": pc.cast(t["node"], pa.int64()),
+                    "cluster_id": pc.cast(t["component"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        core,  # grid-bounded small side
+        "cell_rm",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GRID_CLUSTERS_TEMPLATE = """
+WITH RECURSIVE {entities},
+c AS MATERIALIZED (
+  SELECT LEAST(CAST(FLOOR(((p.lat + 90.0) / 180.0) * 128) AS BIGINT), 127) AS iy,
+         LEAST(CAST(FLOOR(((p.lon + 180.0) / 360.0) * 256) AS BIGINT), 255) AS ix,
+         COUNT(*) AS n
+  FROM pts p GROUP BY 1, 2
+),
+core AS MATERIALIZED (
+  SELECT iy * 256 + ix AS cell, iy, ix, n FROM c WHERE n >= {minpts}
+),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+adj AS MATERIALIZED (
+  SELECT a.cell AS a, b.cell AS b
+  FROM core a JOIN o ON TRUE
+  JOIN core b ON b.iy = a.iy + o.dy AND b.ix = (a.ix + o.dx + 256) % 256
+),
+reach(node, m) AS (
+  SELECT a, b FROM adj
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN adj s ON r.m = s.a
+)
+SELECT r.node AS cell_rm, CAST(MIN(r.m) AS BIGINT) AS cluster_id,
+       CAST(core.n AS BIGINT) AS n
+FROM reach r JOIN core ON core.cell = r.node
+GROUP BY r.node, core.n ORDER BY cell_rm
+"""
+
+
+def sql_grid_clusters() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _entity_ctes
+
+    return SQL_GRID_CLUSTERS_TEMPLATE.format(
+        entities=_entity_ctes(), minpts=CLUSTER_MINPTS
+    )

@@ -631,3 +631,53 @@ class TestHotspots:
                 beaten |= (nbv > grid) | ((nbv == grid) & (nbi < cid))
         hot = (grid >= 5) & ~beaten
         assert set(zip(*np.nonzero(hot))) == {(10, 10), (50, 50)}
+
+
+class TestGridClusters:
+    """DBSCAN-lite cluster invariants via an independent flood fill
+    over the core-cell set. SQL gate: `grid_clusters` (recursive-CTE
+    transitive closure)."""
+
+    def test_flood_fill_reference(self, ray_session):
+        from collections import deque
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            CELL_LEVEL,
+            q_grid_clusters,
+        )
+
+        nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+        got = (
+            q_grid_clusters("/root/testdata/sf0.01")
+            .to_pandas()
+            .sort_values("cell_rm")
+            .reset_index(drop=True)
+        )
+        cells = set(got["cell_rm"].tolist())
+        # independent BFS flood fill with wrap/clamp adjacency
+        label = {}
+        for start in sorted(cells):
+            if start in label:
+                continue
+            comp = [start]
+            q, seen = deque([start]), {start}
+            while q:
+                c = q.popleft()
+                iy, ix = c // nx, c % nx
+                for dy in (-1, 0, 1):
+                    if not (0 <= iy + dy < ny):
+                        continue
+                    for dx in (-1, 0, 1):
+                        nb = (iy + dy) * nx + (ix + dx + nx) % nx
+                        if nb in cells and nb not in seen:
+                            seen.add(nb)
+                            q.append(nb)
+                            comp.append(nb)
+            root = min(comp)
+            for c in comp:
+                label[c] = root
+        want = got["cell_rm"].map(label)
+        assert (got["cluster_id"] == want).all()
+        assert (got["n"] >= 2).all()
+        # at least one multi-cell cluster exists at this sf
+        assert got["cluster_id"].duplicated().any()
