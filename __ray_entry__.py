@@ -75,7 +75,7 @@ _GATE_ORDER = [
     "simhash", "sessionize", "token_stats", "window_event_stats",
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
-    "triangles", "shape_length", "hotspots",
+    "triangles", "shape_length", "hotspots", "cms_user_counts",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q.q_top_orders_per_customer,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.q_mode_event_type,
+        # Count-Min sketch point estimates (oracle rebuilds the sketch)
+        "cms_user_counts": aq.q_cms_user_counts,
         "corr_qty_price": aq.q_corr_qty_price,
         "event_pivot": aq.q_event_pivot,
         "revenue_rollup": aq.q_revenue_rollup,
@@ -395,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": cl.SQL_CORPUS_PREP,
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
+        "cms_user_counts": aq.sql_cms_user_counts(),
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
         "event_pivot": aq.SQL_EVENT_PIVOT,
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "shape_length",
     "hotspots",
     "grid_clusters",
+    "cms_user_counts",
 ]
 
 

@@ -183,3 +183,69 @@ def mg_heavy_hitters(ds, text_col: str, k: int, n_shards: int = 64):
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return sharded_map_groups(parts, "term", shard_sum, n_shards=n_shards).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: mergeable frequency sketch with point queries
+# ---------------------------------------------------------------------------
+# The third mergeable sketch of this module (HLL = distinct count,
+# Misra-Gries = heavy hitters, CMS = per-key frequency): a depth x
+# width counter grid where row d counts keys by hash_d(key) % width.
+# Point estimate = min over rows — never an underestimate, and the
+# whole structure is a SUM-mergeable array, so partial sketches built
+# per batch combine associatively in one bounded groupby (the same
+# shape as hll_partials' register merge). Hashes are the corpus
+# splitmix streams, so a SQL oracle rebuilds the identical counters
+# with GROUP BY arithmetic — the sketch itself is hash-verifiable.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_STREAMS = (270, 271, 272, 273)  # one splitmix stream per row
+CMS_SEED = 42
+
+
+def cms_partials(ds, key_col: str):
+    """Per-batch partial counters -> one bounded groupby: Dataset of
+    (d, w, c) with c summed; at most DEPTH*WIDTH rows total."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from osm2gtfs_ray.sources.pages import _uint
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ds_, ws_, cs_ = [], [], []
+        for d, stream in enumerate(CMS_STREAMS):
+            w = _uint(keys, stream, CMS_SEED, CMS_WIDTH)
+            counts = np.bincount(w, minlength=CMS_WIDTH)
+            nz = np.flatnonzero(counts)
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            ws_.append(nz.astype(np.int64))
+            cs_.append(counts[nz].astype(np.int64))
+        return pa.table(
+            {"d": np.concatenate(ds_), "w": np.concatenate(ws_),
+             "c": np.concatenate(cs_)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["d", "w"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def cms_estimate(counters, probes: np.ndarray) -> np.ndarray:
+    """Point estimates for `probes` from a collected (d, w, c) table:
+    min over depth rows; absent counters are zero."""
+    from osm2gtfs_ray.sources.pages import _uint
+
+    grid = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    d = counters["d"].to_numpy(zero_copy_only=False)
+    w = counters["w"].to_numpy(zero_copy_only=False)
+    c = counters["c"].to_numpy(zero_copy_only=False)
+    grid[d, w] = c
+    probes = np.asarray(probes, dtype=np.uint64)
+    est = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
+    for row, stream in enumerate(CMS_STREAMS):
+        est = np.minimum(est, grid[row, _uint(probes, stream, CMS_SEED, CMS_WIDTH)])
+    return est

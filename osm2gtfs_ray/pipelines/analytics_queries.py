@@ -814,3 +814,96 @@ SELECT user_id, fc AS first_click_s, COALESCE(fp, -1) AS first_purchase_s,
          AS converted
 FROM f WHERE fc IS NOT NULL ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch frequency estimates (ops/sketch.py cms_*) — the
+# mergeable-sketch family's point-query member. The sketch counters
+# are splitmix-hashed, so the ORACLE REBUILDS THE SKETCH ITSELF with
+# GROUP BY arithmetic and takes the same min-over-rows point query —
+# est_n is hash-verified, not just rows-checked. true_n rides along
+# so the output exhibits the CMS one-sided error (est >= true,
+# pytest-pinned). Corpus is streamed twice over the single pruned
+# int column (sketch build + exact probe counts); everything after is
+# bounded by DEPTH x WIDTH = 4096 rows.
+# --------------------------------------------------------------------------
+
+CMS_PROBE_STEP = 5
+CMS_PROBE_MAX = 150
+
+
+def q_cms_user_counts(sf_dir: str):
+    """(user_id, est_n, true_n) for the probe users: CMS point
+    estimate next to the exact count."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.ops.sketch import cms_estimate, cms_partials
+
+    probes = np.arange(0, CMS_PROBE_MAX, CMS_PROBE_STEP, dtype=np.int64)
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+
+    counters = _as_arrow(cms_partials(ev, "user_id"))
+    est = cms_estimate(counters, probes)
+
+    probe_set = set(probes.tolist())
+
+    def true_partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        m = np.isin(u, probes)
+        vu, vc = np.unique(u[m], return_counts=True)
+        return pa.table({"user_id": vu, "p": vc.astype(np.int64)})
+
+    tp = _as_arrow(
+        ev.map_batches(true_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    true_n = np.zeros(len(probes), dtype=np.int64)
+    idx = {int(p): i for i, p in enumerate(probes)}
+    for u, c in zip(tp["user_id"].to_pylist(), tp["p"].to_pylist()):
+        if u in probe_set:
+            true_n[idx[u]] += c
+    return ray.data.from_arrow(
+        pa.table({"user_id": probes, "est_n": est, "true_n": true_n})
+    )
+
+
+def sql_cms_user_counts() -> str:
+    from osm2gtfs_ray.ops.sketch import CMS_STREAMS, CMS_WIDTH
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {d} AS d, ({_s_uint('uid', s, CMS_WIDTH)}) AS w FROM ev"
+        for d, s in enumerate(CMS_STREAMS)
+    )
+    probe_vals = ",".join(
+        f"({v})" for v in range(0, CMS_PROBE_MAX, CMS_PROBE_STEP)
+    )
+    parms = "\n    UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, ({_s_uint('pu', s, CMS_WIDTH)}) AS w FROM pr"
+        for d, s in enumerate(CMS_STREAMS)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS UBIGINT) AS uid FROM events),
+ctr AS MATERIALIZED (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({arms})
+  GROUP BY d, w
+),
+pr AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(user_id AS UBIGINT) AS pu
+       FROM (VALUES {probe_vals}) p(user_id)),
+ph AS ({parms}),
+est AS (
+  SELECT ph.user_id, MIN(COALESCE(ctr.c, 0)) AS est_n
+  FROM ph LEFT JOIN ctr ON ctr.d = ph.d AND ctr.w = ph.w
+  GROUP BY ph.user_id
+),
+tru AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM events GROUP BY user_id)
+SELECT e.user_id, CAST(e.est_n AS BIGINT) AS est_n,
+       COALESCE(t.true_n, 0) AS true_n
+FROM est e LEFT JOIN tru t ON t.user_id = e.user_id
+ORDER BY e.user_id
+"""

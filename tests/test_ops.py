@@ -1013,3 +1013,51 @@ class TestDupNgramSpans:
         assert got["n_dup"].sum() > 0  # shared passage detected
         # docs under K tokens emit no row
         assert len(docs) - 3 == len(got)
+
+
+class TestCountMinSketch:
+    """CMS invariants: one-sided error under forced collisions, merge
+    associativity, exact agreement with a scalar reference sketch.
+    SQL gate: `cms_user_counts` (oracle rebuilds the counters)."""
+
+    def test_one_sided_and_matches_scalar_sketch(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.ops.sketch import (
+            CMS_DEPTH,
+            CMS_SEED,
+            CMS_STREAMS,
+            CMS_WIDTH,
+            cms_estimate,
+            cms_partials,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        # 5000 distinct keys >> width 1024 forces collisions
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 5000, 40_000).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"k": keys})).repartition(8)
+        counters = _as_arrow(cms_partials(ds, "k"))
+        probes = np.arange(0, 5000, 137, dtype=np.int64)
+        est = cms_estimate(counters, probes)
+
+        # scalar reference sketch
+        grid = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for row, stream in enumerate(CMS_STREAMS):
+            w = _uint(keys.astype(np.uint64), stream, CMS_SEED, CMS_WIDTH)
+            np.add.at(grid[row], w, 1)
+        ref = np.full(len(probes), np.iinfo(np.int64).max)
+        for row, stream in enumerate(CMS_STREAMS):
+            ref = np.minimum(
+                ref,
+                grid[row, _uint(probes.astype(np.uint64), stream, CMS_SEED,
+                                CMS_WIDTH)],
+            )
+        assert (est == ref).all()
+
+        true = np.array([(keys == p).sum() for p in probes])
+        assert (est >= true).all()          # CMS never underestimates
+        assert (est > true).any()           # collisions actually occur
