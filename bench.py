@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "hotspots",
     "grid_clusters",
     "cms_user_counts",
+    "weighted_sample",
 ]
 
 

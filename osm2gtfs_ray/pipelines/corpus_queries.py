@@ -452,3 +452,68 @@ LIMIT {SAMPLE_K}
 
 
 SQL_CONSISTENT_SAMPLE = _sql_consistent_sample()
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sample: deterministic quality-weighted selection
+# --------------------------------------------------------------------------
+# The training-mix sampling primitive: pick K documents WITHOUT
+# replacement with probability increasing in weight (token count), as
+# a deterministic priority sample — priority_d = floor(u_d * SCALE /
+# w_d) with u_d a splitmix stream of doc_id, K smallest priorities
+# win (big weight => small priority => sampled). Integer arithmetic
+# end to end (u < 2^31, SCALE = 2^20 keeps products < 2^51), so the
+# sample is bit-stable across partitioning AND SQL-replicable — no
+# float pow(u, 1/w) drift. Distributive bottom-k: per-block partial
+# bottom-k, tiny driver final; the corpus streams once.
+
+WSAMPLE_K = 100
+WSAMPLE_STREAM = 274
+WSAMPLE_U_MOD = 1 << 31
+WSAMPLE_SCALE = 1 << 20
+
+
+def q_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """(doc_id, w, priority): the K sampled docs, weight = tokens+1."""
+    from osm2gtfs_ray.sources.pages import _uint
+    from osm2gtfs_ray.stages.text import token_count_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def block_bottomk(t: pa.Table) -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = token_count_arrow(t["text"]).to_numpy(zero_copy_only=False) + 1
+        u = _uint(did.astype(np.uint64), WSAMPLE_STREAM, 42, WSAMPLE_U_MOD)
+        pri = (u * np.int64(WSAMPLE_SCALE)) // w
+        df = pd.DataFrame({"doc_id": did, "w": w, "priority": pri})
+        return df.sort_values(["priority", "doc_id"], kind="mergesort").head(k)
+
+    tops = docs.map_batches(
+        block_bottomk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        tops.sort_values(["priority", "doc_id"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out.astype({"doc_id": "int64", "w": "int64", "priority": "int64"})
+
+
+def sql_weighted_sample() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    pri = (f"(({_s_uint('did', WSAMPLE_STREAM, WSAMPLE_U_MOD)})"
+           f" * {WSAMPLE_SCALE}) // w")
+    return rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS UBIGINT) AS did,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              + 1 AS BIGINT) AS w
+  FROM documents
+)
+SELECT doc_id, w, CAST({pri} AS BIGINT) AS priority
+FROM d
+ORDER BY priority, doc_id LIMIT {WSAMPLE_K}
+"""

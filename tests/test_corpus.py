@@ -255,3 +255,49 @@ class TestBM25:
                 assert row.doc_id == did
                 assert row.tf == tf
                 assert row.dl == dl
+
+
+class TestWeightedSample:
+    """Priority-sample properties: partition invariance, weight bias,
+    scalar-reference agreement. SQL gate: `weighted_sample`."""
+
+    def test_partition_invariant_and_biased(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.corpus_queries import (
+            WSAMPLE_SCALE,
+            WSAMPLE_STREAM,
+            WSAMPLE_U_MOD,
+            q_weighted_sample,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        n = 2000
+        rng = np.random.default_rng(5)
+        # half light (1 token), half heavy (40 tokens)
+        texts = [
+            "w" if i % 2 == 0 else " ".join(["w"] * 40) for i in range(n)
+        ]
+        pq.write_table(
+            pa.table(
+                {"doc_id": np.arange(n, dtype=np.int64),
+                 "text": pa.array(texts, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = q_weighted_sample(str(tmp_path), k=200).reset_index(drop=True)
+
+        # scalar reference over the whole table
+        w = np.where(np.arange(n) % 2 == 0, 2, 41).astype(np.int64)
+        u = _uint(np.arange(n, dtype=np.uint64), WSAMPLE_STREAM, 42,
+                  WSAMPLE_U_MOD)
+        pri = (u * np.int64(WSAMPLE_SCALE)) // w
+        order = np.lexsort((np.arange(n), pri))[:200]
+        assert got["doc_id"].tolist() == sorted(
+            order.tolist(),
+            key=lambda i: (int(pri[i]), i),
+        )
+        # heavy docs are strongly overrepresented (w ratio ~20x)
+        heavy = (got["doc_id"] % 2 == 1).sum()
+        assert heavy > 150
