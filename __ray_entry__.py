@@ -76,7 +76,7 @@ _GATE_ORDER = [
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
     "triangles", "shape_length", "hotspots", "cms_user_counts",
-    "weighted_sample",
+    "weighted_sample", "balanced_mix",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": cq.q_seq_pack,
         # deterministic weighted priority sample (integer keys)
         "weighted_sample": cq.q_weighted_sample,
+        # sqrt-quota temperature rebalance plan per language
+        "balanced_mix": cq.q_balanced_mix,
         "contamination": cq.q_contamination,
         "heavy_hitters": cq.q_heavy_hitters,
         "word_repetition": cq.q_word_repetition,
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "weighted_sample": cq.sql_weighted_sample(),
+        "balanced_mix": cq.sql_balanced_mix(),
         "contamination": cq.SQL_CONTAMINATION,
         "heavy_hitters": cq.SQL_HEAVY_HITTERS,
         "word_repetition": cq.SQL_WORD_REPETITION,

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "grid_clusters",
     "cms_user_counts",
     "weighted_sample",
+    "balanced_mix",
 ]
 
 

@@ -517,3 +517,120 @@ SELECT doc_id, w, CAST({pri} AS BIGINT) AS priority
 FROM d
 ORDER BY priority, doc_id LIMIT {WSAMPLE_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Temperature-balanced language mix: sqrt-quota subsampling plan
+# --------------------------------------------------------------------------
+# The multilingual-rebalance primitive (alpha = 0.5 temperature
+# sampling): head languages are downsampled toward sqrt(n) so the
+# tail keeps representation. quota_l = min(n_l, MIX_FACTOR *
+# isqrt(n_l)) with the corrected integer sqrt (shape_length's trick),
+# and a document is selected iff its splitmix draw clears the exact
+# threshold test u * n_l < quota_l * 2^31 — integer arithmetic only,
+# so membership is bit-stable and SQL-replicable. Two streams over
+# the pruned lang column: the per-language count, then the selection
+# count with the driver-computed quota table broadcast into the
+# filter closure (5 languages — bytes, not a shuffle).
+
+MIX_FACTOR = 8
+MIX_STREAM = 275
+MIX_U_MOD = 1 << 31
+
+
+def _isqrt64(x: np.ndarray) -> np.ndarray:
+    r = np.floor(np.sqrt(x.astype(np.float64))).astype(np.int64)
+    return r - (r * r > x) + ((r + 1) * (r + 1) <= x)
+
+
+def q_balanced_mix(sf_dir: str):
+    """(lang, n_docs, quota, n_selected) per language."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.sources.pages import _uint
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"lang": t["lang"]}).group_by("lang").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["lang", "c"])
+
+    counts = _as_arrow(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("c", alias_name="n_docs"))
+    )
+    langs = counts["lang"].to_pylist()
+    n_docs = counts["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    quota = np.minimum(n_docs, MIX_FACTOR * _isqrt64(n_docs))
+    nmap = dict(zip(langs, n_docs.tolist()))
+    qmap = dict(zip(langs, quota.tolist()))
+
+    def sel_partial(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lang = t["lang"].to_pylist()
+        u = _uint(did, MIX_STREAM, 42, MIX_U_MOD)
+        nl = np.array([nmap[x] for x in lang], dtype=np.int64)
+        ql = np.array([qmap[x] for x in lang], dtype=np.int64)
+        sel = u * nl < ql * np.int64(MIX_U_MOD)
+        g = (
+            pa.table({"lang": t["lang"], "s": sel.astype(np.int64)})
+            .group_by("lang")
+            .aggregate([("s", "sum")])
+        )
+        return g.rename_columns(["lang", "s"])
+
+    sel = _as_arrow(
+        docs.map_batches(sel_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("s", alias_name="n_selected"))
+    )
+    smap = dict(zip(sel["lang"].to_pylist(),
+                    sel["n_selected"].to_numpy(zero_copy_only=False).tolist()))
+    order = np.argsort(np.array(langs, dtype=object))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array([langs[i] for i in order], pa.string()),
+                "n_docs": pa.array([int(n_docs[i]) for i in order], pa.int64()),
+                "quota": pa.array([int(quota[i]) for i in order], pa.int64()),
+                "n_selected": pa.array(
+                    [int(smap[langs[i]]) for i in order], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def sql_balanced_mix() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    r0 = "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+    isq = (f"{r0} - CASE WHEN {r0} * {r0} > n_docs THEN 1 ELSE 0 END"
+           f" + CASE WHEN ({r0} + 1) * ({r0} + 1) <= n_docs THEN 1 ELSE 0 END")
+    u = _s_uint("did", MIX_STREAM, MIX_U_MOD)
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS UBIGINT) AS did, lang FROM documents),
+cnt AS MATERIALIZED (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY lang
+),
+q AS (SELECT lang, n_docs,
+             LEAST(n_docs, {MIX_FACTOR} * ({isq})) AS quota
+      FROM cnt),
+s AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_selected
+  FROM d JOIN q ON q.lang = d.lang
+  WHERE ({u}) * q.n_docs < q.quota * {MIX_U_MOD}
+  GROUP BY d.lang
+)
+SELECT q.lang, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
+       COALESCE(s.n_selected, 0) AS n_selected
+FROM q LEFT JOIN s ON s.lang = q.lang
+ORDER BY q.lang
+"""

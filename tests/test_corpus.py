@@ -301,3 +301,41 @@ class TestWeightedSample:
         # heavy docs are strongly overrepresented (w ratio ~20x)
         heavy = (got["doc_id"] % 2 == 1).sum()
         assert heavy > 150
+
+
+class TestBalancedMix:
+    """sqrt-quota rebalance: head language downsampled toward the
+    quota, membership bit-stable. SQL gate: `balanced_mix`."""
+
+    def test_quota_and_determinism(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.corpus_queries import (
+            MIX_FACTOR,
+            _isqrt64,
+            q_balanced_mix,
+        )
+
+        n_head, n_tail = 3000, 50
+        langs = ["en"] * n_head + ["xx"] * n_tail
+        pq.write_table(
+            pa.table(
+                {"doc_id": np.arange(len(langs), dtype=np.int64),
+                 "lang": pa.array(langs, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        a = q_balanced_mix(str(tmp_path)).to_pandas()
+        b = q_balanced_mix(str(tmp_path)).to_pandas()
+        assert a.equals(b)  # bit-stable
+        en = a[a["lang"] == "en"].iloc[0]
+        xx = a[a["lang"] == "xx"].iloc[0]
+        q_en = MIX_FACTOR * int(_isqrt64(np.array([n_head]))[0])
+        assert en["quota"] == q_en and en["quota"] < n_head  # downsampled
+        assert xx["quota"] == n_tail  # tail kept whole
+        assert xx["n_selected"] <= n_tail
+        # selection tracks quota within sampling noise (binomial ~5 sigma)
+        import math
+        sd = math.sqrt(q_en)
+        assert abs(int(en["n_selected"]) - q_en) < 5 * sd
