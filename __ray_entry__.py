@@ -76,7 +76,7 @@ _GATE_ORDER = [
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
     "triangles", "shape_length", "hotspots", "cms_user_counts",
-    "weighted_sample", "balanced_mix",
+    "weighted_sample", "balanced_mix", "tile_delta",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspots": gq.q_hotspots,
         # DBSCAN-lite: 8-connected components of dense entity cells
         "grid_clusters": gq.q_grid_clusters,
+        # per-tile recrawl delta (snapshot membership x entity cells)
+        "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
         # per-target pair enumeration)
         "cocitation": grq.q_cocitation,
@@ -384,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_length": gq.sql_shape_length(),
         "hotspots": gq.sql_hotspots(),
         "grid_clusters": gq.sql_grid_clusters(),
+        "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,

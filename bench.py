@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "cms_user_counts",
     "weighted_sample",
     "balanced_mix",
+    "tile_delta",
 ]
 
 

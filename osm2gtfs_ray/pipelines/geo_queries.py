@@ -1415,3 +1415,93 @@ def sql_grid_clusters() -> str:
     return SQL_GRID_CLUSTERS_TEMPLATE.format(
         entities=_entity_ctes(), minpts=CLUSTER_MINPTS
     )
+
+
+# --------------------------------------------------------------------------
+# Per-tile crawl delta: incremental tile maintenance between snapshots
+# --------------------------------------------------------------------------
+# The web-delta x geo-tile composition: for every density cell, how
+# many geo entities belong to crawl snapshot A vs snapshot B (the
+# SAME membership streams web_queries.crawl_delta diffs doc-by-doc),
+# i.e. which map tiles need re-rendering after an incremental
+# recrawl. One corpus pass computes both memberships per entity; the
+# single shuffle is the bounded per-cell groupby; cells untouched by
+# either snapshot emit nothing.
+
+def q_tile_delta(sf_dir: str):
+    """(cell_rm, n_a, n_b) per cell occupied by either snapshot."""
+    from osm2gtfs_ray.pipelines.web_queries import _S_IN_A, _S_IN_B
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.sources.pages import _flat_ranges, _uint
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        in_a = (_uint(did, _S_IN_A, 42, 10) != 0).astype(np.int64)
+        in_b = (_uint(did, _S_IN_B, 42, 10) != 0).astype(np.int64)
+        n_ent = _uint(did, 3, 42, 4)
+        d = np.repeat(did, n_ent)
+        a = np.repeat(in_a, n_ent)
+        b = np.repeat(in_b, n_ent)
+        j = _flat_ranges(n_ent).astype(np.uint64)
+        eidx = d * np.uint64(8) + j
+        lat, lon = pg._entity_latlon(eidx, 42)
+        lat, lon = np.round(lat, 6), np.round(lon, 6)
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        g = (
+            pa.table({"cell_rm": iy * nx + ix, "a": a, "b": b})
+            .group_by("cell_rm")
+            .aggregate([("a", "sum"), ("b", "sum")])
+        )
+        return g.rename_columns(["cell_rm", "pa_", "pb_"])
+
+    agg = (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_rm")
+        .aggregate(Sum("pa_", alias_name="n_a"), Sum("pb_", alias_name="n_b"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = pc.cast(t["n_a"], pa.int64())
+        nb = pc.cast(t["n_b"], pa.int64())
+        keep = pc.or_(pc.not_equal(na, 0), pc.not_equal(nb, 0))
+        out = pa.table(
+            {"cell_rm": pc.cast(t["cell_rm"], pa.int64()), "n_a": na, "n_b": nb}
+        ).filter(keep)
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TILE_DELTA_TEMPLATE = """
+WITH {entities},
+m AS (SELECT did,
+             ({in_a}) <> 0 AS in_a,
+             ({in_b}) <> 0 AS in_b
+      FROM docs),
+c AS (
+  SELECT LEAST(CAST(FLOOR(((p.lat + 90.0) / 180.0) * 128) AS BIGINT), 127) AS iy,
+         LEAST(CAST(FLOOR(((p.lon + 180.0) / 360.0) * 256) AS BIGINT), 255) AS ix,
+         CAST(SUM(CASE WHEN m.in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN m.in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM pts p JOIN m ON m.did = p.did
+  GROUP BY 1, 2
+)
+SELECT iy * 256 + ix AS cell_rm, n_a, n_b
+FROM c WHERE n_a <> 0 OR n_b <> 0
+ORDER BY cell_rm
+"""
+
+
+def sql_tile_delta() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _entity_ctes, _s_uint
+    from osm2gtfs_ray.pipelines.web_queries import _S_IN_A, _S_IN_B
+
+    return SQL_TILE_DELTA_TEMPLATE.format(
+        entities=_entity_ctes(),
+        in_a=_s_uint("did", _S_IN_A, 10),
+        in_b=_s_uint("did", _S_IN_B, 10),
+    )

@@ -681,3 +681,30 @@ class TestGridClusters:
         assert (got["n"] >= 2).all()
         # at least one multi-cell cluster exists at this sf
         assert got["cluster_id"].duplicated().any()
+
+
+class TestTileDelta:
+    """Per-tile snapshot delta invariants vs the doc-level crawl
+    delta: tile-level totals must equal the entity counts of each
+    snapshot's doc set. SQL gate: `tile_delta`."""
+
+    def test_totals_match_doc_membership(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import q_tile_delta
+        from osm2gtfs_ray.pipelines.web_queries import _S_IN_A, _S_IN_B
+        from osm2gtfs_ray.sources.pages import _uint
+
+        sf = "/root/testdata/sf0.001"
+        got = q_tile_delta(sf).to_pandas()
+        did = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy().astype(np.uint64)
+        n_ent = _uint(did, 3, 42, 4)
+        in_a = _uint(did, _S_IN_A, 42, 10) != 0
+        in_b = _uint(did, _S_IN_B, 42, 10) != 0
+        assert got["n_a"].sum() == n_ent[in_a].sum()
+        assert got["n_b"].sum() == n_ent[in_b].sum()
+        assert (got[["n_a", "n_b"]].sum(axis=1) > 0).all()
+        # an incremental recrawl actually changes some tiles
+        assert (got["n_a"] != got["n_b"]).any()
