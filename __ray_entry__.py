@@ -96,8 +96,8 @@ _GATE_ORDER = [
     "cosine_lsh", "tile_assignments", "cohort_retention", "pmi_bigrams",
     "dup_ngram_spans",
     "spatial_join_rows", "minhash_pairs", "typo_pairs",
-    "orders_with_lineitem", "pagerank", "audio_features", "cell_pyramid",
-    "bfs_hops",
+    "orders_with_lineitem", "pagerank", "tile_authority",
+    "audio_features", "cell_pyramid", "bfs_hops",
 ]
 
 
@@ -340,6 +340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 3-core peeling to the true fixpoint (raises past the
         # unrolled-oracle round budget; broadcast + shuffle plans)
         "kcore": grq.q_kcore,
+        # pagerank-weighted entity density per cell (graph x geo)
+        "tile_authority": grq.q_tile_authority,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -391,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles": grq.SQL_TRIANGLES,
         "hits": grq.SQL_HITS,
         "kcore": grq.SQL_KCORE,
+        "tile_authority": grq.sql_tile_authority(),
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "weighted_sample": cq.sql_weighted_sample(),

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "balanced_mix",
     "tile_delta",
+    "tile_authority",
 ]
 
 

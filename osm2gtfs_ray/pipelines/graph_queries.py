@@ -930,3 +930,107 @@ FROM d{r} WHERE dg >= {k} ORDER BY doc_id"""
 
 
 SQL_KCORE = f"WITH {_sql_kcore()}"
+
+
+# ---------------------------------------------------------------------------
+# Tile authority: pagerank-weighted entity density per cell
+# ---------------------------------------------------------------------------
+# The cross-family composition (link graph x geo grid): each document's
+# fixed-point PageRank mass is attributed to the grid cells of its geo
+# entities — "which map tiles do authoritative pages talk about". The
+# oracle CHAINS the two existing CTE machines (unrolled integer
+# pagerank rounds + the flagship entity fan) and must agree bit-exactly
+# on the per-cell rank sums — an end-to-end proof that independently
+# verified operators compose without re-verification drift.
+#
+# Scale plan: ranks ride the broadcast plan (<= 2M nodes, int64
+# vector via ray.put); entities are synthesized in the same pass that
+# looks ranks up, so the ONLY shuffle is the bounded per-cell groupby.
+# At larger node counts the rank attachment becomes a doc-keyed hash
+# join (the pagerank_shuffle output is already a Dataset).
+
+def q_tile_authority(sf_dir: str):
+    """(cell_rm, rank_fp, n_ent): summed fixed-point rank mass and
+    entity count per occupied cell."""
+    import ray
+
+    from osm2gtfs_ray.pipelines.geo_queries import CELL_LEVEL
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.sources.pages import _flat_ranges, _uint
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    n = _n_docs(sf_dir)
+
+    # rank vector via the broadcast pagerank plan's final state
+    ranks_tbl = pa.concat_tables(
+        [ray.get(r) for r in q_pagerank(sf_dir).to_arrow_refs()]
+    )
+    rank_vec = np.zeros(n, dtype=np.int64)
+    rank_vec[ranks_tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
+        ranks_tbl["rank_fp"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(rank_vec)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table, _ref=ref) -> pa.Table:
+        rv = ray.get(_ref)  # zero-copy plasma view
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n_ent = _uint(did, 3, 42, 4)
+        d = np.repeat(did, n_ent)
+        j = _flat_ranges(n_ent).astype(np.uint64)
+        eidx = d * np.uint64(8) + j
+        lat, lon = pg._entity_latlon(eidx, 42)
+        lat, lon = np.round(lat, 6), np.round(lon, 6)
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        g = (
+            pa.table(
+                {
+                    "cell_rm": iy * nx + ix,
+                    "r": rv[d.astype(np.int64)],
+                    "e": np.ones(len(d), dtype=np.int64),
+                }
+            )
+            .group_by("cell_rm")
+            .aggregate([("r", "sum"), ("e", "sum")])
+        )
+        return g.rename_columns(["cell_rm", "pr_", "pe_"])
+
+    agg = (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell_rm")
+        .aggregate(Sum("pr_", alias_name="rank_fp"), Sum("pe_", alias_name="n_ent"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                "rank_fp": pc.cast(t["rank_fp"], pa.int64()),
+                "n_ent": pc.cast(t["n_ent"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_tile_authority() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _entity_ctes
+
+    return f"""
+WITH {_sql_pagerank()},
+pr AS (SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{PR_ITERS}),
+{_entity_ctes()},
+cells AS (
+  SELECT LEAST(CAST(FLOOR(((p.lat + 90.0) / 180.0) * 128) AS BIGINT), 127)
+           * 256
+         + LEAST(CAST(FLOOR(((p.lon + 180.0) / 360.0) * 256) AS BIGINT), 255)
+           AS cell_rm,
+         CAST(p.did AS BIGINT) AS doc_id
+  FROM pts p
+)
+SELECT c.cell_rm, CAST(SUM(pr.rank_fp) AS BIGINT) AS rank_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_ent
+FROM cells c JOIN pr ON pr.node = c.doc_id
+GROUP BY c.cell_rm ORDER BY c.cell_rm
+"""

@@ -604,3 +604,29 @@ class TestKCore:
         with _pytest.raises(RuntimeError, match="max_rounds"):
             kcore_broadcast(build_und_edges(str(tmp_path)), n, KCORE_K,
                             max_rounds=1)
+
+
+class TestTileAuthority:
+    """Composition invariants: total attributed rank mass equals
+    (entity count per doc) . (rank per doc) — conservation across the
+    graph x geo join. SQL gate: `tile_authority` (chained oracles)."""
+
+    def test_mass_conservation(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            q_pagerank,
+            q_tile_authority,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        sf = "/root/testdata/sf0.001"
+        got = q_tile_authority(sf).to_pandas()
+        ranks = q_pagerank(sf).to_pandas().sort_values("doc_id")
+        did = ranks["doc_id"].to_numpy().astype(np.uint64)
+        n_ent = _uint(did, 3, 42, 4)
+        want_mass = int((ranks["rank_fp"].to_numpy() * n_ent).sum())
+        want_ents = int(n_ent.sum())
+        assert int(got["rank_fp"].sum()) == want_mass
+        assert int(got["n_ent"].sum()) == want_ents
+        assert (got["n_ent"] >= 1).all()
