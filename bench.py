@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "balanced_mix",
     "tile_delta",
     "tile_authority",
+    "scc",
 ]
 
 

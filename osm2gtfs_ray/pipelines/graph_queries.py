@@ -1034,3 +1034,36 @@ SELECT c.cell_rm, CAST(SUM(pr.rank_fp) AS BIGINT) AS rank_fp,
 FROM cells c JOIN pr ON pr.node = c.doc_id
 GROUP BY c.cell_rm ORDER BY c.cell_rm
 """
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (ops/scc.py) — bow-tie core detection
+# ---------------------------------------------------------------------------
+# Output (doc_id, scc): every node labeled with the min node id of
+# its SCC. The oracle computes the recursive transitive closure and
+# takes MIN over mutually-reachable nodes — exact, and tractable
+# because reach is bounded by n * |giant SCC| at gate scale. Both
+# engine plans (driver Kosaraju under 500k edges, parallel FW-BW
+# broadcast above) iterate to the true fixpoint and raise past the
+# sweep budget.
+
+def q_scc(sf_dir: str):
+    """(doc_id, scc) for every document node of the link graph."""
+    from osm2gtfs_ray.ops.scc import scc
+
+    n = _n_docs(sf_dir)
+    return scc(build_link_graph(sf_dir), n)
+
+
+SQL_SCC = f"""
+WITH RECURSIVE {_sql_edges()},
+reach(node, m) AS (
+  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN edges s ON r.m = s.src
+)
+SELECT node AS doc_id, CAST(MIN(m) AS BIGINT) AS scc
+FROM reach r
+WHERE EXISTS (SELECT 1 FROM reach q WHERE q.node = r.m AND q.m = r.node)
+GROUP BY node ORDER BY doc_id
+"""

@@ -630,3 +630,67 @@ class TestTileAuthority:
         assert int(got["rank_fp"].sum()) == want_mass
         assert int(got["n_ent"].sum()) == want_ents
         assert (got["n_ent"] >= 1).all()
+
+
+class TestSCC:
+    """SCC labels vs an independent Tarjan-free brute (pairwise
+    mutual reachability closure); driver and FW-BW plans agree; sweep
+    budget raises. SQL gate: `scc` (recursive closure oracle)."""
+
+    def _brute(self, n):
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+        reach = np.zeros((n, n), dtype=bool)
+        reach[src, dst] = True
+        reach[np.arange(n), np.arange(n)] = True
+        # Floyd-Warshall boolean closure (small n only)
+        for k in range(n):
+            reach |= np.outer(reach[:, k], reach[k, :])
+        mutual = reach & reach.T
+        return np.array([np.flatnonzero(mutual[i]).min() for i in range(n)])
+
+    def test_matches_brute_and_plans_agree(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.ops.scc import scc_broadcast
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            build_link_graph,
+            q_scc,
+        )
+
+        n = 120
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_scc(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(n)
+        assert got["scc"].to_numpy().tolist() == want.tolist()
+
+        fb = (
+            scc_broadcast(build_link_graph(str(tmp_path)), n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert fb["scc"].to_numpy().tolist() == want.tolist()
+
+    def test_sweep_budget_raises(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from osm2gtfs_ray.ops.scc import scc_broadcast
+        from osm2gtfs_ray.pipelines.graph_queries import build_link_graph
+
+        n = 120
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        with _pytest.raises(RuntimeError, match="max_passes"):
+            scc_broadcast(build_link_graph(str(tmp_path)), n, max_passes=1)
