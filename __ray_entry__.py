@@ -76,7 +76,7 @@ _GATE_ORDER = [
     "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
     "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
     "triangles", "shape_length", "hotspots", "cms_user_counts",
-    "weighted_sample", "balanced_mix", "tile_delta", "scc",
+    "weighted_sample", "balanced_mix", "tile_delta", "scc", "bowtie",
     "first_order_per_customer", "ann_batch_topk", "value_histogram",
     "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
     "click_not_purchase", "mode_event_type", "lang_id",
@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_authority": grq.q_tile_authority,
         # strongly connected components (trim + parallel FW-BW)
         "scc": grq.q_scc,
+        # Broder bow-tie macro-structure (core/in/out/other)
+        "bowtie": grq.q_bowtie,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -397,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": grq.SQL_KCORE,
         "tile_authority": grq.sql_tile_authority(),
         "scc": grq.SQL_SCC,
+        "bowtie": grq.SQL_BOWTIE,
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "weighted_sample": cq.sql_weighted_sample(),

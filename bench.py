@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "tile_delta",
     "tile_authority",
     "scc",
+    "bowtie",
 ]
 
 

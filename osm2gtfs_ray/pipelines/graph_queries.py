@@ -1067,3 +1067,104 @@ FROM reach r
 WHERE EXISTS (SELECT 1 FROM reach q WHERE q.node = r.m AND q.m = r.node)
 GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition: CORE / IN / OUT / OTHER (Broder et al.)
+# ---------------------------------------------------------------------------
+# The classic web-graph macro-structure: CORE = the giant SCC (max
+# size, min-label tie-break), IN = reaches the core, OUT = reachable
+# from it, OTHER = tendrils/disconnected. in-and-out implies core (a
+# core->x->core path makes x mutually reachable with the core), so
+# the CASE precedence is semantic documentation, not a choice. Built
+# from the verified scc + bfs fixpoints: forward reachability from
+# the core member set and backward reachability on reversed edges,
+# each early-stopping when the frontier empties.
+
+def q_bowtie(sf_dir: str):
+    """(doc_id, cls) with cls in {core, in, out, other}."""
+    import ray
+    import ray.data
+
+    from osm2gtfs_ray.ops.bfs import bfs_broadcast
+    from osm2gtfs_ray.ops.scc import scc
+
+    n = _n_docs(sf_dir)
+    edges = build_link_graph(sf_dir).materialize()
+
+    scc_tbl = pa.concat_tables(
+        [ray.get(r) for r in scc(edges, n).to_arrow_refs()]
+    )
+    labels = np.zeros(n, dtype=np.int64)
+    labels[scc_tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
+        scc_tbl["scc"].to_numpy(zero_copy_only=False)
+    )
+    uniq, counts = np.unique(labels, return_counts=True)
+    core_label = int(uniq[np.lexsort((uniq, -counts))[0]])
+    core = np.flatnonzero(labels == core_label).astype(np.int64)
+
+    def reach_mask(ds_edges) -> np.ndarray:
+        t = pa.concat_tables(
+            [
+                ray.get(r)
+                for r in bfs_broadcast(ds_edges, n, core, iters=n)
+                .to_arrow_refs()
+            ]
+        )
+        m = np.zeros(n, dtype=bool)
+        m[t["doc_id"].to_numpy(zero_copy_only=False)] = True
+        return m
+
+    fwd = reach_mask(edges)
+    rev_edges = edges.map_batches(
+        lambda t: pa.table(
+            {"src": pc.cast(t["dst"], pa.int64()),
+             "dst": pc.cast(t["src"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    bwd = reach_mask(rev_edges)
+
+    is_core = labels == core_label
+    cls = np.where(
+        is_core, "core",
+        np.where(bwd, "in", np.where(fwd, "out", "other")),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "cls": pa.array(cls.tolist(), pa.string()),
+            }
+        )
+    )
+
+
+SQL_BOWTIE = f"""
+WITH RECURSIVE {_sql_edges()},
+reach(node, m) AS (
+  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+  UNION
+  SELECT r.node, s.dst FROM reach r JOIN edges s ON r.m = s.src
+),
+sccs AS MATERIALIZED (
+  SELECT node, MIN(m) AS scc
+  FROM reach r
+  WHERE EXISTS (SELECT 1 FROM reach q WHERE q.node = r.m AND q.m = r.node)
+  GROUP BY node
+),
+core AS (SELECT scc FROM (
+  SELECT scc, COUNT(*) AS c FROM sccs GROUP BY scc
+  ORDER BY c DESC, scc LIMIT 1
+)),
+cm AS (SELECT node FROM sccs JOIN core ON sccs.scc = core.scc),
+outr AS (SELECT DISTINCT r.m AS node FROM reach r
+         JOIN cm ON cm.node = r.node),
+inr AS (SELECT DISTINCT r.node FROM reach r JOIN cm ON cm.node = r.m)
+SELECT ids.node AS doc_id,
+       CASE WHEN ids.node IN (SELECT node FROM cm) THEN 'core'
+            WHEN ids.node IN (SELECT node FROM inr) THEN 'in'
+            WHEN ids.node IN (SELECT node FROM outr) THEN 'out'
+            ELSE 'other' END AS cls
+FROM ids ORDER BY doc_id
+"""

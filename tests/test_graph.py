@@ -694,3 +694,80 @@ class TestSCC:
         )
         with _pytest.raises(RuntimeError, match="max_passes"):
             scc_broadcast(build_link_graph(str(tmp_path)), n, max_passes=1)
+
+
+class TestBowtie:
+    """Bow-tie classes vs a brute closure reference; a handcrafted
+    graph exercises all four classes through the same scc+bfs method.
+    SQL gate: `bowtie`."""
+
+    def test_matches_brute_closure(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import q_bowtie
+
+        n = 120
+        pq.write_table(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64)}),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_bowtie(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+        reach = np.zeros((n, n), dtype=bool)
+        reach[src, dst] = True
+        reach[np.arange(n), np.arange(n)] = True
+        for k in range(n):
+            reach |= np.outer(reach[:, k], reach[k, :])
+        mutual = reach & reach.T
+        scc = np.array([np.flatnonzero(mutual[i]).min() for i in range(n)])
+        u, c = np.unique(scc, return_counts=True)
+        core_label = int(u[np.lexsort((u, -c))[0]])
+        is_core = scc == core_label
+        cm = np.flatnonzero(is_core)
+        inr = reach[:, cm].any(axis=1)
+        outr = reach[cm, :].any(axis=0)
+        want = np.where(is_core, "core",
+                        np.where(inr, "in",
+                                 np.where(outr, "out", "other")))
+        assert got["cls"].tolist() == want.tolist()
+
+    def test_all_classes_on_handcrafted_graph(self, ray_session):
+        """in -> core-cycle -> out, plus a disconnected 2-cycle
+        ('other'): the classification method covers all four classes."""
+        import ray.data
+
+        from osm2gtfs_ray.ops.bfs import bfs_broadcast
+        from osm2gtfs_ray.ops.scc import scc
+
+        # 0 -> (1 <-> 2) -> 3 ; 4 <-> 5 disconnected
+        e = pa.table(
+            {
+                "src": np.array([0, 1, 2, 2, 4, 5], dtype=np.int64),
+                "dst": np.array([1, 2, 1, 3, 5, 4], dtype=np.int64),
+                "outdeg": np.array([1, 1, 2, 2, 1, 1], dtype=np.int64),
+            }
+        )
+        n = 6
+        edges = ray.data.from_arrow(e)
+        labels_tbl = scc(edges, n).to_pandas().sort_values("doc_id")
+        labels = labels_tbl["scc"].to_numpy()
+        u, c = np.unique(labels, return_counts=True)
+        core_label = int(u[np.lexsort((u, -c))[0]])
+        assert core_label == 1 and (labels == 1).sum() == 2
+        core = np.flatnonzero(labels == core_label).astype(np.int64)
+        fwd = np.zeros(n, bool)
+        f = bfs_broadcast(ray.data.from_arrow(e), n, core, iters=n).to_pandas()
+        fwd[f["doc_id"].to_numpy()] = True
+        rev = pa.table({"src": e["dst"], "dst": e["src"], "outdeg": e["outdeg"]})
+        b = bfs_broadcast(ray.data.from_arrow(rev), n, core, iters=n).to_pandas()
+        bwd = np.zeros(n, bool)
+        bwd[b["doc_id"].to_numpy()] = True
+        cls = np.where(labels == core_label, "core",
+                       np.where(bwd, "in", np.where(fwd, "out", "other")))
+        assert cls.tolist() == ["in", "core", "core", "out", "other", "other"]
