@@ -68,3 +68,41 @@ def sharded_map_groups(
         .groupby("__shard__")
         .map_groups(run_shard, batch_format="pandas")
     )
+
+
+def bounded_key_sum(parts_ds, key_cols, sum_cols, driver: bool,
+                    out_names: list[str] | None = None):
+    """Sum `sum_cols` per `key_cols` over a PARTIAL-aggregate Dataset
+    whose key space is BOUNDED (a grid, a language set, a sketch
+    counter table — never corpus-sized).
+
+    driver=True is the ops/pagerank.py DRIVER_MERGE rule applied to
+    grouped partials: collect the block partials (each bounded by
+    min(block_rows, |key space|)) and merge with one pandas groupby —
+    skipping a Ray all-to-all whose fixed cost (~2-6 s at 32 CPUs)
+    dwarfs these key spaces. Callers gate `driver` on corpus size so
+    block count x key bound stays driver-safe; driver=False keeps the
+    Ray groupby exchange (the many-block scale path).
+    """
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    sum_cols = list(sum_cols)
+    out_names = out_names or sum_cols
+    if driver:
+        from osm2gtfs_ray.ops.joins import _as_arrow
+
+        df = _as_arrow(parts_ds).to_pandas()
+        agg = df.groupby(key_cols, sort=False, as_index=False)[sum_cols].sum()
+        agg = agg.rename(columns=dict(zip(sum_cols, out_names)))
+        for c in out_names:
+            agg[c] = agg[c].astype("int64")
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            agg, preserve_index=False
+        ))
+    g = parts_ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols)
+    return g.aggregate(
+        *[Sum(c, alias_name=o) for c, o in zip(sum_cols, out_names)]
+    )

@@ -204,9 +204,11 @@ CMS_STREAMS = (270, 271, 272, 273)  # one splitmix stream per row
 CMS_SEED = 42
 
 
-def cms_partials(ds, key_col: str):
-    """Per-batch partial counters -> one bounded groupby: Dataset of
-    (d, w, c) with c summed; at most DEPTH*WIDTH rows total."""
+def cms_partials(ds, key_col: str, driver_merge: bool = False):
+    """Per-batch partial counters -> one bounded merge: Dataset of
+    (d, w, c) with c summed; at most DEPTH*WIDTH rows total.
+    driver_merge applies the ops/sharded.bounded_key_sum DRIVER rule
+    (callers gate it on corpus size)."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
@@ -227,10 +229,11 @@ def cms_partials(ds, key_col: str):
              "c": np.concatenate(cs_)}
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["d", "w"])
-        .aggregate(Sum("c", alias_name="c"))
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    return bounded_key_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["d", "w"], ["c"], driver=driver_merge,
     )
 
 

@@ -843,7 +843,12 @@ def q_cms_user_counts(sf_dir: str):
     probes = np.arange(0, CMS_PROBE_MAX, CMS_PROBE_STEP, dtype=np.int64)
     ev = read_table(sf_dir, "events", columns=["user_id"])
 
-    counters = _as_arrow(cms_partials(ev, "user_id"))
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS, _n_rows
+
+    counters = _as_arrow(cms_partials(
+        ev, "user_id",
+        driver_merge=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+    ))
     est = cms_estimate(counters, probes)
 
     probe_set = set(probes.tolist())

@@ -559,11 +559,16 @@ def q_balanced_mix(sf_dir: str):
         )
         return g.rename_columns(["lang", "c"])
 
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS, _n_rows
+
+    drv = _n_rows(sf_dir, "documents") <= _GRID_DRIVER_ROWS
     counts = _as_arrow(
-        docs.map_batches(count_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(Sum("c", alias_name="n_docs"))
+        bounded_key_sum(
+            docs.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            "lang", ["c"], driver=drv, out_names=["n_docs"],
+        )
     )
     langs = counts["lang"].to_pylist()
     n_docs = counts["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -586,10 +591,11 @@ def q_balanced_mix(sf_dir: str):
         return g.rename_columns(["lang", "s"])
 
     sel = _as_arrow(
-        docs.map_batches(sel_partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-        .groupby("lang")
-        .aggregate(Sum("s", alias_name="n_selected"))
+        bounded_key_sum(
+            docs.map_batches(sel_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            "lang", ["s"], driver=drv, out_names=["n_selected"],
+        )
     )
     smap = dict(zip(sel["lang"].to_pylist(),
                     sel["n_selected"].to_numpy(zero_copy_only=False).tolist()))

@@ -692,8 +692,25 @@ ORDER BY p.shape_id, p.seq
 # cell inside map_batches and re-groups — the path for grids too fine
 # to densify on one worker.
 
+# below this corpus row count the bounded-key cell merges happen on
+# the driver (ops/sharded.bounded_key_sum — partials are <=
+# min(block_rows, grid size) each) instead of paying a Ray all-to-all
+# whose fixed cost dwarfs the 32k-cell key space; above it the Ray
+# groupby exchange runs (the many-block scale path)
+_GRID_DRIVER_ROWS = 200_000
+
+
+def _n_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def _smooth_counts(sf_dir: str):
-    """Raw per-cell counts at CELL_LEVEL (one corpus shuffle)."""
+    """Raw per-cell counts at CELL_LEVEL (one corpus pass; bounded
+    cell merge driver-side under _GRID_DRIVER_ROWS)."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
     nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
     ev = read_table(sf_dir, "events", columns=["event_id"])
 
@@ -708,10 +725,11 @@ def _smooth_counts(sf_dir: str):
         )
         return g.rename_columns(["cell_rm", "partial"])
 
-    return (
-        ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell_rm")
-        .aggregate(Sum("partial", alias_name="n"))
+    return bounded_key_sum(
+        ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["partial"],
+        driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+        out_names=["n"],
     )
 
 
@@ -1168,10 +1186,13 @@ def _entity_cell_counts(sf_dir: str):
         )
         return g.rename_columns(["cell_rm", "partial"])
 
-    return (
-        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell_rm")
-        .aggregate(Sum("partial", alias_name="n"))
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    return bounded_key_sum(
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["partial"],
+        driver=_n_rows(sf_dir, "documents") <= _GRID_DRIVER_ROWS,
+        out_names=["n"],
     )
 
 
@@ -1458,10 +1479,13 @@ def q_tile_delta(sf_dir: str):
         )
         return g.rename_columns(["cell_rm", "pa_", "pb_"])
 
-    agg = (
-        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell_rm")
-        .aggregate(Sum("pa_", alias_name="n_a"), Sum("pb_", alias_name="n_b"))
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    agg = bounded_key_sum(
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["pa_", "pb_"],
+        driver=_n_rows(sf_dir, "documents") <= _GRID_DRIVER_ROWS,
+        out_names=["n_a", "n_b"],
     )
 
     def finish(t: pa.Table) -> pa.Table:

@@ -997,10 +997,14 @@ def q_tile_authority(sf_dir: str):
         )
         return g.rename_columns(["cell_rm", "pr_", "pe_"])
 
-    agg = (
-        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cell_rm")
-        .aggregate(Sum("pr_", alias_name="rank_fp"), Sum("pe_", alias_name="n_ent"))
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS
+
+    agg = bounded_key_sum(
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["pr_", "pe_"],
+        driver=n <= _GRID_DRIVER_ROWS,
+        out_names=["rank_fp", "n_ent"],
     )
     return agg.map_batches(
         lambda t: pa.table(
