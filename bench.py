@@ -313,7 +313,7 @@ def run_bench() -> dict:
         # the min() to reject a noisy window. r2's conditional (>3 s)
         # re-sample left cheap queries unprotected and produced
         # phantom 2x "regressions".
-        reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "3"))
+        reps = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
         for _ in range(reps):
             for name in BENCH_QUERIES:
                 t0 = time.perf_counter()

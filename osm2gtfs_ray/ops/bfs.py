@@ -67,6 +67,9 @@ def bfs_broadcast(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4):
     dist = np.full(n_nodes, -1, dtype=np.int64)
     dist[np.asarray(seeds, dtype=np.int64)] = 0
     edges = edges.materialize()  # read once, iterate K times
+    if n_nodes <= DRIVER_MERGE_NODES and edges.num_blocks() > 8:
+        # compact tiny read blocks once; per-round dispatch dominates
+        edges = edges.repartition(8).materialize()
 
     for rnd in range(1, iters + 1):
         ref = ray.put(dist)

@@ -97,6 +97,9 @@ def hits_broadcast(edges, n_nodes: int, iters: int = 3):
     h = np.full(n_nodes, TOTAL_HITS // n_nodes, dtype=np.int64)
     a = np.zeros(n_nodes, dtype=np.int64)
     edges = edges.materialize()  # read once, iterate 2K times
+    if n_nodes <= DRIVER_MERGE_NODES and edges.num_blocks() > 8:
+        # compact tiny read blocks once; per-round dispatch dominates
+        edges = edges.repartition(8).materialize()
     for _ in range(iters):
         a = _half_round_broadcast(edges, h, n_nodes, "src", "dst")
         h = _half_round_broadcast(edges, a, n_nodes, "dst", "src")

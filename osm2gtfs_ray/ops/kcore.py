@@ -87,6 +87,9 @@ def kcore_broadcast(und, n_nodes: int, k: int, max_rounds: int = 24):
     import ray.data
 
     und = und.materialize()  # read once, iterate R times
+    if n_nodes <= 200_000 and und.num_blocks() > 8:
+        # compact tiny shard blocks once; per-round dispatch dominates
+        und = und.repartition(8).materialize()
     alive = np.ones(n_nodes, dtype=bool)
     rounds = 0
     while True:

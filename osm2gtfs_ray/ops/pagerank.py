@@ -80,6 +80,10 @@ def pagerank_broadcast(edges, n_nodes: int, iters: int = 5):
     ranks = np.full(n_nodes, TOTAL_FP // n_nodes, dtype=np.int64)
     base = _base(n_nodes)
     edges = edges.materialize()  # read once, iterate K times
+    if n_nodes <= DRIVER_MERGE_NODES and edges.num_blocks() > 8:
+        # small graphs arrive as ~64 tiny read blocks; per-round task
+        # dispatch over them dominates — compact once, iterate cheap
+        edges = edges.repartition(8).materialize()
 
     for _ in range(iters):
         ref = ray.put(ranks)

@@ -164,6 +164,9 @@ def scc_broadcast(edges, n_nodes: int, max_passes: int = 200):
     from osm2gtfs_ray.ops.joins import _as_arrow
 
     edges = edges.materialize()
+    if n_nodes <= 200_000 and edges.num_blocks() > 8:
+        # compact tiny read blocks once; per-sweep dispatch dominates
+        edges = edges.repartition(8).materialize()
     labels = np.full(n_nodes, -1, dtype=np.int64)
     part = np.zeros(n_nodes, dtype=np.int64)
     active = np.ones(n_nodes, dtype=bool)
