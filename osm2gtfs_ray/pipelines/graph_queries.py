@@ -949,17 +949,100 @@ SQL_KCORE = f"WITH {_sql_kcore()}"
 # At larger node counts the rank attachment becomes a doc-keyed hash
 # join (the pagerank_shuffle output is already a Dataset).
 
-def q_tile_authority(sf_dir: str):
+def _entity_cell_rows(sf_dir: str):
+    """Dataset of (doc_id, cell_rm) — one row per synthesized entity
+    (the join-ready long form of the entity fan)."""
+    from osm2gtfs_ray.pipelines.geo_queries import CELL_LEVEL
+    from osm2gtfs_ray.sources import pages as pg
+    from osm2gtfs_ray.sources.pages import _flat_ranges, _uint
+
+    nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n_ent = _uint(did, 3, 42, 4)
+        d = np.repeat(did, n_ent)
+        j = _flat_ranges(n_ent).astype(np.uint64)
+        eidx = d * np.uint64(8) + j
+        lat, lon = pg._entity_latlon(eidx, 42)
+        lat, lon = np.round(lat, 6), np.round(lon, 6)
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        return pa.table({"doc_id": d.astype(np.int64), "cell_rm": iy * nx + ix})
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tile_authority_join(sf_dir: str, n: int):
+    """Beyond-broadcast plan: the pagerank shuffle plan's rank
+    Dataset hash-joined onto the (doc_id, cell) entity rows, then one
+    bounded per-cell sum — nothing n-sized ever sits on the driver."""
+    from osm2gtfs_ray.ops.joins import hash_join
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    np_ = max(2, min(64, n // 250_000 + 1))
+    ranks = pagerank(build_link_graph(sf_dir), n, iters=PR_ITERS,
+                     broadcast=False, num_partitions=np_)
+    ranks = ranks.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "rank_fp": pc.cast(t["rank_fp"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        _entity_cell_rows(sf_dir), ranks, "doc_id", num_partitions=np_
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "cell_rm": t["cell_rm"],
+                    "pr_": pc.cast(t["rank_fp"], pa.int64()),
+                    "pe_": np.ones(len(t), dtype=np.int64),
+                }
+            )
+            .group_by("cell_rm")
+            .aggregate([("pr_", "sum"), ("pe_", "sum")])
+        )
+        return g.rename_columns(["cell_rm", "pr_", "pe_"])
+
+    return bounded_key_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        "cell_rm", ["pr_", "pe_"], driver=False,
+        out_names=["rank_fp", "n_ent"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                "rank_fp": pc.cast(t["rank_fp"], pa.int64()),
+                "n_ent": pc.cast(t["n_ent"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_tile_authority(sf_dir: str, plan: str = "auto"):
     """(cell_rm, rank_fp, n_ent): summed fixed-point rank mass and
-    entity count per occupied cell."""
+    entity count per occupied cell. plan: 'broadcast' (rank vector
+    via ray.put, <= 2M nodes), 'join' (rank Dataset hash-joined onto
+    entity rows — the beyond-broadcast path), 'auto' by node count."""
     import ray
 
+    from osm2gtfs_ray.ops.pagerank import BROADCAST_RANK_ROWS
     from osm2gtfs_ray.pipelines.geo_queries import CELL_LEVEL
     from osm2gtfs_ray.sources import pages as pg
     from osm2gtfs_ray.sources.pages import _flat_ranges, _uint
 
     nx, ny = 1 << CELL_LEVEL, 1 << (CELL_LEVEL - 1)
     n = _n_docs(sf_dir)
+    if plan == "auto":
+        plan = "broadcast" if n <= BROADCAST_RANK_ROWS else "join"
+    if plan == "join":
+        return _tile_authority_join(sf_dir, n)
 
     # rank vector via the broadcast pagerank plan's final state
     ranks_tbl = pa.concat_tables(
@@ -1086,14 +1169,27 @@ GROUP BY node ORDER BY doc_id
 # each early-stopping when the frontier empties.
 
 def q_bowtie(sf_dir: str):
-    """(doc_id, cls) with cls in {core, in, out, other}."""
+    """(doc_id, cls) with cls in {core, in, out, other}.
+
+    Composes the broadcast-family graph ops, so it inherits their
+    <= 2M-node bound and REFUSES beyond it (driver-held label/mask
+    vectors would silently stop scaling otherwise). The
+    beyond-broadcast path — scc shuffle labels hash-joined with two
+    Dataset-frontier BFS reach tables — is the documented follow-up,
+    matching ops/bfs.bfs_shuffle's shape; no test scale needs it."""
     import ray
     import ray.data
 
     from osm2gtfs_ray.ops.bfs import bfs_broadcast
-    from osm2gtfs_ray.ops.scc import scc
+    from osm2gtfs_ray.ops.scc import BROADCAST_SCC_ROWS, scc
 
     n = _n_docs(sf_dir)
+    if n > BROADCAST_SCC_ROWS:
+        raise NotImplementedError(
+            "bowtie composes broadcast-plan graph ops; beyond "
+            f"{BROADCAST_SCC_ROWS} nodes use the documented "
+            "shuffle composition (scc labels ⋈ Dataset-frontier BFS)"
+        )
     edges = build_link_graph(sf_dir).materialize()
 
     scc_tbl = pa.concat_tables(

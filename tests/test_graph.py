@@ -771,3 +771,30 @@ class TestBowtie:
         cls = np.where(labels == core_label, "core",
                        np.where(bwd, "in", np.where(fwd, "out", "other")))
         assert cls.tolist() == ["in", "core", "core", "out", "other", "other"]
+
+
+class TestTileAuthorityPlans:
+    """The beyond-broadcast join plan (shuffle pagerank ⋈ entity
+    rows) must equal the broadcast plan; bowtie refuses beyond its
+    broadcast bound instead of silently collecting n-sized vectors."""
+
+    def test_join_plan_equivalence(self, ray_session):
+        from osm2gtfs_ray.pipelines.graph_queries import q_tile_authority
+
+        sf = "/root/testdata/sf0.001"
+
+        def canon(ds):
+            return ds.to_pandas().sort_values("cell_rm").reset_index(drop=True)
+
+        a = canon(q_tile_authority(sf, plan="broadcast"))
+        b = canon(q_tile_authority(sf, plan="join"))
+        assert b.astype(a.dtypes.to_dict()).equals(a)
+
+    def test_bowtie_bound_guard(self, ray_session, monkeypatch):
+        import pytest as _pytest
+
+        import osm2gtfs_ray.pipelines.graph_queries as grq
+
+        monkeypatch.setattr(grq, "_n_docs", lambda _: 3_000_000)
+        with _pytest.raises(NotImplementedError, match="broadcast"):
+            grq.q_bowtie("/root/testdata/sf0.001")
