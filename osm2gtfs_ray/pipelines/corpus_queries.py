@@ -576,12 +576,20 @@ def q_balanced_mix(sf_dir: str):
     nmap = dict(zip(langs, n_docs.tolist()))
     qmap = dict(zip(langs, quota.tolist()))
 
+    lang_arr = pa.array(langs, pa.string())
+    n_by_code = n_docs.copy()
+    q_by_code = quota.copy()
+
     def sel_partial(t: pa.Table) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        lang = t["lang"].to_pylist()
         u = _uint(did, MIX_STREAM, 42, MIX_U_MOD)
-        nl = np.array([nmap[x] for x in lang], dtype=np.int64)
-        ql = np.array([qmap[x] for x in lang], dtype=np.int64)
+        # vectorized lang -> (n, quota): index_in against the closed
+        # language list, then two int64 gathers (no per-row Python)
+        codes = pc.index_in(t["lang"], value_set=lang_arr).to_numpy(
+            zero_copy_only=False
+        )
+        nl = n_by_code[codes]
+        ql = q_by_code[codes]
         sel = u * nl < ql * np.int64(MIX_U_MOD)
         g = (
             pa.table({"lang": t["lang"], "s": sel.astype(np.int64)})
