@@ -1059,7 +1059,23 @@ def q_pmi_bigrams(sf_dir: str, k: int = PMI_K):
                     "pmi_fp": pd.Series(dtype="int64"),
                 }
             )
-        # Python big-ints: c12 * N_u^2 * SCALE overflows int64 at scale
+        # Exact big-int scoring, but only on a float-prescreened
+        # slice: approx = c12*Nu^2*SCALE/(Nb*c1*c2) in float64 is
+        # within ~1e-4 relative of the rational, and distinct exact
+        # fp values differ by >= 1, so keeping everything with
+        # approx >= (k-th approx) - 2 provably contains the exact
+        # top-k — the Python big-int loop runs on <= O(k) rows per
+        # block, never the whole candidate set.
+        approx = (
+            df["c"].to_numpy(np.float64) * float(n_u) * float(n_u)
+            * float(PMI_SCALE)
+            / (float(n_b) * df["c1"].to_numpy(np.float64)
+               * df["c2"].to_numpy(np.float64))
+        )
+        if len(df) > k:
+            kth = np.partition(approx, len(approx) - k)[len(approx) - k]
+            keep = approx >= kth - 2.0
+            df = df[keep]
         pmi = [
             (int(c12) * n_u * n_u * PMI_SCALE) // (n_b * int(c1) * int(c2))
             for c12, c1, c2 in zip(df["c"], df["c1"], df["c2"])
