@@ -65,39 +65,37 @@ SQL_EMBEDDING_DEDUP_GROUPS = _sql_components_over(EMB_PAIRS_SNAPSHOT, "embedding
 # possible. Session warmup (~3 s) attaches to whichever entry runs
 # first regardless of choice.
 _GATE_ORDER = [
-    "pii_redact", "random_projection", "inverted_index", "doc_quality",
-    "ann_topk", "event_type_counts", "word_repetition", "dau_approx",
-    "suppliers_with_sales", "nearest_events", "normalize_names",
-    "chunk_docs", "consistent_sample", "url_canonicalize", "host_stats",
-    "event_pivot", "props_extract", "event_segment",
-    "customers_without_orders", "bbox_events", "tile_geometry",
-    "nation_centroid",
-    "simhash", "sessionize", "token_stats", "window_event_stats",
-    "top_orders_per_customer", "bpe_token_stats", "revenue_rollup",
-    "quantile_qty", "corr_qty_price", "top_terms", "cell_smooth",
-    "triangles", "shape_length", "hotspots", "cms_user_counts",
-    "weighted_sample", "balanced_mix", "tile_delta", "scc", "bowtie",
-    "first_order_per_customer", "ann_batch_topk", "value_histogram",
-    "tile_rasterize", "pricing_summary", "sample_split", "exact_dedup",
-    "click_not_purchase", "mode_event_type", "lang_id",
-    "rolling_user_value", "prev_order_gap", "contamination",
-    "cell_histogram", "ann_ivf", "norm_dedup", "nation_revenue",
-    "zscore_events", "heavy_hitters", "corpus_prep", "seq_pack",
-    "stratified_sample", "union_actors", "interval_merge",
-    "robots_filter", "crawl_schedule", "reciprocal_links",
-    "media_decode", "rolling_daily_revenue", "funnel_conversion",
-    "quantile_price_sketch", "daily_active_users", "dup_components",
-    "fingerprint", "top_orders", "domain_link_stats", "resample_ffill",
-    "anchor_top_terms", "ann_ivf_kmeans", "crawl_delta", "simplify_shapes",
-    "cocitation", "hits", "kcore", "snap_points", "grid_clusters",
-    "simhash_pairs", "hourly_event_stats", "boilerplate_strip",
-    "tfidf_top_terms", "spend_rank", "bm25_topk", "embedding_dedup_groups",
-    "asof_last_order", "ngram_jaccard", "dedup_groups", "cosine_pairs",
-    "cosine_lsh", "tile_assignments", "cohort_retention", "pmi_bigrams",
-    "dup_ngram_spans",
-    "spatial_join_rows", "minhash_pairs", "typo_pairs",
-    "orders_with_lineitem", "pagerank", "tile_authority",
-    "audio_features", "cell_pyramid", "bfs_hops",
+    "tile_geometry", "inverted_index", "chunk_docs", "simhash",
+    "cell_smooth", "weighted_sample", "triangles", "consistent_sample",
+    "event_type_counts", "word_repetition", "random_projection",
+    "doc_quality", "nearest_events", "token_stats", "dau_approx",
+    "event_segment", "suppliers_with_sales", "bbox_events",
+    "customers_without_orders", "window_event_stats", "quantile_qty",
+    "bpe_token_stats", "nation_centroid", "event_pivot", "props_extract",
+    "corr_qty_price", "normalize_names", "top_terms", "ann_batch_topk",
+    "revenue_rollup", "prev_order_gap", "pricing_summary",
+    "top_orders_per_customer", "value_histogram", "first_order_per_customer",
+    "sample_split", "contamination", "sessionize", "ann_ivf", "exact_dedup",
+    "rolling_user_value", "mode_event_type", "scc", "norm_dedup", "shape_length",
+    "hotspots", "cell_histogram", "tile_rasterize", "zscore_events",
+    "lang_id", "balanced_mix", "tile_delta", "nation_revenue",
+    "click_not_purchase", "heavy_hitters", "robots_filter",
+    "reciprocal_links", "quantile_price_sketch", "ann_ivf_kmeans",
+    "hourly_event_stats", "corpus_prep", "cms_user_counts",
+    "url_canonicalize", "bowtie", "cell_pyramid", "seq_pack", "top_orders",
+    "domain_link_stats", "interval_merge", "daily_active_users",
+    "crawl_schedule", "host_stats", "ann_topk", "dup_components",
+    "bm25_topk", "stratified_sample", "union_actors", "resample_ffill",
+    "grid_clusters", "anchor_top_terms", "rolling_daily_revenue",
+    "tfidf_top_terms", "fingerprint", "simplify_shapes", "simhash_pairs",
+    "dup_ngram_spans", "spend_rank", "crawl_delta", "dedup_groups",
+    "cosine_pairs", "boilerplate_strip", "embedding_dedup_groups",
+    "funnel_conversion", "cosine_lsh", "cocitation", "snap_points", "kcore",
+    "ngram_jaccard", "minhash_pairs", "asof_last_order", "hits",
+    "pii_redact", "tile_assignments", "media_decode", "pagerank",
+    "cohort_retention", "orders_with_lineitem", "typo_pairs",
+    "spatial_join_rows", "pmi_bigrams", "tile_authority", "bfs_hops",
+    "audio_features",
 ]
 
 

@@ -767,10 +767,14 @@ def q_triangles(sf_dir: str, plan: str = "auto"):
 
 
 def _sql_triangles() -> str:
+    # MATERIALIZED: und/dg/oe are referenced 2-3x each; without it
+    # DuckDB re-expands the splitmix edge synthesis per reference
+    # (measured ~7s -> sub-second at sf0.01)
     return f"""{_sql_edges()},
-und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+               GREATEST(src, dst) AS b
         FROM edges WHERE src <> dst),
-dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
        GROUP BY node),
 rk AS (SELECT u.a, u.b,
@@ -778,7 +782,7 @@ rk AS (SELECT u.a, u.b,
        FROM und u JOIN dg da ON da.node = u.a
                   JOIN dg db ON db.node = u.b
        CROSS JOIN nn),
-oe AS (SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+oe AS MATERIALIZED (SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
               CASE WHEN ra < rb THEN b ELSE a END AS v,
               GREATEST(ra, rb) AS rv
        FROM rk),
@@ -1144,10 +1148,11 @@ def q_scc(sf_dir: str):
 
 SQL_SCC = f"""
 WITH RECURSIVE {_sql_edges()},
+base AS MATERIALIZED (SELECT src, dst FROM edges),
 reach(node, m) AS (
-  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+  SELECT src, dst FROM base UNION SELECT src, src FROM base
   UNION
-  SELECT r.node, s.dst FROM reach r JOIN edges s ON r.m = s.src
+  SELECT r.node, s.dst FROM reach r JOIN base s ON r.m = s.src
 )
 SELECT node AS doc_id, CAST(MIN(m) AS BIGINT) AS scc
 FROM reach r
@@ -1242,10 +1247,11 @@ def q_bowtie(sf_dir: str):
 
 SQL_BOWTIE = f"""
 WITH RECURSIVE {_sql_edges()},
+base AS MATERIALIZED (SELECT src, dst FROM edges),
 reach(node, m) AS (
-  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+  SELECT src, dst FROM base UNION SELECT src, src FROM base
   UNION
-  SELECT r.node, s.dst FROM reach r JOIN edges s ON r.m = s.src
+  SELECT r.node, s.dst FROM reach r JOIN base s ON r.m = s.src
 ),
 sccs AS MATERIALIZED (
   SELECT node, MIN(m) AS scc
