@@ -86,7 +86,7 @@ _GATE_ORDER = [
     "domain_link_stats", "interval_merge", "daily_active_users",
     "crawl_schedule", "host_stats", "ann_topk", "dup_components",
     "bm25_topk", "stratified_sample", "union_actors", "resample_ffill",
-    "grid_clusters", "anchor_top_terms", "rolling_daily_revenue",
+    "grid_clusters", "od_flows", "anchor_top_terms", "rolling_daily_revenue",
     "tfidf_top_terms", "fingerprint", "simplify_shapes", "simhash_pairs",
     "dup_ngram_spans", "spend_rank", "crawl_delta", "dedup_groups",
     "cosine_pairs", "boilerplate_strip", "embedding_dedup_groups",
@@ -323,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspots": gq.q_hotspots,
         # DBSCAN-lite: 8-connected components of dense entity cells
         "grid_clusters": gq.q_grid_clusters,
+        # per-user consecutive-event OD cell transition matrix
+        "od_flows": gq.q_od_flows,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -390,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "shape_length": gq.sql_shape_length(),
         "hotspots": gq.sql_hotspots(),
         "grid_clusters": gq.sql_grid_clusters(),
+        "od_flows": gq.SQL_OD_FLOWS,
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,

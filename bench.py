@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "tile_authority",
     "scc",
     "bowtie",
+    "od_flows",
 ]
 
 

@@ -1529,3 +1529,84 @@ def sql_tile_delta() -> str:
         in_a=_s_uint("did", _S_IN_A, 10),
         in_b=_s_uint("did", _S_IN_B, 10),
     )
+
+
+# --------------------------------------------------------------------------
+# Origin-destination cell flows: per-user consecutive event transitions
+# --------------------------------------------------------------------------
+# The mobility-analytics OD matrix: order each user's events by
+# (ts, event_id), pair consecutive positions, and count transitions
+# between coarse grid cells (OD_LEVEL = 5: 32x16 — the flow-map zoom).
+# Reference analogue: consecutive stops of an itinerary ARE the
+# reference's OD pairs (stop_times sequencing); this is the same
+# sequencing semantic over user event streams at corpus scale.
+#
+# Scale plan: ONE user-hash shuffle co-locates each user's events;
+# pairing is the sessionize adjacency mask (vectorized, no per-row
+# Python); per-shard partial counts shrink the output to the bounded
+# (from, to) key space before the driver/groupby merge.
+
+OD_LEVEL = 5
+
+
+def q_od_flows(sf_dir: str):
+    """(cell_from, cell_to, n): consecutive-event cell transitions."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum, sharded_map_groups
+
+    nx, ny = 1 << OD_LEVEL, 1 << (OD_LEVEL - 1)
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def cells_of(eid: np.ndarray) -> np.ndarray:
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        return iy * nx + ix
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        i = np.flatnonzero(same)
+        c = cells_of(eid)
+        out = pd.DataFrame({"cell_from": c[i], "cell_to": c[i + 1],
+                            "p": np.ones(len(i), dtype=np.int64)})
+        return out.groupby(["cell_from", "cell_to"], sort=False,
+                           as_index=False)["p"].sum()
+
+    parts = sharded_map_groups(ev, "user_id", pairs)
+    return bounded_key_sum(
+        parts, ["cell_from", "cell_to"], ["p"],
+        driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+        out_names=["n"],
+    )
+
+
+SQL_OD_FLOWS = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         LAG(event_id) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_id
+  FROM events
+),
+p AS (
+  SELECT CAST(prev_id AS BIGINT) AS a, CAST(event_id AS BIGINT) AS b
+  FROM e WHERE prev_id IS NOT NULL
+),
+c AS (
+  SELECT
+    LEAST(CAST(FLOOR(((({_LAT_SQL.format(k='a')}) + 90.0) / 180.0) * 16) AS BIGINT), 15)
+      * 32
+    + LEAST(CAST(FLOOR(((({_LON_SQL.format(k='a')}) + 180.0) / 360.0) * 32) AS BIGINT), 31)
+      AS cell_from,
+    LEAST(CAST(FLOOR(((({_LAT_SQL.format(k='b')}) + 90.0) / 180.0) * 16) AS BIGINT), 15)
+      * 32
+    + LEAST(CAST(FLOOR(((({_LON_SQL.format(k='b')}) + 180.0) / 360.0) * 32) AS BIGINT), 31)
+      AS cell_to
+  FROM p
+)
+SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
+FROM c GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
+"""

@@ -708,3 +708,62 @@ class TestTileDelta:
         assert (got[["n_a", "n_b"]].sum(axis=1) > 0).all()
         # an incremental recrawl actually changes some tiles
         assert (got["n_a"] != got["n_b"]).any()
+
+
+class TestODFlows:
+    """OD transition conservation + a scalar per-user reference on a
+    crafted table with ts ties. SQL gate: `od_flows` (LAG window)."""
+
+    def test_conservation_and_reference(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import OD_LEVEL, q_od_flows
+
+        rng = np.random.default_rng(9)
+        n, users = 600, 25
+        uid = rng.integers(0, users, n)
+        # duplicate timestamps force the (ts, event_id) tie-break
+        ts = pd.to_datetime(rng.integers(0, 50, n), unit="h")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": np.arange(n, dtype=np.int64),
+                    "ts": pa.array(ts),
+                    "user_id": uid.astype(np.int64),
+                }
+            ),
+            tmp_path / "events.parquet",
+        )
+        got = q_od_flows(str(tmp_path)).to_pandas()
+        n_users_present = len(np.unique(uid))
+        assert got["n"].sum() == n - n_users_present  # flow conservation
+
+        # scalar reference
+        nx, ny = 1 << OD_LEVEL, 1 << (OD_LEVEL - 1)
+        from collections import Counter
+
+        def cell(e):
+            lat = ((e * 7919) % 18000) / 100.0 - 90.0
+            lon = ((e * 104729) % 36000) / 100.0 - 180.0
+            ix = min(int(((lon + 180.0) / 360.0) * nx), nx - 1)
+            iy = min(int(((lat + 90.0) / 180.0) * ny), ny - 1)
+            return iy * nx + ix
+
+        cnt = Counter()
+        df = pd.DataFrame({"u": uid, "t": ts, "e": np.arange(n)})
+        for _, g in df.sort_values(["t", "e"]).groupby("u"):
+            es = g["e"].tolist()
+            for a, b in zip(es, es[1:]):
+                cnt[(cell(a), cell(b))] += 1
+        want = (
+            pd.DataFrame(
+                [(a, b, c) for (a, b), c in cnt.items()],
+                columns=["cell_from", "cell_to", "n"],
+            )
+            .sort_values(["cell_from", "cell_to"])
+            .reset_index(drop=True)
+        )
+        got = got.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+        assert got.astype(want.dtypes.to_dict()).equals(want)
