@@ -93,6 +93,7 @@ _GATE_ORDER = [
     "funnel_conversion", "cosine_lsh", "cocitation", "snap_points", "kcore",
     "ngram_jaccard", "minhash_pairs", "asof_last_order", "hits",
     "pii_redact", "tile_assignments", "media_decode", "pagerank",
+    "domain_authority",
     "cohort_retention", "orders_with_lineitem", "typo_pairs",
     "spatial_join_rows", "pmi_bigrams", "tile_authority", "bfs_hops",
     "audio_features",
@@ -342,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": grq.q_kcore,
         # pagerank-weighted entity density per cell (graph x geo)
         "tile_authority": grq.q_tile_authority,
+        # per-domain authority + content-volume rollup (graph x web x text)
+        "domain_authority": grq.q_domain_authority,
         # strongly connected components (trim + parallel FW-BW)
         "scc": grq.q_scc,
         # Broder bow-tie macro-structure (core/in/out/other)
@@ -399,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": grq.SQL_HITS,
         "kcore": grq.SQL_KCORE,
         "tile_authority": grq.sql_tile_authority(),
+        "domain_authority": grq.sql_domain_authority(),
         "scc": grq.SQL_SCC,
         "bowtie": grq.SQL_BOWTIE,
         # corpus preparation

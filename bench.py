@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "scc",
     "bowtie",
     "od_flows",
+    "domain_authority",
 ]
 
 

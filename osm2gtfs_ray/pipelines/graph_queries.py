@@ -1274,3 +1274,91 @@ SELECT ids.node AS doc_id,
             ELSE 'other' END AS cls
 FROM ids ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain authority: pagerank mass + content volume per registrable domain
+# ---------------------------------------------------------------------------
+# The crawl-prioritization rollup three families compose into: per
+# registrable domain, document count, summed fixed-point PageRank
+# (authority), and summed token count (content volume). One corpus
+# pass computes domain / rank-lookup / token count together; the only
+# merge is over the bounded domain key space. Ranks ride the
+# broadcast plan (<= 2M nodes; the tile_authority join plan is the
+# documented larger-n path).
+
+def q_domain_authority(sf_dir: str):
+    """(domain, n_docs, rank_fp, n_tokens) per registrable domain."""
+    import ray
+
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS
+    from osm2gtfs_ray.pipelines.web_queries import domains_of
+    from osm2gtfs_ray.stages.text import token_count_arrow
+
+    n = _n_docs(sf_dir)
+    ranks_tbl = pa.concat_tables(
+        [ray.get(r) for r in q_pagerank(sf_dir).to_arrow_refs()]
+    )
+    rank_vec = np.zeros(n, dtype=np.int64)
+    rank_vec[ranks_tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
+        ranks_tbl["rank_fp"].to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(rank_vec)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table, _ref=ref) -> pa.Table:
+        rv = ray.get(_ref)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "domain": domains_of(did.astype(np.uint64)),
+                    "d_": np.ones(len(did), dtype=np.int64),
+                    "r_": rv[did],
+                    "t_": token_count_arrow(t["text"]),
+                }
+            )
+            .group_by("domain")
+            .aggregate([("d_", "sum"), ("r_", "sum"), ("t_", "sum")])
+        )
+        return g.rename_columns(["domain", "d_", "r_", "t_"])
+
+    return bounded_key_sum(
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "domain", ["d_", "r_", "t_"],
+        driver=n <= _GRID_DRIVER_ROWS,
+        out_names=["n_docs", "rank_fp", "n_tokens"],
+    )
+
+
+def sql_domain_authority() -> str:
+    from osm2gtfs_ray.pipelines.web_queries import _N_HOSTS, _S_HOST, _S_TLD, _TLDS
+
+    tld = (
+        f"CASE ({_s_uint('did', _S_TLD, len(_TLDS))}) "
+        "WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END"
+    )
+    return rf"""
+WITH {_sql_pagerank()},
+pr AS (SELECT node, CAST(rank AS BIGINT) AS rank_fp FROM r{PR_ITERS}),
+dom AS (
+  SELECT node,
+         'site' || ({_s_uint('did', _S_HOST, _N_HOSTS)}) || '.' || {tld}
+           AS domain
+  FROM ids
+),
+tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS node,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pr.rank_fp) AS BIGINT) AS rank_fp,
+       CAST(SUM(tok.n_tokens) AS BIGINT) AS n_tokens
+FROM dom d JOIN pr ON pr.node = d.node JOIN tok ON tok.node = d.node
+GROUP BY d.domain ORDER BY d.domain
+"""

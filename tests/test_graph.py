@@ -798,3 +798,25 @@ class TestTileAuthorityPlans:
         monkeypatch.setattr(grq, "_n_docs", lambda _: 3_000_000)
         with _pytest.raises(NotImplementedError, match="broadcast"):
             grq.q_bowtie("/root/testdata/sf0.001")
+
+
+class TestDomainAuthority:
+    """Rollup conservation: domain sums must equal global rank mass
+    (after pagerank floors) and global doc/token counts. SQL gate:
+    `domain_authority`."""
+
+    def test_conservation(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            q_domain_authority,
+            q_pagerank,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = q_domain_authority(sf).to_pandas()
+        ranks = q_pagerank(sf).to_pandas()
+        assert int(got["rank_fp"].sum()) == int(ranks["rank_fp"].sum())
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        assert int(got["n_docs"].sum()) == n
+        assert (got["n_docs"] >= 1).all() and (got["n_tokens"] > 0).all()
