@@ -86,7 +86,8 @@ _GATE_ORDER = [
     "domain_link_stats", "interval_merge", "daily_active_users",
     "crawl_schedule", "host_stats", "ann_topk", "dup_components",
     "bm25_topk", "stratified_sample", "union_actors", "resample_ffill",
-    "grid_clusters", "od_flows", "anchor_top_terms", "rolling_daily_revenue",
+    "grid_clusters", "od_flows", "vocab_diversity", "anchor_top_terms",
+    "rolling_daily_revenue",
     "tfidf_top_terms", "fingerprint", "simplify_shapes", "simhash_pairs",
     "dup_ngram_spans", "spend_rank", "crawl_delta", "dedup_groups",
     "cosine_pairs", "boilerplate_strip", "embedding_dedup_groups",
@@ -233,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": tq.q_pmi_bigrams,
         # per-doc duplicate 5-gram span counts (intra-corpus dup signal)
         "dup_ngram_spans": tq.q_dup_ngram_spans,
+        # exact Gini-Simpson vocabulary diversity per language
+        "vocab_diversity": tq.q_vocab_diversity,
         "inverted_index": tq.q_inverted_index,
         "tfidf_top_terms": tq.q_tfidf_top_terms,
         "norm_dedup": tq.q_norm_dedup,
@@ -452,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": tq.SQL_TOP_TERMS,
         "pmi_bigrams": tq.SQL_PMI_BIGRAMS,
         "dup_ngram_spans": tq.SQL_DUP_NGRAM_SPANS,
+        "vocab_diversity": tq.SQL_VOCAB_DIVERSITY,
         "inverted_index": tq.SQL_INVERTED_INDEX,
         "tfidf_top_terms": tq.SQL_TFIDF_TOP_TERMS,
         "norm_dedup": tq.SQL_NORM_DEDUP,

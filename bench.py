@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "bowtie",
     "od_flows",
     "domain_authority",
+    "vocab_diversity",
 ]
 
 

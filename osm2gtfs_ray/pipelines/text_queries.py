@@ -1243,3 +1243,108 @@ SELECT gd.doc_id, CAST(SUM(gd.npos) AS BIGINT) AS n_grams,
 FROM gd JOIN df USING (g)
 GROUP BY gd.doc_id ORDER BY gd.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary diversity per language: exact Gini-Simpson index
+# --------------------------------------------------------------------------
+# The corpus-level repetition signal (a scraped-spam language slice
+# shows collapsed diversity): D = 1 - sum c_i(c_i-1) / (N(N-1)) over
+# term frequencies — unlike Shannon entropy this is an EXACT RATIONAL
+# in integer counts, so gini_fp = (N(N-1) - sum c(c-1)) * 10^9 //
+# (N(N-1)) hash-matches SQL with no float log. Sums stay in int64 for
+# N up to ~3e9 tokens per language (sum c(c-1) <= N^2); past that the
+# final 5-row stage switches to Python big-ints — documented, not
+# needed at any test scale.
+#
+# Plan: per-batch (lang, term) count partials -> ONE term-hash
+# sharded sum (a term's counts live wholly in one shard, so per-shard
+# sum c(c-1) partials per lang are exact) -> bounded 5-key merge.
+
+GINI_SCALE = 10**9
+
+
+def q_vocab_diversity(sf_dir: str):
+    """(lang, n_tokens, n_terms, gini_fp) per language."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        flat, offs = _split_tokens(t["text"])
+        lens = np.diff(offs)
+        lang = np.repeat(
+            np.asarray(t["lang"].to_pylist(), dtype=object), lens
+        )
+        keep = flat.to_numpy(zero_copy_only=False) != ""
+        g = (
+            pa.table(
+                {"lang": pa.array(lang[keep], pa.string()),
+                 "term": flat.filter(pa.array(keep))}
+            )
+            .group_by(["lang", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "term", "n_part"]).to_pandas()
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["lang", "term"], sort=False)["n_part"].sum()
+            .reset_index(name="c")
+        )
+        c = agg["c"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"lang": agg["lang"], "n": c, "cc": c * (c - 1),
+             "t": np.ones(len(c), dtype=np.int64)}
+        )
+        return out.groupby("lang", sort=False, as_index=False)[
+            ["n", "cc", "t"]
+        ].sum()
+
+    stats = _as_arrow(sharded_map_groups(parts, "term", shard_stats))
+    df = stats.to_pandas().groupby("lang", as_index=False)[
+        ["n", "cc", "t"]
+    ].sum().sort_values("lang")
+    n = df["n"].to_numpy(np.int64)
+    cc = df["cc"].to_numpy(np.int64)
+    den = n * (n - 1)
+    gini = ((den - cc) * np.int64(GINI_SCALE)) // np.maximum(den, 1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(df["lang"].tolist(), pa.string()),
+                "n_tokens": n,
+                "n_terms": df["t"].to_numpy(np.int64),
+                "gini_fp": gini,
+            }
+        )
+    )
+
+
+SQL_VOCAB_DIVERSITY = rf"""
+WITH toks AS (
+  SELECT lang, unnest(
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+  FROM documents
+),
+tc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY lang, term),
+st AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_terms,
+              CAST(SUM(c * (c - 1)) AS BIGINT) AS cc
+       FROM tc GROUP BY lang)
+SELECT lang, n_tokens, n_terms,
+       CAST(((CAST(n_tokens AS HUGEINT) * (n_tokens - 1) - cc)
+             * {GINI_SCALE})
+            // GREATEST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 1)
+            AS BIGINT) AS gini_fp
+FROM st ORDER BY lang
+"""

@@ -1061,3 +1061,58 @@ class TestCountMinSketch:
         true = np.array([(keys == p).sum() for p in probes])
         assert (est >= true).all()          # CMS never underestimates
         assert (est > true).any()           # collisions actually occur
+
+
+class TestVocabDiversity:
+    """Gini-Simpson vs a scalar Counter reference; degenerate
+    single-term corpus collapses to 0. SQL gate: `vocab_diversity`."""
+
+    def test_matches_counter_reference(self, ray_session, tmp_path):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.text_queries import (
+            GINI_SCALE,
+            q_vocab_diversity,
+        )
+
+        rng = np.random.default_rng(13)
+        docs, langs = [], []
+        for i in range(80):
+            lang = "aa" if i % 2 == 0 else "bb"
+            if lang == "aa":  # diverse
+                words = rng.choice([f"w{j}" for j in range(40)], size=30)
+            else:  # collapsed: one word repeated
+                words = ["spam"] * 30
+            docs.append(" ".join(words))
+            langs.append(lang)
+        pq.write_table(
+            pa.table(
+                {"lang": pa.array(langs, pa.string()),
+                 "text": pa.array(docs, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = (
+            q_vocab_diversity(str(tmp_path))
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            cnt = Counter()
+            for d, lg in zip(docs, langs):
+                if lg == row["lang"]:
+                    cnt.update(re.split(r"\s+", d.strip()))
+            n = sum(cnt.values())
+            cc = sum(c * (c - 1) for c in cnt.values())
+            assert row["n_tokens"] == n and row["n_terms"] == len(cnt)
+            assert row["gini_fp"] == ((n * (n - 1) - cc) * GINI_SCALE) // (
+                n * (n - 1)
+            )
+        aa = got[got["lang"] == "aa"].iloc[0]["gini_fp"]
+        bb = got[got["lang"] == "bb"].iloc[0]["gini_fp"]
+        assert bb == 0 and aa > GINI_SCALE * 9 // 10  # collapse vs diverse
