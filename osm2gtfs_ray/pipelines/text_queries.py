@@ -1252,10 +1252,12 @@ GROUP BY gd.doc_id ORDER BY gd.doc_id
 # shows collapsed diversity): D = 1 - sum c_i(c_i-1) / (N(N-1)) over
 # term frequencies — unlike Shannon entropy this is an EXACT RATIONAL
 # in integer counts, so gini_fp = (N(N-1) - sum c(c-1)) * 10^9 //
-# (N(N-1)) hash-matches SQL with no float log. Sums stay in int64 for
-# N up to ~3e9 tokens per language (sum c(c-1) <= N^2); past that the
-# final 5-row stage switches to Python big-ints — documented, not
-# needed at any test scale.
+# (N(N-1)) hash-matches SQL with no float log. Per-shard partial sums
+# of c(c-1) stay in int64 for N up to ~3e9 tokens per language
+# (sum c(c-1) <= N^2 < 2^63); the final bounded per-lang merge and the
+# gini formula run in Python big-ints because (N(N-1) - cc) * 10^9
+# wraps int64 already at N ~ 96k tokens (den ~ 9.2e9 * 1e9 > 2^63) —
+# matching the SQL oracle's HUGEINT arithmetic exactly.
 #
 # Plan: per-batch (lang, term) count partials -> ONE term-hash
 # sharded sum (a term's counts live wholly in one shard, so per-shard
@@ -1309,20 +1311,29 @@ def q_vocab_diversity(sf_dir: str):
         ].sum()
 
     stats = _as_arrow(sharded_map_groups(parts, "term", shard_stats))
-    df = stats.to_pandas().groupby("lang", as_index=False)[
-        ["n", "cc", "t"]
-    ].sum().sort_values("lang")
-    n = df["n"].to_numpy(np.int64)
-    cc = df["cc"].to_numpy(np.int64)
-    den = n * (n - 1)
-    gini = ((den - cc) * np.int64(GINI_SCALE)) // np.maximum(den, 1)
+    # Bounded final merge (one row per language): Python big-ints —
+    # (den - cc) * GINI_SCALE exceeds int64 once a slice passes ~96k
+    # tokens (den - cc > 9.2e9), which sf0.1's 'en' slice already does.
+    acc: dict[str, list[int]] = {}
+    sp = stats.to_pandas()
+    for lang_v, n_v, cc_v, t_v in zip(sp["lang"], sp["n"], sp["cc"], sp["t"]):
+        a = acc.setdefault(str(lang_v), [0, 0, 0])
+        a[0] += int(n_v)
+        a[1] += int(cc_v)
+        a[2] += int(t_v)
+    langs = sorted(acc)
+    gini = []
+    for lg in langs:
+        nn, cc_i, _ = acc[lg]
+        den = nn * (nn - 1)
+        gini.append(((den - cc_i) * GINI_SCALE) // max(den, 1))
     return ray.data.from_arrow(
         pa.table(
             {
-                "lang": pa.array(df["lang"].tolist(), pa.string()),
-                "n_tokens": n,
-                "n_terms": df["t"].to_numpy(np.int64),
-                "gini_fp": gini,
+                "lang": pa.array(langs, pa.string()),
+                "n_tokens": pa.array([acc[lg][0] for lg in langs], pa.int64()),
+                "n_terms": pa.array([acc[lg][2] for lg in langs], pa.int64()),
+                "gini_fp": pa.array(gini, pa.int64()),
             }
         )
     )

@@ -1116,3 +1116,44 @@ class TestVocabDiversity:
         aa = got[got["lang"] == "aa"].iloc[0]["gini_fp"]
         bb = got[got["lang"] == "bb"].iloc[0]["gini_fp"]
         assert bb == 0 and aa > GINI_SCALE * 9 // 10  # collapse vs diverse
+
+    def test_no_int64_wrap_past_96k_tokens(self, ray_session, tmp_path):
+        """(den - cc) * 10^9 exceeds int64 once a language slice passes
+        ~96k tokens (den - cc > 9.2e9); the final stage must use Python
+        big-ints. Regression for the r4 advisor finding (sf0.1 'en'
+        slice, N=112k, returned a wrapped gini_fp)."""
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.text_queries import (
+            GINI_SCALE,
+            q_vocab_diversity,
+        )
+
+        rng = np.random.default_rng(7)
+        # 120k tokens in one language, moderately diverse vocabulary so
+        # den - cc is large (the wrapping regime).
+        vocab = [f"t{j}" for j in range(5000)]
+        docs = [
+            " ".join(rng.choice(vocab, size=600)) for _ in range(200)
+        ]
+        pq.write_table(
+            pa.table(
+                {"lang": pa.array(["en"] * len(docs), pa.string()),
+                 "text": pa.array(docs, pa.string())}
+            ),
+            tmp_path / "documents.parquet",
+        )
+        got = q_vocab_diversity(str(tmp_path)).to_pandas()
+        cnt = Counter(w for d in docs for w in d.split())
+        n = sum(cnt.values())
+        assert n > 96_000  # in the wrapping regime
+        cc = sum(c * (c - 1) for c in cnt.values())
+        den = n * (n - 1)
+        exact = ((den - cc) * GINI_SCALE) // den
+        assert (den - cc) * GINI_SCALE > 2**63  # int64 would wrap
+        row = got.iloc[0]
+        assert row["n_tokens"] == n and row["gini_fp"] == exact
+        assert 0 <= row["gini_fp"] <= GINI_SCALE
