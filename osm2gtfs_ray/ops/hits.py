@@ -10,10 +10,16 @@ Per round (Kleinberg's mutual reinforcement):
 
 All values are int64 numerators over an implicit TOTAL_HITS = 10^9
 denominator. The bound that makes the renormalization exact in int64:
-after each renorm sum(x) <= TOTAL, so every raw score (a sum of
-scores) is <= TOTAL and ``raw * TOTAL <= 10^18 < 2^63`` — no widening
-needed, and the result is bit-exact regardless of partitioning or
-reduction order (float HITS could never hash-match a SQL oracle).
+after each renorm sum(x) <= TOTAL, so with at most one edge per
+(u, v) pair every raw score (a sum of distinct endpoint scores) is
+<= TOTAL and ``raw * TOTAL <= 10^18 < 2^63`` — no widening needed,
+and the result is bit-exact regardless of partitioning or reduction
+order (float HITS could never hash-match a SQL oracle). With parallel
+edges of multiplicity m per pair the bound weakens to
+``raw <= m * TOTAL``, so ``raw * TOTAL < 2^63`` requires ``m <= 9``;
+the synthesized crawl graph emits at most 3 parallel edges per pair
+(three independent dst streams). Callers feeding a generic edge list
+with higher multiplicity must dedupe edges first.
 
 Two physical plans, same bit-exact result (the ops/pagerank.py
 size-aware pattern):
@@ -87,6 +93,11 @@ def _half_round_broadcast(edges, vec: np.ndarray, n_nodes: int,
         t["s"].to_numpy(zero_copy_only=False).astype(np.int64),
     )
     total = int(raw.sum())
+    if total == 0:
+        # numpy integer // 0 only warns and yields zeros; honor the
+        # repo's divergence-raises discipline instead.
+        raise ValueError("HITS half-round: empty/degenerate edge set "
+                         "(all raw scores are zero)")
     return (raw * np.int64(TOTAL_HITS)) // np.int64(total)
 
 
@@ -139,7 +150,10 @@ def _half_round_shuffle(edges, scores, from_col: str, to_col: str,
         .aggregate(Sum("s", alias_name="s"))
         .materialize()  # consumed twice: divisor + renorm
     )
-    total = int(raw.sum("s"))
+    total = int(raw.sum("s") or 0)
+    if total == 0:
+        raise ValueError("HITS half-round: empty/degenerate edge set "
+                         "(all raw scores are zero)")
 
     def renorm(t: pa.Table) -> pa.Table:
         s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -28,9 +28,9 @@ cost the same ~log-depth passes as one shape.
 
 Overflow bound: with coordinates translated per segment (the kernel
 subtracts the chord start), |dx|,|dy| <= the SHAPE's extent E in
-quantized units; cross^2 <= 4*E^4 must stay < 2^63, so E < ~2^15.7 ~
-55000 units. At e4 quantization that is a 5.5-degree shape extent —
-asserted, not assumed.
+quantized units; cross^2 <= 4*E^4 must stay < 2^63, so E <= ~2^15.25 ~
+38,900 units (the enforced _MAX_EXTENT=38,000). At e4 quantization
+that is a ~3.8-degree shape extent — asserted, not assumed.
 """
 
 from __future__ import annotations
