@@ -187,3 +187,137 @@ def bfs_hops(edges, n_nodes: int, seeds: np.ndarray, iters: int = 4,
         return bfs_broadcast(edges, n_nodes, seeds, iters=iters)
     return bfs_shuffle(edges, n_nodes, seeds, iters=iters,
                        num_partitions=num_partitions)
+
+
+def reach_shuffle(edges, n_nodes: int, seeds, max_rounds: int = 200,
+                  num_partitions: int = 16):
+    """Full-reachability FIXPOINT with a Dataset frontier: the set of
+    nodes reachable from ``seeds`` (seeds included), as a Dataset with
+    one int64 column ``node``. No driver-held n-sized state: seeds
+    arrive as a Dataset (column ``node``), the distance table is a
+    Dataset seeded by a hash join, and each round is one src-keyed
+    join + one node-keyed LEFT OUTER merge (ops/bfs.bfs_shuffle's
+    round shape). Early-stops when a round stamps nothing new; RAISES
+    past ``max_rounds`` (the ops/kcore.py budget discipline — rounds
+    are data-dependent, divergence must be loud).
+
+    The per-round early-stop scalar (count of newly stamped nodes) is
+    an aggregate over the materialized distance table — a driver
+    scalar, not driver state."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import compact_for_join
+
+    if not isinstance(seeds, ray.data.Dataset):
+        seeds = ray.data.from_arrow(
+            pa.table({"node": np.asarray(seeds, dtype=np.int64)})
+        )
+
+    seed_keyed = compact_for_join(
+        seeds.map_batches(
+            lambda t: pa.table(
+                {"node": pc.cast(t["node"], pa.int64()),
+                 "is_seed": np.ones(len(t), dtype=np.int64)}
+            ),
+            batch_format="pyarrow",
+        ),
+        num_partitions,
+    )
+
+    def init(t: pa.Table) -> pa.Table:
+        hit = pc.fill_null(pc.cast(t["is_seed"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "node": pc.cast(t["node"], pa.int64()),
+                "hops": np.where(hit > 0, 0, -1).astype(np.int64),
+            }
+        )
+
+    nodes = ray.data.range(n_nodes).map_batches(
+        lambda t: pa.table({"node": pc.cast(t["id"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    dist = nodes.join(
+        seed_keyed, join_type="left_outer", num_partitions=num_partitions,
+        on=("node",),
+    ).map_batches(init, batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+
+    for rnd in range(1, max_rounds + 1):
+        def front_batch(t: pa.Table, _r=rnd) -> pa.Table:
+            f = t.filter(pc.equal(t["hops"], _r - 1))
+            return pa.table({"src": pc.cast(f["node"], pa.int64())})
+
+        front = compact_for_join(
+            dist.map_batches(front_batch, batch_format="pyarrow"),
+            num_partitions,
+        ).materialize()
+        if front.count() == 0:
+            break  # empty seed set (the loop invariant covers later rounds)
+        touched = edges.join(
+            front, join_type="inner", num_partitions=num_partitions,
+            on=("src",),
+        )
+
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": np.unique(t["dst"].to_numpy(zero_copy_only=False))}
+            )
+
+        new = compact_for_join(
+            touched.map_batches(uniq, batch_format="pyarrow")
+            .groupby("node")
+            .count()
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t["node"], pa.int64()),
+                     "reach": np.ones(len(t), dtype=np.int64)}
+                ),
+                batch_format="pyarrow",
+            ),
+            num_partitions,
+        ).materialize()
+        if new.count() == 0:
+            break  # frontier has no out-edges — fixpoint reached
+        merged = dist.join(
+            new, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def update(t: pa.Table, _r=rnd) -> pa.Table:
+            hops = t["hops"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = pc.fill_null(pc.cast(t["reach"], pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+            hops = np.where((hops < 0) & (hit > 0), _r, hops)
+            return pa.table(
+                {"node": pc.cast(t["node"], pa.int64()), "hops": hops}
+            )
+
+        dist = merged.map_batches(update, batch_format="pyarrow").materialize()
+        stamped = int(
+            dist.map_batches(
+                lambda t, _r=rnd: pa.table(
+                    {"c": [int(pc.sum(
+                        pc.cast(pc.equal(t["hops"], _r), pa.int64())
+                    ).as_py() or 0)]}
+                ),
+                batch_format="pyarrow",
+            ).sum("c")
+            or 0
+        )
+        if stamped == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"reach_shuffle exceeded max_rounds={max_rounds}; "
+            "raise the budget"
+        )
+
+    def emit(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["hops"], 0))
+        return pa.table({"node": pc.cast(f["node"], pa.int64())})
+
+    return dist.map_batches(emit, batch_format="pyarrow")

@@ -158,6 +158,26 @@ def hash_join(left_ds, right_ds, keys, join_type: str = "inner", num_partitions:
     )
 
 
+def compact_for_join(ds, num_blocks: int = 16):
+    """Workaround for a Ray 2.49 hash-join defect: the shuffle
+    broadcasts each input's schema to ALL aggregators only with that
+    input's FIRST block (``send_empty_blocks`` in
+    ray/data/_internal/execution/operators/hash_shuffle.py), but
+    ``_shuffle_block`` early-returns on zero-row blocks BEFORE the
+    broadcast — so an input whose first block is empty (a filtered
+    frontier, a sparse groupby output) leaves schema-less empty
+    partitions and ``Dataset.join`` dies with ArrowInvalid
+    ("No match ... for key field reference" at finalize).
+
+    ``repartition(k)`` fills blocks front-first (k blocks of
+    ceil(n/k) then the remainder empty), so the first block is
+    non-empty whenever the dataset is, at the cost of one extra pass
+    over ``ds`` — call it on SMALL join inputs (frontiers, per-round
+    deltas) that may produce empty leading blocks, never on the big
+    side (whose first block is organically non-empty)."""
+    return ds.repartition(num_blocks)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-prefiltered semi join: the large×large scale path when the
 # "small" side's key SET no longer fits a broadcast but its BLOOM BITS

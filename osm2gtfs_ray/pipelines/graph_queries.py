@@ -1176,73 +1176,15 @@ GROUP BY node ORDER BY doc_id
 def q_bowtie(sf_dir: str):
     """(doc_id, cls) with cls in {core, in, out, other}.
 
-    Composes the broadcast-family graph ops, so it inherits their
-    <= 2M-node bound and REFUSES beyond it (driver-held label/mask
-    vectors would silently stop scaling otherwise). The
-    beyond-broadcast path — scc shuffle labels hash-joined with two
-    Dataset-frontier BFS reach tables — is the documented follow-up,
-    matching ops/bfs.bfs_shuffle's shape; no test scale needs it."""
-    import ray
-    import ray.data
-
-    from osm2gtfs_ray.ops.bfs import bfs_broadcast
-    from osm2gtfs_ray.ops.scc import BROADCAST_SCC_ROWS, scc
+    Size-aware plan selection (ops/bowtie.py): the broadcast
+    composition under 2M nodes, the shuffle composition — scc labels
+    hash-joined with two ops/bfs.reach_shuffle Dataset-frontier reach
+    tables, no driver-held n-sized state — above it. Plan equivalence
+    is pytested (tests/test_graph.py TestBowtie)."""
+    from osm2gtfs_ray.ops.bowtie import bowtie
 
     n = _n_docs(sf_dir)
-    if n > BROADCAST_SCC_ROWS:
-        raise NotImplementedError(
-            "bowtie composes broadcast-plan graph ops; beyond "
-            f"{BROADCAST_SCC_ROWS} nodes use the documented "
-            "shuffle composition (scc labels ⋈ Dataset-frontier BFS)"
-        )
-    edges = build_link_graph(sf_dir).materialize()
-
-    scc_tbl = pa.concat_tables(
-        [ray.get(r) for r in scc(edges, n).to_arrow_refs()]
-    )
-    labels = np.zeros(n, dtype=np.int64)
-    labels[scc_tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
-        scc_tbl["scc"].to_numpy(zero_copy_only=False)
-    )
-    uniq, counts = np.unique(labels, return_counts=True)
-    core_label = int(uniq[np.lexsort((uniq, -counts))[0]])
-    core = np.flatnonzero(labels == core_label).astype(np.int64)
-
-    def reach_mask(ds_edges) -> np.ndarray:
-        t = pa.concat_tables(
-            [
-                ray.get(r)
-                for r in bfs_broadcast(ds_edges, n, core, iters=n)
-                .to_arrow_refs()
-            ]
-        )
-        m = np.zeros(n, dtype=bool)
-        m[t["doc_id"].to_numpy(zero_copy_only=False)] = True
-        return m
-
-    fwd = reach_mask(edges)
-    rev_edges = edges.map_batches(
-        lambda t: pa.table(
-            {"src": pc.cast(t["dst"], pa.int64()),
-             "dst": pc.cast(t["src"], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    bwd = reach_mask(rev_edges)
-
-    is_core = labels == core_label
-    cls = np.where(
-        is_core, "core",
-        np.where(bwd, "in", np.where(fwd, "out", "other")),
-    )
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_id": np.arange(n, dtype=np.int64),
-                "cls": pa.array(cls.tolist(), pa.string()),
-            }
-        )
-    )
+    return bowtie(build_link_graph(sf_dir), n)
 
 
 SQL_BOWTIE = f"""

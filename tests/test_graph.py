@@ -790,14 +790,83 @@ class TestTileAuthorityPlans:
         b = canon(q_tile_authority(sf, plan="join"))
         assert b.astype(a.dtypes.to_dict()).equals(a)
 
-    def test_bowtie_bound_guard(self, ray_session, monkeypatch):
+    def test_bowtie_plan_equivalence(self, ray_session):
+        """The shuffle composition (scc labels ⋈ two Dataset-frontier
+        reach tables, no driver-held n-sized state) must classify
+        every node identically to the broadcast composition — both on
+        the synthetic link graph and on a handcrafted graph that
+        exercises all four classes."""
+        import ray.data
+
+        from osm2gtfs_ray.ops.bowtie import bowtie_broadcast, bowtie_shuffle
+        from osm2gtfs_ray.pipelines.graph_queries import synthesize_edges
+
+        def canon(ds):
+            return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        n = 120
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        a = canon(bowtie_broadcast(ray.data.from_arrow(e), n))
+        b = canon(
+            bowtie_shuffle(ray.data.from_arrow(e), n, num_partitions=4)
+        )
+        assert b.equals(a)
+        assert set(a["cls"]) <= {"core", "in", "out", "other"}
+
+        # 0 -> (1 <-> 2) -> 3 ; 4 <-> 5 disconnected: all four classes
+        e2 = pa.table(
+            {
+                "src": np.array([0, 1, 2, 2, 4, 5], dtype=np.int64),
+                "dst": np.array([1, 2, 1, 3, 5, 4], dtype=np.int64),
+                "outdeg": np.array([1, 1, 2, 2, 1, 1], dtype=np.int64),
+            }
+        )
+        a2 = canon(bowtie_broadcast(ray.data.from_arrow(e2), 6))
+        b2 = canon(bowtie_shuffle(ray.data.from_arrow(e2), 6,
+                                  num_partitions=4))
+        assert b2.equals(a2)
+        assert a2["cls"].tolist() == [
+            "in", "core", "core", "out", "other", "other",
+        ]
+
+    def test_reach_shuffle_fixpoint_and_budget(self, ray_session):
+        """reach_shuffle reaches the full closure (vs brute reach
+        matrix), includes seeds, and raises past max_rounds."""
         import pytest as _pytest
+        import ray.data
 
-        import osm2gtfs_ray.pipelines.graph_queries as grq
+        from osm2gtfs_ray.ops.bfs import reach_shuffle
+        from osm2gtfs_ray.pipelines.graph_queries import synthesize_edges
 
-        monkeypatch.setattr(grq, "_n_docs", lambda _: 3_000_000)
-        with _pytest.raises(NotImplementedError, match="broadcast"):
-            grq.q_bowtie("/root/testdata/sf0.001")
+        n = 60
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+        reach = np.zeros((n, n), dtype=bool)
+        reach[src, dst] = True
+        reach[np.arange(n), np.arange(n)] = True
+        for k in range(n):
+            reach |= np.outer(reach[:, k], reach[k, :])
+        seeds = np.array([0, 7], dtype=np.int64)
+        want = sorted(np.flatnonzero(reach[seeds].any(axis=0)).tolist())
+
+        got = sorted(
+            reach_shuffle(
+                ray.data.from_arrow(e), n, seeds, num_partitions=4
+            ).to_pandas()["node"].tolist()
+        )
+        assert got == want
+
+        # a 3-node chain needs 2 expansion rounds; budget of 1 raises
+        chain = pa.table(
+            {"src": np.array([0, 1], dtype=np.int64),
+             "dst": np.array([1, 2], dtype=np.int64)}
+        )
+        with _pytest.raises(RuntimeError, match="max_rounds"):
+            reach_shuffle(
+                ray.data.from_arrow(chain), 3,
+                np.array([0], dtype=np.int64), max_rounds=1,
+                num_partitions=2,
+            )
 
 
 class TestDomainAuthority:
