@@ -989,6 +989,22 @@ def _split_tokens(texts: pa.ChunkedArray):
     return arr.values, arr.offsets.to_numpy()
 
 
+def pmi_prescreen_keep(approx: np.ndarray, k: int) -> np.ndarray:
+    """Float-prescreen mask provably containing the exact top-k.
+
+    float64 carries ~1e-16 relative error per multiply/divide (5 ops
+    in the approx formula, < 1e-15 relative total) and the exact
+    floor loses < 1 absolute, so a margin of |kth|*1e-12 + 2 below
+    the k-th approx value is a safe envelope at any corpus scale
+    (the r4 advisor note: a constant 2.0 margin breaks once
+    pmi_fp ≳ 1e17). Fuzz-tested with adversarially large counts in
+    tests/test_ops.py::TestPmiPrescreen."""
+    if len(approx) <= k:
+        return np.ones(len(approx), dtype=bool)
+    kth = np.partition(approx, len(approx) - k)[len(approx) - k]
+    return approx >= kth - (abs(kth) * 1e-12 + 2.0)
+
+
 def q_pmi_bigrams(sf_dir: str, k: int = PMI_K):
     """Top-k (w1, w2, n_pair, pmi_fp) adjacent-token collocations."""
     from osm2gtfs_ray.ops.joins import hash_join
@@ -1060,26 +1076,26 @@ def q_pmi_bigrams(sf_dir: str, k: int = PMI_K):
                 }
             )
         # Exact big-int scoring, but only on a float-prescreened
-        # slice: approx = c12*Nu^2*SCALE/(Nb*c1*c2) in float64 is
-        # within ~1e-4 relative of the rational, and distinct exact
-        # fp values differ by >= 1, so keeping everything with
-        # approx >= (k-th approx) - 2 provably contains the exact
-        # top-k — the Python big-int loop runs on <= O(k) rows per
-        # block, never the whole candidate set.
+        # slice (pmi_prescreen_keep: value-scaled margin provably
+        # containing the exact top-k at any corpus scale) — the
+        # Python big-int loop runs on <= O(k) rows per block, never
+        # the whole candidate set.
         approx = (
             df["c"].to_numpy(np.float64) * float(n_u) * float(n_u)
             * float(PMI_SCALE)
             / (float(n_b) * df["c1"].to_numpy(np.float64)
                * df["c2"].to_numpy(np.float64))
         )
-        if len(df) > k:
-            kth = np.partition(approx, len(approx) - k)[len(approx) - k]
-            keep = approx >= kth - 2.0
-            df = df[keep]
+        df = df[pmi_prescreen_keep(approx, k)]
         pmi = [
             (int(c12) * n_u * n_u * PMI_SCALE) // (n_b * int(c1) * int(c2))
             for c12, c1, c2 in zip(df["c"], df["c1"], df["c2"])
         ]
+        # int64-fit must be loud, not a silent wrap in the Series cast
+        if pmi and max(pmi) > 2**63 - 1:
+            raise OverflowError(
+                f"pmi_fp {max(pmi)} exceeds int64; lower PMI_SCALE"
+            )
         out = pd.DataFrame(
             {
                 "w1": df["w1"],

@@ -1063,6 +1063,60 @@ class TestCountMinSketch:
         assert (est > true).any()           # collisions actually occur
 
 
+class TestPmiPrescreen:
+    """The float prescreen must provably contain the exact big-int
+    top-k even with adversarially large counts (pmi_fp far beyond
+    int64, where the r4 constant-2.0 margin would have failed)."""
+
+    def test_contains_exact_topk_at_extreme_scale(self):
+        from osm2gtfs_ray.pipelines.text_queries import (
+            PMI_SCALE,
+            pmi_prescreen_keep,
+        )
+
+        rng = np.random.default_rng(42)
+        k = 20
+        for trial in range(20):
+            n = 2000
+            # adversarial regime: Nu ~ 1e12 tokens, tiny c1*c2 so
+            # pmi_fp ~ 1e24 >> 2^63, plus near-tie clusters
+            n_u = int(rng.integers(10**11, 10**12))
+            n_b = n_u - int(rng.integers(1, 10**6))
+            c12 = rng.integers(5, 10**7, size=n).astype(object)
+            c1 = rng.integers(5, 10**8, size=n).astype(object)
+            c2 = rng.integers(5, 10**8, size=n).astype(object)
+            # inject near-ties around a large value
+            base = int(rng.integers(10**6, 10**7))
+            for j in range(0, 40, 2):
+                c12[j] = base
+                c12[j + 1] = base
+                c1[j] = c1[j + 1] = 7
+                c2[j] = 11 + (j % 3)
+                c2[j + 1] = 11 + (j % 3)
+            exact = np.array(
+                [
+                    (int(a) * n_u * n_u * PMI_SCALE) // (n_b * int(b) * int(c))
+                    for a, b, c in zip(c12, c1, c2)
+                ],
+                dtype=object,
+            )
+            approx = (
+                c12.astype(np.float64) * float(n_u) * float(n_u)
+                * float(PMI_SCALE)
+                / (float(n_b) * c1.astype(np.float64)
+                   * c2.astype(np.float64))
+            )
+            keep = pmi_prescreen_keep(approx, k)
+            # exact top-k (max-heap order by value) must all survive
+            order = sorted(range(n), key=lambda i: exact[i], reverse=True)
+            kth_val = exact[order[k - 1]]
+            must_keep = {i for i in range(n) if exact[i] >= kth_val}
+            surviving = set(np.flatnonzero(keep).tolist())
+            assert must_keep <= surviving, (
+                f"trial {trial}: prescreen dropped an exact top-k row"
+            )
+
+
 class TestVocabDiversity:
     """Gini-Simpson vs a scalar Counter reference; degenerate
     single-term corpus collapses to 0. SQL gate: `vocab_diversity`."""
