@@ -78,7 +78,7 @@ _GATE_ORDER = [
     "simhash_pairs", "dup_ngram_spans", "crawl_delta", "dedup_groups",
     "boilerplate_strip", "embedding_dedup_groups", "cosine_lsh",
     "cocitation", "snap_points", "kcore", "minhash_pairs", "hits",
-    "pii_redact", "pagerank", "typo_pairs", "pmi_bigrams",
+    "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
     "audio_features", "bowtie",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sqrt-quota temperature rebalance plan per language
         "balanced_mix": cq.q_balanced_mix,
         "contamination": cq.q_contamination,
+        # bigram-LM perplexity filter (CCNet-style; snapshot-joining oracle)
+        "lm_perplexity": cq.q_lm_perplexity,
         "heavy_hitters": cq.q_heavy_hitters,
         "word_repetition": cq.q_word_repetition,
         "chunk_docs": cq.q_chunk_docs,
@@ -420,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": cq.sql_weighted_sample(),
         "balanced_mix": cq.sql_balanced_mix(),
         "contamination": cq.SQL_CONTAMINATION,
+        "lm_perplexity": cq.sql_lm_perplexity(),
         "heavy_hitters": cq.SQL_HEAVY_HITTERS,
         "word_repetition": cq.SQL_WORD_REPETITION,
         "chunk_docs": cq.SQL_CHUNK_DOCS,

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "sample_split",
     "seq_pack",
     "contamination",
+    "lm_perplexity",
     "heavy_hitters",
     "word_repetition",
     "pii_redact",

@@ -648,3 +648,198 @@ SELECT q.lang, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
 FROM q LEFT JOIN s ON s.lang = q.lang
 ORDER BY q.lang
 """
+
+
+# --------------------------------------------------------------------------
+# N-gram LM perplexity filter (CCNet/Gopher-style corpus cleaning)
+# --------------------------------------------------------------------------
+# Train a bigram language model on the reference split (doc_id % 5 != 0
+# — the stand-in for CCNet's "train on Wikipedia, score Common Crawl"),
+# quantize conditional log-probs to a fixed-point integer table, then
+# score EVERY document: nll_fp = -sum lp_fp over its adjacent-token
+# bigrams, flagged when the average exceeds LM_PPL_THR_FP (an integer
+# cross-multiplied comparison — no float in the scoring path).
+#
+# Driver-checkable the KMEANS_CENTROIDS_SNAPSHOT way: the trained
+# log-prob table (the only non-SQL-expressible artifact — float log
+# happens ONCE at training, np.log on exact integer count ratios) is
+# snapshotted to parquet and the oracle re-scores all documents with a
+# LEFT JOIN onto the same table + the same integer sums. Training
+# itself is pytest-asserted against a scalar Counter reference.
+#
+# 100 TB design: the model is REFERENCE-CORPUS-sized, not corpus-sized
+# — CCNet trains on a fixed curated split, so the lp table is bounded
+# regardless of how much data is scored (prune rare bigrams with
+# LM_MIN_COUNT when the reference split itself is huge). Training is
+# one pass over the train split (per-batch Arrow bigram partials →
+# w1-hash sharded sums, so c(w1,·) and each c(w1,w2) meet in one shard
+# and lp needs NO join); scoring is one pass over the corpus with the
+# table broadcast via ray.put (pandas hash-merge per batch).
+
+LM_SCALE = 10**6
+LM_OOV_FP = -20 * LM_SCALE       # floor for bigrams unseen in training
+# flag: avg nll per bigram > 3.44 nats — sits in the upper tail of the
+# synthetic corpus's per-doc average (train docs center ~3.38, held-out
+# ~3.42), so both flag classes occur at every test sf
+LM_PPL_THR_FP = 3_440_000
+LM_MIN_COUNT = 1                 # raise at scale to bound the table
+LM_SNAPSHOT = "/tmp/graft_lm_bigram_lp"
+
+
+def train_bigram_lp(docs):
+    """(w1, w2, lp_fp) Dataset from a (text) Dataset: exact bigram /
+    context counts, lp_fp = round(log(c12 / c1) * LM_SCALE)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.pipelines.text_queries import _split_tokens
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        flat, offs = _split_tokens(t["text"])
+        lens = np.diff(offs)
+        nbig = np.maximum(lens - 1, 0)
+        tot = int(nbig.sum())
+        cs = np.concatenate(([0], np.cumsum(nbig)[:-1]))
+        j = np.repeat(offs[:-1] - cs, nbig) + np.arange(tot, dtype=np.int64)
+        g = (
+            pa.table({"w1": flat.take(j), "w2": flat.take(j + 1)})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["w1", "w2", "n_part"]).to_pandas()
+
+    def shard_lp(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["w1", "w2"], sort=False)["n_part"].sum()
+            .reset_index(name="c12")
+        )
+        if agg.empty:
+            return pd.DataFrame(
+                {"w1": pd.Series(dtype="object"),
+                 "w2": pd.Series(dtype="object"),
+                 "lp_fp": pd.Series(dtype="int64")}
+            )
+        agg = agg[agg["c12"] >= LM_MIN_COUNT]
+        # c1 = c(w1, ·): every (w1, *) row lives in this shard
+        c1 = agg.groupby("w1", sort=False)["c12"].transform("sum")
+        lp = np.round(
+            np.log(agg["c12"].to_numpy(np.float64)
+                   / c1.to_numpy(np.float64)) * LM_SCALE
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"w1": agg["w1"], "w2": agg["w2"], "lp_fp": lp}
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sharded_map_groups(parts, "w1", shard_lp)
+
+
+def q_lm_perplexity(sf_dir: str):
+    """(doc_id, n_bigrams, nll_fp, ppl_flag) for every document."""
+    import ray
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.pipelines.text_queries import _split_tokens
+    from osm2gtfs_ray.state.snapshot import write_snapshot
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def train_split(t: pa.Table) -> pa.Table:
+        # doc_id >= 0 in this corpus: plain modulo split, 80% train
+        ids = pc.cast(t["doc_id"], pa.int64())
+        return t.filter(
+            pc.not_equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 5),
+                                             pa.scalar(5, pa.int64()))),
+                pa.scalar(0, pa.int64()),
+            )
+        ).select(["text"])
+
+    lp_ds = train_bigram_lp(
+        docs.map_batches(train_split, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    )
+    import pyarrow.parquet as _pq
+
+    snap = write_snapshot(
+        lp_ds, LM_SNAPSHOT,
+        extra={"n_src": _pq.ParquetFile(
+            f"{sf_dir}/documents.parquet").metadata.num_rows},
+    )
+    lp_tbl = snap if isinstance(snap, pa.Table) else _as_arrow(snap)
+    lp_df = lp_tbl.to_pandas()
+    ref = ray.put(lp_df)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        table = ray.get(_ref)  # zero-copy view of the broadcast model
+        flat, offs = _split_tokens(t["text"])
+        lens = np.diff(offs)
+        nbig = np.maximum(lens - 1, 0)
+        tot = int(nbig.sum())
+        cs = np.concatenate(([0], np.cumsum(nbig)[:-1]))
+        j = np.repeat(offs[:-1] - cs, nbig) + np.arange(tot, dtype=np.int64)
+        row = np.repeat(np.arange(len(t), dtype=np.int64), nbig)
+        bg = pd.DataFrame(
+            {
+                "row": row,
+                "w1": flat.take(j).to_pandas(),
+                "w2": flat.take(j + 1).to_pandas(),
+            }
+        )
+        sc = bg.merge(table, on=["w1", "w2"], how="left")
+        lp = sc["lp_fp"].fillna(LM_OOV_FP).astype(np.int64).to_numpy()
+        nll = np.zeros(len(t), dtype=np.int64)
+        np.add.at(nll, sc["row"].to_numpy(np.int64), -lp)
+        flag = (nll > np.int64(LM_PPL_THR_FP) * nbig).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_bigrams": pa.array(nbig, pa.int64()),
+                "nll_fp": pa.array(nll, pa.int64()),
+                "ppl_flag": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_lm_perplexity() -> str:
+    from osm2gtfs_ray.state.snapshot import sql_guard
+
+    return rf"""
+WITH lp AS (
+  SELECT w1, w2, CAST(lp_fp AS BIGINT) AS lp_fp
+  FROM read_parquet('{LM_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(LM_SNAPSHOT, "documents")} = 1
+),
+toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) t
+),
+sc AS (
+  SELECT b.doc_id, COALESCE(l.lp_fp, {LM_OOV_FP}) AS lp
+  FROM bg b LEFT JOIN lp l ON b.w1 = l.w1 AND b.w2 = l.w2
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(lp) AS BIGINT) AS nll_fp
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
+       CAST(CASE WHEN COALESCE(a.nll_fp, 0)
+                      > {LM_PPL_THR_FP} * COALESCE(a.n_bigrams, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS ppl_flag
+FROM toks t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""

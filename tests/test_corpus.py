@@ -339,3 +339,88 @@ class TestBalancedMix:
         import math
         sd = math.sqrt(q_en)
         assert abs(int(en["n_selected"]) - q_en) < 5 * sd
+
+
+class TestLmPerplexity:
+    """Bigram-LM perplexity filter vs a scalar Counter reference:
+    exact lp table, exact integer scoring, OOV floor on held-out
+    bigrams, degenerate docs (empty / single-token) score 0.
+    SQL gate: `lm_perplexity` (snapshot-joining oracle)."""
+
+    def test_matches_counter_reference(self, rd, tmp_path):
+        import math
+        import re
+        from collections import Counter
+
+        from osm2gtfs_ray.pipelines.corpus_queries import (
+            LM_OOV_FP,
+            LM_PPL_THR_FP,
+            LM_SCALE,
+            q_lm_perplexity,
+        )
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{j}" for j in range(30)]
+        texts = []
+        for i in range(40):
+            if i == 7:
+                texts.append("")            # empty doc: 0 bigrams
+            elif i == 13:
+                texts.append("lonely")      # single token: 0 bigrams
+            elif i == 20:
+                # held-out doc (20 % 5 == 0) full of unseen tokens:
+                # every bigram hits the OOV floor
+                texts.append("zz1 zz2 zz3 zz4")
+            else:
+                texts.append(" ".join(rng.choice(vocab, size=12)))
+        _write_docs(str(tmp_path), texts)
+
+        got = (
+            q_lm_perplexity(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        # scalar reference: train bigram counts on doc_id % 5 != 0
+        big = Counter()
+        ctx = Counter()
+        for i, t in enumerate(texts):
+            if i % 5 == 0:
+                continue
+            ws = re.split(r"\s+", t.strip()) if t.strip() else []
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] += 1
+                ctx[a] += 1
+        lp = {
+            k: int(np.round(np.log(c / ctx[k[0]]) * LM_SCALE))
+            for k, c in big.items()
+        }
+        for i, t in enumerate(texts):
+            ws = re.split(r"\s+", t.strip()) if t.strip() else []
+            pairs = list(zip(ws, ws[1:]))
+            nll = -sum(lp.get(p, LM_OOV_FP) for p in pairs)
+            row = got.iloc[i]
+            assert row["doc_id"] == i
+            assert row["n_bigrams"] == len(pairs)
+            assert row["nll_fp"] == nll
+            assert row["ppl_flag"] == int(nll > LM_PPL_THR_FP * len(pairs))
+
+        # the all-OOV held-out doc is flagged; degenerate docs are not
+        assert got.iloc[20]["ppl_flag"] == 1
+        assert got.iloc[20]["nll_fp"] == -3 * LM_OOV_FP
+        assert got.iloc[7]["n_bigrams"] == 0 and got.iloc[7]["ppl_flag"] == 0
+        assert got.iloc[13]["n_bigrams"] == 0 and got.iloc[13]["ppl_flag"] == 0
+
+    def test_deterministic_across_runs(self, rd, tmp_path):
+        from osm2gtfs_ray.pipelines.corpus_queries import q_lm_perplexity
+
+        rng = np.random.default_rng(3)
+        vocab = [f"t{j}" for j in range(20)]
+        _write_docs(
+            str(tmp_path),
+            [" ".join(rng.choice(vocab, size=15)) for _ in range(30)],
+        )
+        a = q_lm_perplexity(str(tmp_path)).to_pandas().sort_values("doc_id")
+        b = q_lm_perplexity(str(tmp_path)).to_pandas().sort_values("doc_id")
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
