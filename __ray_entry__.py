@@ -80,7 +80,7 @@ _GATE_ORDER = [
     "cocitation", "snap_points", "kcore", "minhash_pairs", "hits",
     "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
-    "audio_features", "bowtie",
+    "phash_pairs", "audio_features", "bowtie",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: real BMP/PPM/PNG decode, dims verified vs splitmix oracle
         "media_decode": mq.q_media_decode,
         "audio_features": mq.q_audio_features,
+        # image near-dup: DCT pHash + exact hamming<=3 banding
+        "phash_pairs": mq.q_phash_pairs,
         # webtext URL ops: engine parses+canonicalizes messy synthetic
         # URLs; oracle re-derives the canonical form arithmetically
         "url_canonicalize": wq.q_url_canonicalize,
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "media_decode": mq.sql_media_decode(),
         "audio_features": mq.sql_audio_features(),
+        "phash_pairs": mq.sql_phash_pairs(),
         "url_canonicalize": wq.SQL_URL_CANONICALIZE,
         "host_stats": wq.SQL_HOST_STATS,
         "robots_filter": wq.SQL_ROBOTS_FILTER,

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "random_projection",
     "media_decode",
     "audio_features",
+    "phash_pairs",
     "sessionize",
     "dup_components",
     "chunk_docs",

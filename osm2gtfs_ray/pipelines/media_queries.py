@@ -129,3 +129,71 @@ SELECT CAST(aid AS BIGINT) AS audio_id,
        CAST(SUM(c) AS BIGINT) AS zero_crossings
 FROM flags GROUP BY aid
 """
+
+
+# --------------------------------------------------------------------------
+# Image near-duplicate pairs via perceptual hash (pHash): DCT 8×8
+# low-frequency median hash per image (stages/phash.py) → the exact
+# hamming≤3 banding shuffle shared with simhash_pairs
+# (stages/dedup.banded_hamming_pairs). The corpus plants a perturbed
+# re-encoded copy of every 5th image (+3 brightness, PNG) under
+# id + 2^40; the hash must pull those back out — the oracle re-derives
+# the pairs from the signature SNAPSHOT (bit_count(xor) self-join,
+# simhash_pairs' contract: the DCT is not SQL-reproducible, the
+# banding + hamming verify over the same sigs is).
+# --------------------------------------------------------------------------
+
+PHASH_SIGS_SNAPSHOT = "/tmp/graft_phash_sigs"
+
+
+def q_phash_pairs(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from osm2gtfs_ray.stages.dedup import banded_hamming_pairs, snapshot_sigs
+    from osm2gtfs_ray.stages.phash import PHashSigner, synthesize_media_with_dups
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = docs.count()  # parquet metadata — no scan
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synthesize_media_with_dups(t["doc_id"].to_numpy().astype(np.uint64))
+
+    # decode+hash dominates (JPEG entropy decode ~3-8 ms/image), so the
+    # pool is sized FIXED from the row count like q_media_decode — the
+    # autoscaling ramp lags a seconds-long job (media_queries.py:36-41).
+    pool = max(2, min(16, n_docs // 300 + 1))
+    media = docs.map_batches(synth, batch_format="pyarrow", batch_size=128)
+    sigs = media.map_batches(
+        PHashSigner, batch_format="pyarrow", batch_size=64, concurrency=pool
+    )
+    sigs = snapshot_sigs(sigs, PHASH_SIGS_SNAPSHOT, n_src=n_docs)
+    pairs = banded_hamming_pairs(
+        sigs, sig_col="phash", id_col="media_id", max_hamming=3, n_bands=4
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "hamming": pc.cast(t["hamming"], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_phash_pairs() -> str:
+    from osm2gtfs_ray.state.snapshot import sql_guard
+
+    return f"""
+WITH sigs AS (
+  SELECT media_id, CAST(phash AS UBIGINT) AS sig
+  FROM read_parquet('{PHASH_SIGS_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(PHASH_SIGS_SNAPSHOT, "documents")} = 1
+)
+SELECT x.media_id AS a, y.media_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM sigs x JOIN sigs y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""

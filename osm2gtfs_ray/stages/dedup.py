@@ -654,14 +654,6 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
     candidates; hot bands (near-constant vocab) are the salt-target at
     corpus scale, same as dense cells in the spatial join.
     """
-    if max_hamming > n_bands - 1:
-        raise ValueError("exactness needs max_hamming <= n_bands - 1")
-    from osm2gtfs_ray.ops.dedupe import distinct
-    from osm2gtfs_ray.ops.sharded import sharded_map_groups
-
-    bits = 64 // n_bands
-    mask = np.uint64((1 << bits) - 1)
-
     sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow").select_columns(
         ["doc_id", "simhash"]
     )
@@ -672,19 +664,48 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, n_bands: int = 4,
         # directory (state/snapshot.py): partitioned write above 1M
         # sigs, n_src staleness check in the oracle — one sig per doc,
         # so the sig count IS the source count.
-        import ray.data
+        sigs = snapshot_sigs(sigs, snapshot_path)
+    return banded_hamming_pairs(
+        sigs, sig_col="simhash", id_col="doc_id",
+        max_hamming=max_hamming, n_bands=n_bands,
+    )
 
-        from osm2gtfs_ray.state.snapshot import write_snapshot
 
-        sigs = sigs.materialize()
-        snap = write_snapshot(
-            sigs, snapshot_path, extra={"n_src": sigs.count()}
-        )
-        sigs = ray.data.from_arrow(snap) if isinstance(snap, pa.Table) else snap
+def snapshot_sigs(sigs, snapshot_path: str, n_src: int | None = None):
+    """Materialize a signature Dataset, write the guarded oracle
+    snapshot (state/snapshot.py), and return a Dataset over the SAME
+    rows for further pipeline stages. ``n_src`` defaults to the sig
+    count (one sig per source row)."""
+    import ray.data
+
+    from osm2gtfs_ray.state.snapshot import write_snapshot
+
+    sigs = sigs.materialize()
+    snap = write_snapshot(
+        sigs, snapshot_path,
+        extra={"n_src": sigs.count() if n_src is None else n_src},
+    )
+    return ray.data.from_arrow(snap) if isinstance(snap, pa.Table) else snap
+
+
+def banded_hamming_pairs(sigs, sig_col: str, id_col: str = "doc_id",
+                         max_hamming: int = 3, n_bands: int = 4):
+    """ALL id pairs with hamming(sig_a, sig_b) ≤ max_hamming over a
+    (id, 64-bit sig) Dataset — the generic engine behind simhash_pairs
+    and phash_pairs (see simhash_pairs' docstring for the pigeonhole
+    exactness argument and the hot-band skew note). Output columns
+    ``a``/``b``/``hamming`` with a < b, each pair once."""
+    if max_hamming > n_bands - 1:
+        raise ValueError("exactness needs max_hamming <= n_bands - 1")
+    from osm2gtfs_ray.ops.dedupe import distinct
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    bits = 64 // n_bands
+    mask = np.uint64((1 << bits) - 1)
 
     def explode_bands(t: pa.Table) -> pd.DataFrame:
-        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = t[id_col].to_numpy(zero_copy_only=False)
         n = len(sig)
         return pd.DataFrame(
             {

@@ -245,3 +245,56 @@ def test_frame_sampler_explodes_sampled_frames(ray_session):
     # round-trip sanity of the codec itself
     rt = decode_video_frames(encode_video(vids[2]))
     np.testing.assert_array_equal(rt, vids[2])
+
+
+# ------------------------------------------------------------------ pHash
+
+def test_phash_deterministic_and_brightness_invariant():
+    from osm2gtfs_ray.stages.codecs import encode_jpeg
+    from osm2gtfs_ray.stages.phash import phash64
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    prev = None
+    for seed in range(8):
+        img = _rand_img(24 + seed, 37 - seed, seed)
+        h0 = phash64(img)
+        assert h0 == phash64(img.copy())  # deterministic
+        # +3 brightness (clipped) moves only clipped pixels + DC -> tiny
+        pert = np.clip(img.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+        assert ham(h0, phash64(pert)) <= 3
+        # lossy q90 4:2:0 JPEG round-trip stays perceptually close
+        jp = decode_image(encode_jpeg(img, quality=90, subsampling="420"))
+        assert ham(h0, phash64(jp)) <= 6
+        # unrelated image is far (measured >=18 on the synthetic corpus)
+        if prev is not None:
+            assert ham(h0, prev) >= 10
+        prev = h0
+
+
+def test_phash_pairs_recovers_planted_dups(ray_session):
+    import ray.data
+
+    from osm2gtfs_ray.stages.dedup import banded_hamming_pairs
+    from osm2gtfs_ray.stages.phash import (
+        DUP_EVERY,
+        DUP_OFFSET,
+        PHashSigner,
+        synthesize_media_with_dups,
+    )
+
+    ids = np.arange(60, dtype=np.uint64)
+    media = ray.data.from_arrow(synthesize_media_with_dups(ids)).repartition(4)
+    sigs = media.map_batches(PHashSigner, batch_format="pyarrow",
+                             batch_size=32, concurrency=2)
+    pairs = banded_hamming_pairs(sigs, sig_col="phash", id_col="media_id",
+                                 max_hamming=3, n_bands=4).to_pandas()
+    planted = {(int(i), int(i) + DUP_OFFSET) for i in ids[ids % DUP_EVERY == 0]}
+    found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    # recall over planted near-dups (a +3 perturbed copy occasionally
+    # lands at hamming 4 and is legitimately outside the <=3 contract)
+    assert len(found & planted) >= int(0.9 * len(planted))
+    # no cross-pairs between unrelated images
+    assert all(b - a == DUP_OFFSET for a, b in found)
+    assert (pairs["hamming"] <= 3).all()
