@@ -80,7 +80,7 @@ _GATE_ORDER = [
     "cocitation", "snap_points", "kcore", "minhash_pairs", "hits",
     "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
-    "phash_pairs", "audio_features", "bowtie",
+    "phash_pairs", "audio_features", "bowtie", "ann_pq",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": sq.q_simhash_pairs,
         "ann_ivf": sq.q_ann_ivf,
         "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
+        "ann_pq": sq.q_ann_pq,
         "cosine_lsh": sq.q_cosine_lsh,
         "random_projection": sq.q_random_projection,
         "props_extract": sq.q_props_extract,
@@ -492,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_lsh": sq.SQL_COSINE_LSH,
         "random_projection": sq.SQL_RANDOM_PROJECTION,
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
+        "ann_pq": sq.SQL_ANN_PQ,
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,
         "top_orders": q.SQL_TOP_ORDERS,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "ann_ivf",
     "ann_ivf_kmeans",
+    "ann_pq",
     "cosine_lsh",
     "random_projection",
     "media_decode",

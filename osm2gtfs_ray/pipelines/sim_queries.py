@@ -668,3 +668,103 @@ FROM e JOIN p USING (i) GROUP BY vec_id, j
 
 
 SQL_RANDOM_PROJECTION = _sql_random_projection()
+
+
+# --------------------------------------------------------------------------
+# Product-quantized ANN (ADC search over PQ codes) — SQL-oracled
+# --------------------------------------------------------------------------
+# stages/ann.py's PQ section has the design notes. The codebook (the
+# only non-SQL-derivable artifact — integer Lloyd on the bounded
+# training sample) is snapshotted; the oracle RE-DERIVES everything
+# downstream of it from the raw embeddings table: e6 quantization,
+# per-subspace code assignment (argmin d2, lowest-cid ties), the
+# query's ADC lookup table (= the assignment-distance rows of the
+# query vector itself), and the fused top-k — so encode AND search are
+# both verified bit-for-bit. Lloyd itself stays pytest-asserted
+# (objective monotonicity, determinism, scalar reference).
+
+PQ_SNAPSHOT = "/tmp/graft_pq_codebook"
+PQ_M = 8          # subspaces (64-dim corpus → 8 dims each)
+PQ_KC = 16        # centroids per subspace → 4-bit codes, 8 B/vector
+PQ_DSUB = 8
+PQ_TOPK = 10
+PQ_TRAIN_N = 4096  # bounded training sample: vec_id < N, pushed down
+
+
+def q_ann_pq(sf_dir: str):
+    """(vec_id, adc_d2) — approximate top-10 nearest to query vec 0 by
+    asymmetric-distance computation over 8×4-bit PQ codes."""
+    from osm2gtfs_ray.state.snapshot import write_snapshot
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # bounded deterministic training sample (row-group predicate
+    # pushdown — O(1) in corpus size, per the PQ-literature practice
+    # of sample-trained codebooks)
+    sample = pq.read_table(
+        table_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_TRAIN_N)],
+    ).sort_by("vec_id")
+    cents = ann_mod.pq_train(
+        ann_mod.quantize_e6(ann_mod.stack_embeddings(sample["embedding"])),
+        m=PQ_M, k=PQ_KC, n_iters=4,
+    )
+
+    n_src = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    write_snapshot(
+        pa.table(
+            {
+                "sub": pa.array(
+                    np.repeat(np.arange(PQ_M, dtype=np.int64), PQ_KC)
+                ),
+                "cid": pa.array(np.tile(np.arange(PQ_KC, dtype=np.int64), PQ_M)),
+                "c": pa.array(
+                    [row.tolist() for s in range(PQ_M) for row in cents[s]],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+        PQ_SNAPSHOT,
+        extra={"n_src": n_src},
+    )
+    return ann_mod.pq_adc_topk(emb, _query_vec(sf_dir), cents, k=PQ_TOPK)
+
+
+SQL_ANN_PQ = f"""
+WITH cb AS (
+  SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid, c
+  FROM read_parquet('{PQ_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(PQ_SNAPSHOT, "embeddings")} = 1
+),
+e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+d AS MATERIALIZED (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         SUM((e.v[cb.sub * {PQ_DSUB} + t.i] - cb.c[t.i])
+             * (e.v[cb.sub * {PQ_DSUB} + t.i] - cb.c[t.i])) AS d2
+  FROM e CROSS JOIN cb,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_DSUB})) AS i) t
+  GROUP BY e.vec_id, cb.sub, cb.cid
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC
+           ) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (SELECT sub, cid, d2 FROM d WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}
+"""

@@ -511,3 +511,138 @@ def cosine_lsh_pairs(emb_ds_factory, tau: float = 0.7, n_bits: int = 32,
             emb_ds_factory(), n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
         )
     return verify_cosine_pairs(pairs, emb_ds_factory(), tau, dim=dim)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — vector compression + ADC search
+# --------------------------------------------------------------------------
+# The classic memory-bound ANN scale path (Jégou, Douze & Schmid,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011): the
+# d-dim space splits into M subspaces, each quantized by its own
+# K-centroid codebook, so a vector compresses to M small codes and a
+# query scans codes with an (M × K) asymmetric-distance lookup table
+# instead of touching raw floats. At 100 TB the raw float corpus never
+# needs to be resident at query time — only the codes (64 bits/vector
+# at M=8, K=16) plus the tiny codebook.
+#
+# Everything is EXACT fixed-point integer arithmetic so the SQL oracle
+# reproduces encoding and ADC bit-for-bit: embeddings quantize to
+# round-half-up e6 units (floor(x·1e6 + 0.5) — identical in numpy and
+# DuckDB, no banker's-rounding ambiguity), distances are int64 sums of
+# squared e6 diffs (unit-norm inputs: d2 ≤ M·DSUB·(2e6)² ≈ 2.6e14,
+# comfortably inside int64), and argmin ties break to the lowest cid
+# (np.argmin first-hit ↔ ORDER BY d2, cid LIMIT 1).
+#
+# Codebook training is deterministic integer Lloyd on a BOUNDED
+# pushed-down sample (vec_id < n_train) — per the PQ literature the
+# codebook trains on a fixed sample, not the corpus, so the training
+# cost is O(1) in corpus size; encode/search are the distributed
+# stages. Centroid updates use floor division (sum // count) to stay
+# in int64; empty clusters keep their previous centroid.
+
+
+def quantize_e6(mat: np.ndarray) -> np.ndarray:
+    """float matrix → int64 e6 units, round-half-up (floor(x·1e6+0.5))
+    — bit-identical to SQL CAST(FLOOR(x*1000000 + 0.5) AS BIGINT)."""
+    return np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def pq_train(sample_e6: np.ndarray, m: int, k: int, n_iters: int = 4) -> np.ndarray:
+    """Deterministic integer Lloyd per subspace → (m, k, dsub) int64
+    codebook. Init = the first k sample rows' sub-vectors (callers
+    pass the sample sorted by vec_id)."""
+    n, d = sample_e6.shape
+    dsub = d // m
+    if n < k:
+        raise ValueError(f"PQ training needs >= {k} sample rows, got {n}")
+    sub = sample_e6.reshape(n, m, dsub)
+    cents = np.ascontiguousarray(sub[:k].transpose(1, 0, 2)).copy()
+    for _ in range(n_iters):
+        for s in range(m):
+            x = sub[:, s, :]
+            diff = x[:, None, :] - cents[s][None, :, :]
+            d2 = np.einsum("nkd,nkd->nk", diff, diff)
+            assign = np.argmin(d2, axis=1)  # first-hit = lowest cid
+            for c in range(k):
+                mask = assign == c
+                cnt = int(mask.sum())
+                if cnt:
+                    cents[s, c] = x[mask].sum(axis=0) // cnt
+    return cents
+
+
+def pq_objective(sample_e6: np.ndarray, cents: np.ndarray) -> int:
+    """Total quantization distortion (sum of per-subspace min d2) —
+    pytest asserts Lloyd never increases it."""
+    n, d = sample_e6.shape
+    m, _, dsub = cents.shape
+    sub = sample_e6.reshape(n, m, dsub)
+    tot = 0
+    for s in range(m):
+        diff = sub[:, s, None, :] - cents[s][None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        tot += int(d2.min(axis=1).sum())
+    return tot
+
+
+def pq_codes(mat_e6: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, d) e6 matrix → (n, m) int64 codes (argmin d2, lowest-cid
+    ties)."""
+    n, d = mat_e6.shape
+    m, _, dsub = cents.shape
+    sub = mat_e6.reshape(n, m, dsub)
+    codes = np.empty((n, m), np.int64)
+    for s in range(m):
+        diff = sub[:, s, None, :] - cents[s][None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def adc_lut(query_e6: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(m, k) int64 table of squared distances query-subvector ↔
+    centroid — built ONCE per query, reused across every code."""
+    m, k, dsub = cents.shape
+    qs = query_e6.reshape(m, dsub)
+    diff = qs[:, None, :] - cents
+    return np.einsum("mkd,mkd->mk", diff, diff)
+
+
+class PQAdcTopK:
+    """Per-batch PQ encode + ADC scan + local top-k (smallest
+    approximate d2, vec_id ties ascending); global top-k follows with
+    a tiny sort+limit. Task mode like CosineTopK: the state (codebook
+    + LUT, a few KB) is nil to ship per task. The production shape —
+    codes precomputed once and stored as a column — is the same stage
+    minus the encode line."""
+
+    def __init__(self, cents: np.ndarray, lut: np.ndarray, k: int = 10):
+        self.cents = cents
+        self.lut = lut
+        self.k = k
+        self.m = cents.shape[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e6 = quantize_e6(stack_embeddings(batch["embedding"]))
+        codes = pq_codes(e6, self.cents)
+        adc = self.lut[np.arange(self.m)[None, :], codes].sum(axis=1)
+        vec_id = batch["vec_id"].to_numpy()
+        order = np.lexsort((vec_id, adc))[: min(self.k, len(adc))]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_id[order], pa.int64()),
+                "adc_d2": pa.array(adc[order], pa.int64()),
+            }
+        )
+
+
+def pq_adc_topk(embeddings_ds, query: np.ndarray, cents: np.ndarray, k: int = 10):
+    """Approximate top-k by ADC over PQ codes: distributed encode+scan,
+    local top-k per batch, tiny global sort+limit."""
+    lut = adc_lut(quantize_e6(query[None, :])[0], cents)
+    parts = embeddings_ds.map_batches(
+        PQAdcTopK(cents, lut, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parts.sort(["adc_d2", "vec_id"]).limit(k)

@@ -442,6 +442,81 @@ class TestANN:
         assert len(got & exact) / 5 >= 0.8
 
 
+class TestPQ:
+    """Product-quantization ANN (stages/ann.py PQ section)."""
+
+    def _clustered(self, n=400, d=16, seed=17):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(8, d)) * 5
+        return np.concatenate(
+            [centers[i % 8] + rng.normal(size=d) * 0.3 for i in range(n)]
+        ).reshape(n, d)
+
+    def test_quantize_e6_is_round_half_up(self):
+        x = np.array([[0.0000005, -0.0000005, 0.1234564, -0.9999995]])
+        got = ann_mod.quantize_e6(x)[0].tolist()
+        # floor(x*1e6 + 0.5): half-up everywhere, incl. negatives
+        # (-999999.5 + 0.5 = -999999.0 → floor keeps it, no down-step)
+        assert got == [1, 0, 123456, -999999]
+
+    def test_pq_train_monotone_and_deterministic(self):
+        e6 = ann_mod.quantize_e6(self._clustered())
+        objs = [
+            ann_mod.pq_objective(e6, ann_mod.pq_train(e6, m=4, k=8, n_iters=i))
+            for i in range(4)
+        ]
+        assert all(a >= b for a, b in zip(objs, objs[1:]))
+        assert objs[-1] < objs[0]  # Lloyd actually moved
+        a = ann_mod.pq_train(e6, m=4, k=8, n_iters=3)
+        b = ann_mod.pq_train(e6, m=4, k=8, n_iters=3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_pq_codes_and_lut_scalar_reference(self):
+        rng = np.random.default_rng(23)
+        e6 = ann_mod.quantize_e6(rng.normal(size=(30, 8)) * 0.3)
+        cents = ann_mod.pq_train(e6, m=2, k=4, n_iters=2)
+        codes = ann_mod.pq_codes(e6, cents)
+        q = e6[3]
+        lut = ann_mod.adc_lut(q, cents)
+        for i in range(30):
+            for s in range(2):
+                d2s = [
+                    sum(
+                        int(e6[i, s * 4 + j] - cents[s, c, j]) ** 2
+                        for j in range(4)
+                    )
+                    for c in range(4)
+                ]
+                assert codes[i, s] == d2s.index(min(d2s))
+                want_lut = [
+                    sum(int(q[s * 4 + j] - cents[s, c, j]) ** 2 for j in range(4))
+                    for c in range(4)
+                ]
+                assert lut[s].tolist() == want_lut
+
+    def test_pq_adc_topk_recall(self, rd):
+        emb = self._clustered()
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(len(emb))]
+        )
+        e6 = ann_mod.quantize_e6(emb)
+        cents = ann_mod.pq_train(e6, m=4, k=16, n_iters=4)
+        q = emb[42]
+        got = ann_mod.pq_adc_topk(ds, q, cents, k=40).to_pandas()
+        assert len(got) == 40
+        assert (got["adc_d2"].to_numpy() >= 0).all()
+        assert got["adc_d2"].is_monotonic_increasing
+        # the query vector itself is in the corpus: its ADC distance is
+        # pure quantization distortion — it must make the shortlist
+        assert 42 in set(got["vec_id"])
+        # exact squared-L2 top-10 in the same e6 space: the ADC
+        # shortlist@40 must cover it (the standard shortlist→re-rank
+        # contract; measured 1.0 on this fixture, asserted with slack)
+        d2 = ((e6 - ann_mod.quantize_e6(q[None, :])) ** 2).sum(axis=1)
+        exact = set(np.lexsort((np.arange(len(emb)), d2))[:10].tolist())
+        assert len(set(got["vec_id"]) & exact) / 10 >= 0.8
+
+
 class TestCosineLSH:
     def _emb(self, n=300, d=32, seed=3):
         rng = np.random.default_rng(seed)
