@@ -768,3 +768,109 @@ adc AS (
 )
 SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine
+# --------------------------------------------------------------------------
+# The standard two-retriever fusion (Cormack, Clarke & Buettcher,
+# "Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+# Learning Methods", SIGIR 2009): each retriever contributes
+# 1/(C + rank) per document; documents surfaced by several lists (or
+# ranked high in one) float to the top with no score calibration
+# between the lexical and dense sides. Lists here: every BM25
+# query-term top-k list (text_queries.q_bm25_topk — QN × K rows) plus
+# the dense cosine top-N list against query vector 0 (vec_id ≡ doc_id
+# in this corpus). Scores are exact integers: 10^9 // (C + rank).
+#
+# Scale shape: both inputs are already top-k lists — bounded by
+# CONSTRUCTION at any corpus size (QN·K + N rows total), so the fusion
+# itself is a driver-side merge of a few dozen rows by design, not a
+# gated shortcut; all the heavy lifting (the BM25 shuffles, the dense
+# scan) lives in the two upstream operators, each with its own scale
+# plan.
+
+RRF_C = 60
+RRF_SCALE = 10**9
+RRF_DENSE_N = 20   # dense list length
+RRF_K = 20         # fused results returned
+
+
+def q_rrf_fusion(sf_dir: str):
+    """(doc_id, n_hits, rrf_fp) — top-20 fused BM25 ⊕ dense-cosine."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.joins import _as_arrow
+    from osm2gtfs_ray.pipelines.text_queries import q_bm25_topk
+
+    bm = _as_arrow(q_bm25_topk(sf_dir).select_columns(["doc_id", "rank"]))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dense_top = _as_arrow(
+        ann_mod.brute_topk(emb, _query_vec(sf_dir), k=RRF_DENSE_N)
+    )  # already sorted (sim_e6 desc, vec_id asc) — rank = position
+    dense = pa.table(
+        {
+            "doc_id": pc.cast(dense_top["vec_id"], pa.int64()),
+            "rank": pa.array(
+                np.arange(1, dense_top.num_rows + 1, dtype=np.int64)
+            ),
+        }
+    )
+
+    lists = pa.concat_tables(
+        [bm.set_column(1, "rank", pc.cast(bm["rank"], pa.int64())), dense]
+    )
+    did = lists["doc_id"].to_numpy(zero_copy_only=False)
+    score = RRF_SCALE // (RRF_C + lists["rank"].to_numpy(zero_copy_only=False))
+    agg = (
+        pd.DataFrame({"doc_id": did, "rrf_fp": score})
+        .groupby("doc_id", as_index=False)
+        .agg(n_hits=("rrf_fp", "size"), rrf_fp=("rrf_fp", "sum"))
+        .sort_values(["rrf_fp", "doc_id"], ascending=[False, True],
+                     kind="mergesort")
+        .head(RRF_K)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64)),
+                "n_hits": pa.array(agg["n_hits"].to_numpy(np.int64)),
+                "rrf_fp": pa.array(agg["rrf_fp"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+def sql_rrf_fusion() -> str:
+    from osm2gtfs_ray.pipelines.text_queries import SQL_BM25_TOPK
+
+    return f"""
+WITH bm AS ({SQL_BM25_TOPK}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY sim_e6 DESC, vec_id ASC) AS BIGINT)
+           AS rank
+  FROM (
+    SELECT e.vec_id,
+           CAST(ROUND(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000) AS BIGINT)
+             AS sim_e6
+    FROM embeddings e, q
+  )
+  ORDER BY rank LIMIT {RRF_DENSE_N}
+),
+lists AS (
+  SELECT doc_id, rank FROM bm
+  UNION ALL
+  SELECT doc_id, rank FROM dense
+),
+fused AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(SUM({RRF_SCALE} // ({RRF_C} + rank)) AS BIGINT) AS rrf_fp
+  FROM lists GROUP BY doc_id
+)
+SELECT doc_id, n_hits, rrf_fp
+FROM fused ORDER BY rrf_fp DESC, doc_id ASC LIMIT {RRF_K}
+"""

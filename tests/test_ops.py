@@ -517,6 +517,55 @@ class TestPQ:
         assert len(set(got["vec_id"]) & exact) / 10 >= 0.8
 
 
+class TestRRFFusion:
+    """Reciprocal-rank fusion (sim_queries.q_rrf_fusion)."""
+
+    def test_fusion_matches_scalar_reference(self, rd):
+        from osm2gtfs_ray.ops.joins import _as_arrow
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+        from osm2gtfs_ray.pipelines.text_queries import q_bm25_topk
+        from osm2gtfs_ray.stages import ann as ann_mod2
+
+        sf = "/root/testdata/sf0.001"
+        got = sq.q_rrf_fusion(sf).to_pandas()
+
+        # scalar reference: rebuild both lists independently and fuse
+        # with plain python ints
+        bm = _as_arrow(q_bm25_topk(sf)).to_pandas()
+        from osm2gtfs_ray.pipelines.sim_queries import _query_vec
+        from osm2gtfs_ray.sources.tables import read_table
+
+        emb = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        dense = _as_arrow(
+            ann_mod2.brute_topk(emb, _query_vec(sf), k=sq.RRF_DENSE_N)
+        ).to_pandas()
+
+        scores: dict[int, int] = {}
+        hits: dict[int, int] = {}
+        for _, r in bm.iterrows():
+            d, rk = int(r["doc_id"]), int(r["rank"])
+            scores[d] = scores.get(d, 0) + sq.RRF_SCALE // (sq.RRF_C + rk)
+            hits[d] = hits.get(d, 0) + 1
+        for pos, d in enumerate(dense["vec_id"].tolist(), start=1):
+            d = int(d)
+            scores[d] = scores.get(d, 0) + sq.RRF_SCALE // (sq.RRF_C + pos)
+            hits[d] = hits.get(d, 0) + 1
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: sq.RRF_K]
+
+        assert got["doc_id"].tolist() == [d for d, _ in want]
+        assert got["rrf_fp"].tolist() == [s for _, s in want]
+        assert got["n_hits"].tolist() == [hits[d] for d, _ in want]
+        # fused list is non-trivial: some doc must appear in >1 list
+        assert got["n_hits"].max() >= 1 and len(got) == sq.RRF_K
+
+    def test_rrf_score_is_exact_integer(self):
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+
+        # 10^9 // (60 + rank): rank 1 → 16393442, rank 20 → 12500000
+        assert sq.RRF_SCALE // (sq.RRF_C + 1) == 16393442
+        assert sq.RRF_SCALE // (sq.RRF_C + 20) == 12500000
+
+
 class TestCosineLSH:
     def _emb(self, n=300, d=32, seed=3):
         rng = np.random.default_rng(seed)
