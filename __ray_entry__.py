@@ -80,7 +80,7 @@ _GATE_ORDER = [
     "cocitation", "snap_points", "kcore", "minhash_pairs", "hits",
     "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
-    "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion",
+    "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_clusters": gq.q_grid_clusters,
         # per-user consecutive-event OD cell transition matrix
         "od_flows": gq.q_od_flows,
+        "stay_points": gq.q_stay_points,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspots": gq.sql_hotspots(),
         "grid_clusters": gq.sql_grid_clusters(),
         "od_flows": gq.SQL_OD_FLOWS,
+        "stay_points": gq.sql_stay_points(),
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "scc",
     "bowtie",
     "od_flows",
+    "stay_points",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1610,3 +1610,155 @@ c AS (
 SELECT cell_from, cell_to, CAST(COUNT(*) AS BIGINT) AS n
 FROM c GROUP BY cell_from, cell_to ORDER BY cell_from, cell_to
 """
+
+
+# --------------------------------------------------------------------------
+# Stay-point (dwell) detection over user trajectories
+# --------------------------------------------------------------------------
+# The classic trajectory-mining primitive (Li et al., "Mining user
+# similarity based on location history", ACM GIS 2008): scan each
+# user's time-ordered points with a greedy anchor — a stay point is a
+# maximal run of consecutive points all within distance R of the run's
+# FIRST point, lasting >= MIN_PTS points; the first point that breaks
+# R becomes the next run's anchor. The reference's stop-clustering
+# (ops/cluster.py greedy 500 m, osm2gtfs stops merging) is the spatial
+# half; this adds the temporal-order half.
+#
+# Determinism/exactness: positions are a synthetic per-user walk in
+# integer e4 units (splitmix-derived, 3/4 small dwell steps <= 20,
+# 1/4 travel jumps <= 400 — so real dwell runs exist), the stay test
+# is integer Chebyshev (max(|dx|,|dy|) <= R, no sqrt), and centroids
+# are floor-divided integer sums (positions are offset strictly
+# positive so numpy floor == DuckDB truncating //). The oracle replays
+# the greedy scan as a RECURSIVE CTE carrying (user, seq, anchor) —
+# depth = max points per user (<= ~100 at every test sf; a corpus
+# with million-point trajectories caps oracle depth, not the engine).
+#
+# Scale shape: ONE user-hash shuffle (sessionize's shape), then every
+# user's seq-numbering, walk synthesis and greedy scan run vectorized
+# inside its shard; the per-user anchor loop iterates once per RUN,
+# not per point. Output is stays only — corpus-sized input, bounded
+# output per user.
+
+STAY_R = 100        # Chebyshev radius, e4 units (~11 m at the equator)
+STAY_MIN_PTS = 4
+_ST_X0, _ST_Y0, _ST_MODE = 280, 281, 282
+_ST_DXS, _ST_DYS, _ST_DXL, _ST_DYL = 283, 284, 285, 286
+_ST_OFF = 10_000_000  # keeps every coordinate strictly positive
+_ST_KMUL = 1_000_003  # step key: user_id * KMUL + seq
+
+
+def q_stay_points(sf_dir: str):
+    """(user_id, start_seq, n_pts, cx_e4, cy_e4) per detected stay."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.sources.pages import _uint
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def stays_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths) + 1
+
+        k = uid.astype(np.uint64) * np.uint64(_ST_KMUL) + seq.astype(np.uint64)
+        uk = uid.astype(np.uint64)
+        dwell = _uint(k, _ST_MODE, 42, 4) > 0
+        dx = np.where(dwell, _uint(k, _ST_DXS, 42, 41) - 20,
+                      _uint(k, _ST_DXL, 42, 801) - 400)
+        dy = np.where(dwell, _uint(k, _ST_DYS, 42, 41) - 20,
+                      _uint(k, _ST_DYL, 42, 801) - 400)
+        first = seq == 1
+        dx[first] = 0
+        dy[first] = 0
+        # per-user cumsum: global cumsum minus the pre-segment base
+        cx, cy = np.cumsum(dx), np.cumsum(dy)
+        x = (_ST_OFF + _uint(uk, _ST_X0, 42, 2_000_000)
+             + cx - np.repeat(cx[starts] - dx[starts], lengths))
+        y = (_ST_OFF + _uint(uk, _ST_Y0, 42, 2_000_000)
+             + cy - np.repeat(cy[starts] - dy[starts], lengths))
+
+        rows: list[tuple[int, int, int, int, int]] = []
+        for s, ln in zip(starts, lengths):
+            xs, ys = x[s:s + ln], y[s:s + ln]
+            a = 0
+            while a < ln:
+                brk = (np.abs(xs[a:] - xs[a]) > STAY_R) | (
+                    np.abs(ys[a:] - ys[a]) > STAY_R
+                )
+                j = int(np.argmax(brk))
+                run = j if brk[j] else ln - a  # brk[0] is always False
+                if run >= STAY_MIN_PTS:
+                    rows.append(
+                        (
+                            int(uid[s]), a + 1, run,
+                            int(xs[a:a + run].sum()) // run,
+                            int(ys[a:a + run].sum()) // run,
+                        )
+                    )
+                a += run
+        return pd.DataFrame(
+            rows, columns=["user_id", "start_seq", "n_pts", "cx_e4", "cy_e4"]
+        ).astype(np.int64)
+
+    return sharded_map_groups(ev, "user_id", stays_shard)
+
+
+def sql_stay_points() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    kx = "CAST(user_id * 1000003 + seq AS UBIGINT)"
+    uk = "CAST(user_id AS UBIGINT)"
+    return f"""
+WITH RECURSIVE seqd AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT) AS seq
+  FROM events
+),
+steps AS (
+  SELECT user_id, seq,
+         CASE WHEN seq = 1 THEN 0
+              WHEN ({_s_uint(kx, _ST_MODE, 4)}) > 0
+                THEN ({_s_uint(kx, _ST_DXS, 41)}) - 20
+              ELSE ({_s_uint(kx, _ST_DXL, 801)}) - 400 END AS dx,
+         CASE WHEN seq = 1 THEN 0
+              WHEN ({_s_uint(kx, _ST_MODE, 4)}) > 0
+                THEN ({_s_uint(kx, _ST_DYS, 41)}) - 20
+              ELSE ({_s_uint(kx, _ST_DYL, 801)}) - 400 END AS dy,
+         {_ST_OFF} + ({_s_uint(uk, _ST_X0, 2_000_000)}) AS x0,
+         {_ST_OFF} + ({_s_uint(uk, _ST_Y0, 2_000_000)}) AS y0
+  FROM seqd
+),
+pts AS MATERIALIZED (
+  SELECT user_id, seq,
+         x0 + SUM(dx) OVER (PARTITION BY user_id ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS x,
+         y0 + SUM(dy) OVER (PARTITION BY user_id ORDER BY seq
+                            ROWS UNBOUNDED PRECEDING) AS y
+  FROM steps
+),
+rec(user_id, seq, anchor) AS (
+  SELECT user_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM pts WHERE seq = 1
+  UNION ALL
+  SELECT r.user_id, p.seq,
+         CASE WHEN GREATEST(ABS(p.x - a.x), ABS(p.y - a.y)) > {STAY_R}
+              THEN p.seq ELSE r.anchor END
+  FROM rec r
+  JOIN pts p ON p.user_id = r.user_id AND p.seq = r.seq + 1
+  JOIN pts a ON a.user_id = r.user_id AND a.seq = r.anchor
+)
+SELECT r.user_id, CAST(r.anchor AS BIGINT) AS start_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(p.x) // COUNT(*) AS BIGINT) AS cx_e4,
+       CAST(SUM(p.y) // COUNT(*) AS BIGINT) AS cy_e4
+FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.seq = r.seq
+GROUP BY r.user_id, r.anchor
+HAVING COUNT(*) >= {STAY_MIN_PTS}
+ORDER BY r.user_id, start_seq
+"""

@@ -767,3 +767,93 @@ class TestODFlows:
         )
         got = got.sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
         assert got.astype(want.dtypes.to_dict()).equals(want)
+
+
+class TestStayPoints:
+    """Greedy stay-point detection (geo_queries.q_stay_points)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _positions(self):
+        """Scalar replay of the synthetic per-user walk."""
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+        from osm2gtfs_ray.sources.pages import _uint
+
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        traj = {}
+        for uid, g in t.groupby("user_id", sort=True):
+            uid = int(uid)
+            uk = np.array([uid], dtype=np.uint64)
+            x = gq._ST_OFF + int(_uint(uk, gq._ST_X0, 42, 2_000_000)[0])
+            y = gq._ST_OFF + int(_uint(uk, gq._ST_Y0, 42, 2_000_000)[0])
+            xs, ys = [x], [y]
+            for seq in range(2, len(g) + 1):
+                k = np.array([uid * gq._ST_KMUL + seq], dtype=np.uint64)
+                if int(_uint(k, gq._ST_MODE, 42, 4)[0]) > 0:
+                    x += int(_uint(k, gq._ST_DXS, 42, 41)[0]) - 20
+                    y += int(_uint(k, gq._ST_DYS, 42, 41)[0]) - 20
+                else:
+                    x += int(_uint(k, gq._ST_DXL, 42, 801)[0]) - 400
+                    y += int(_uint(k, gq._ST_DYL, 42, 801)[0]) - 400
+                xs.append(x)
+                ys.append(y)
+            traj[uid] = (xs, ys)
+        return traj
+
+    def test_matches_scalar_greedy_replay(self, ray_session):
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+
+        got = (
+            gq.q_stay_points(self.SF)
+            .to_pandas()
+            .sort_values(["user_id", "start_seq"])
+            .reset_index(drop=True)
+        )
+        want_rows = []
+        for uid, (xs, ys) in sorted(self._positions().items()):
+            n, a = len(xs), 0
+            while a < n:
+                run = 1
+                while (
+                    a + run < n
+                    and max(abs(xs[a + run] - xs[a]), abs(ys[a + run] - ys[a]))
+                    <= gq.STAY_R
+                ):
+                    run += 1
+                if run >= gq.STAY_MIN_PTS:
+                    want_rows.append(
+                        (
+                            uid, a + 1, run,
+                            sum(xs[a:a + run]) // run,
+                            sum(ys[a:a + run]) // run,
+                        )
+                    )
+                a += run
+        import pandas as pd
+
+        want = pd.DataFrame(
+            want_rows,
+            columns=["user_id", "start_seq", "n_pts", "cx_e4", "cy_e4"],
+        )
+        assert len(want) > 20  # the walk really produces dwells
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_stay_invariants(self, ray_session):
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+
+        got = gq.q_stay_points(self.SF).to_pandas()
+        traj = self._positions()
+        assert (got["n_pts"] >= gq.STAY_MIN_PTS).all()
+        for r in got.itertuples():
+            xs, ys = traj[int(r.user_id)]
+            a = int(r.start_seq) - 1
+            for i in range(a, a + int(r.n_pts)):
+                assert max(abs(xs[i] - xs[a]), abs(ys[i] - ys[a])) <= gq.STAY_R
+            # maximality: the next point (if any) breaks the radius
+            j = a + int(r.n_pts)
+            if j < len(xs):
+                assert max(abs(xs[j] - xs[a]), abs(ys[j] - ys[a])) > gq.STAY_R
