@@ -80,7 +80,7 @@ _GATE_ORDER = [
     "cocitation", "snap_points", "kcore", "minhash_pairs", "hits",
     "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
-    "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points",
+    "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": sq.q_ann_ivf,
         "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
         "ann_pq": sq.q_ann_pq,
+        "ann_ivfpq": sq.q_ann_ivfpq,
         "rrf_fusion": sq.q_rrf_fusion,
         "cosine_lsh": sq.q_cosine_lsh,
         "random_projection": sq.q_random_projection,
@@ -497,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": sq.SQL_RANDOM_PROJECTION,
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "ann_pq": sq.SQL_ANN_PQ,
+        "ann_ivfpq": sq.SQL_ANN_IVFPQ,
         "rrf_fusion": sq.sql_rrf_fusion(),
         "props_extract": sq.SQL_PROPS_EXTRACT,
         "pricing_summary": q.SQL_PRICING,

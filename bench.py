@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_kmeans",
     "ann_pq",
+    "ann_ivfpq",
     "rrf_fusion",
     "cosine_lsh",
     "random_projection",

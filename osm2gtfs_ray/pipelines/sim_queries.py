@@ -691,16 +691,13 @@ PQ_TOPK = 10
 PQ_TRAIN_N = 4096  # bounded training sample: vec_id < N, pushed down
 
 
-def q_ann_pq(sf_dir: str):
-    """(vec_id, adc_d2) — approximate top-10 nearest to query vec 0 by
-    asymmetric-distance computation over 8×4-bit PQ codes."""
+def _pq_codebook(sf_dir: str, snapshot_path: str) -> np.ndarray:
+    """Train the PQ codebook on the bounded deterministic sample
+    (row-group predicate pushdown — O(1) in corpus size, per the
+    PQ-literature practice of sample-trained codebooks) and snapshot
+    it for the SQL oracle."""
     from osm2gtfs_ray.state.snapshot import write_snapshot
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    # bounded deterministic training sample (row-group predicate
-    # pushdown — O(1) in corpus size, per the PQ-literature practice
-    # of sample-trained codebooks)
     sample = pq.read_table(
         table_path(sf_dir, "embeddings"),
         columns=["vec_id", "embedding"],
@@ -725,9 +722,17 @@ def q_ann_pq(sf_dir: str):
                 ),
             }
         ),
-        PQ_SNAPSHOT,
+        snapshot_path,
         extra={"n_src": n_src},
     )
+    return cents
+
+
+def q_ann_pq(sf_dir: str):
+    """(vec_id, adc_d2) — approximate top-10 nearest to query vec 0 by
+    asymmetric-distance computation over 8×4-bit PQ codes."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = _pq_codebook(sf_dir, PQ_SNAPSHOT)
     return ann_mod.pq_adc_topk(emb, _query_vec(sf_dir), cents, k=PQ_TOPK)
 
 
@@ -873,4 +878,93 @@ fused AS (
 )
 SELECT doc_id, n_hits, rrf_fp
 FROM fused ORDER BY rrf_fp DESC, doc_id ASC LIMIT {RRF_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse probe + PQ asymmetric-distance ranking
+# --------------------------------------------------------------------------
+# The composition production ANN actually ships (FAISS IVFADC; Jégou
+# et al. 2011 §IV): the coarse IVF quantizer prunes the corpus to the
+# query's n_probe cells, then PQ codes rank ONLY the survivors — at
+# 100 TB neither raw floats nor the full code table is scanned per
+# query. Coarse side = the deterministic first-16 centroids with
+# cosine argmax assignment (SQL_ANN_IVF's exact semantics); ADC side =
+# SQL_ANN_PQ's integer arithmetic over this query's own codebook
+# snapshot (independent path — gate order between ann_pq and
+# ann_ivfpq never matters). The oracle composes both verbatim; `e`
+# always includes vec 0 so the LUT exists even if the query's own
+# cell were somehow un-probed.
+
+IVFPQ_SNAPSHOT = "/tmp/graft_ivfpq_codebook"
+IVFPQ_NPROBE = 4
+
+
+def q_ann_ivfpq(sf_dir: str):
+    """(vec_id, adc_d2) — top-10 by ADC within the 4 probed IVF cells."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    coarse = ann_mod.make_centroids(emb, n_centroids=16)
+    cents = _pq_codebook(sf_dir, IVFPQ_SNAPSHOT)
+    return ann_mod.ivfpq_topk(
+        emb, _query_vec(sf_dir), coarse, cents,
+        k=PQ_TOPK, n_probe=IVFPQ_NPROBE,
+    )
+
+
+SQL_ANN_IVFPQ = f"""
+WITH cb AS (
+  SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid, c
+  FROM read_parquet('{IVFPQ_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(IVFPQ_SNAPSHOT, "embeddings")} = 1
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ccid,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT ccid FROM cents, q
+  ORDER BY list_cosine_similarity(c, qe) DESC, ccid LIMIT {IVFPQ_NPROBE}
+),
+kept AS (
+  SELECT e.vec_id FROM embeddings e
+  WHERE (SELECT ccid FROM cents
+         ORDER BY list_cosine_similarity(
+           cents.c, CAST(e.embedding AS DOUBLE[])) DESC, ccid
+         LIMIT 1) IN (SELECT ccid FROM probe)
+),
+e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM kept) OR vec_id = 0
+),
+d AS MATERIALIZED (
+  SELECT e.vec_id, cb.sub, cb.cid,
+         SUM((e.v[cb.sub * {PQ_DSUB} + t.i] - cb.c[t.i])
+             * (e.v[cb.sub * {PQ_DSUB} + t.i] - cb.c[t.i])) AS d2
+  FROM e CROSS JOIN cb,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_DSUB})) AS i) t
+  GROUP BY e.vec_id, cb.sub, cb.cid
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC
+           ) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+lut AS (SELECT sub, cid, d2 FROM d WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN kept k ON k.vec_id = c.vec_id
+  JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}
 """

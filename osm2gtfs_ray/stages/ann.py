@@ -646,3 +646,28 @@ def pq_adc_topk(embeddings_ds, query: np.ndarray, cents: np.ndarray, k: int = 10
         zero_copy_batch=True,
     )
     return parts.sort(["adc_d2", "vec_id"]).limit(k)
+
+
+def ivfpq_topk(embeddings_ds, query: np.ndarray, coarse: np.ndarray,
+               pq_cents: np.ndarray, k: int = 10, n_probe: int = 4):
+    """IVF-ADC (the FAISS-style production index): coarse-quantize to
+    IVF cells, probe only the query's n_probe nearest cells, then rank
+    the survivors by PQ asymmetric distance — the scan touches codes
+    in probed cells only, never the raw float corpus. Coarse
+    assignment/probing reuse IVFIndexStage (cosine argmax, first-max
+    ties) so SQL_ANN_IVF's probe/assign oracle applies verbatim;
+    the ADC half is SQL_ANN_PQ's integer arithmetic."""
+    c = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
+    q = np.asarray(query, dtype=np.float64)
+    probe = np.argsort(-(c @ (q / np.linalg.norm(q))))[:n_probe]
+    indexed = embeddings_ds.map_batches(
+        IVFIndexStage(centroids=coarse),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    probe_set = pa.array(probe.astype(np.int64))
+    pruned = indexed.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_cell"], value_set=probe_set)),
+        batch_format="pyarrow",
+    )
+    return pq_adc_topk(pruned, q, pq_cents, k=k)

@@ -517,6 +517,42 @@ class TestPQ:
         assert len(set(got["vec_id"]) & exact) / 10 >= 0.8
 
 
+class TestIVFPQ:
+    """IVF-ADC composition (stages/ann.ivfpq_topk)."""
+
+    def test_ivfpq_equals_pq_on_probed_union(self, rd):
+        rng = np.random.default_rng(31)
+        centers = rng.normal(size=(8, 16)) * 5
+        emb = np.concatenate(
+            [centers[i % 8] + rng.normal(size=16) * 0.3 for i in range(400)]
+        ).reshape(400, 16)
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(400)]
+        )
+        e6 = ann_mod.quantize_e6(emb)
+        pq_cents = ann_mod.pq_train(e6, m=4, k=16, n_iters=3)
+        coarse = ann_mod.make_centroids(ds, n_centroids=16)
+        q = emb[42]
+        got = ann_mod.ivfpq_topk(ds, q, coarse, pq_cents, k=10, n_probe=4)
+        got = got.to_pandas()
+
+        # reference: replicate probe/assign scalar-style, then ADC-rank
+        # exactly the kept set
+        cn = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
+        probe = set(np.argsort(-(cn @ (q / np.linalg.norm(q))))[:4].tolist())
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cell = np.argmax(en @ cn.T, axis=1)
+        kept = np.flatnonzero(np.isin(cell, list(probe)))
+        codes = ann_mod.pq_codes(e6[kept], pq_cents)
+        lut = ann_mod.adc_lut(ann_mod.quantize_e6(q[None, :])[0], pq_cents)
+        adc = lut[np.arange(4)[None, :], codes].sum(axis=1)
+        order = np.lexsort((kept, adc))[:10]
+        assert got["vec_id"].tolist() == kept[order].tolist()
+        assert got["adc_d2"].tolist() == adc[order].tolist()
+        # pruning really pruned: some corpus cells were not probed
+        assert len(kept) < 400
+
+
 class TestRRFFusion:
     """Reciprocal-rank fusion (sim_queries.q_rrf_fusion)."""
 
