@@ -81,6 +81,8 @@ _GATE_ORDER = [
     "pii_redact", "pagerank", "typo_pairs", "lm_perplexity", "pmi_bigrams",
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
+    # -- tier 1b: added in r5, never driver-checked
+    "co_travelers",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -344,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user consecutive-event OD cell transition matrix
         "od_flows": gq.q_od_flows,
         "stay_points": gq.q_stay_points,
+        # repeated spatio-temporal co-location pairs (>=K shared buckets)
+        "co_travelers": gq.q_co_travelers,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -416,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_clusters": gq.sql_grid_clusters(),
         "od_flows": gq.SQL_OD_FLOWS,
         "stay_points": gq.sql_stay_points(),
+        "co_travelers": gq.sql_co_travelers(),
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "bowtie",
     "od_flows",
     "stay_points",
+    "co_travelers",
     "domain_authority",
     "vocab_diversity",
 ]

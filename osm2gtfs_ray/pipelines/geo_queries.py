@@ -1762,3 +1762,132 @@ GROUP BY r.user_id, r.anchor
 HAVING COUNT(*) >= {STAY_MIN_PTS}
 ORDER BY r.user_id, start_seq
 """
+
+
+# --------------------------------------------------------------------------
+# Co-traveler detection (repeated spatio-temporal co-location)
+# --------------------------------------------------------------------------
+# The standard co-location / co-traveler primitive from trajectory
+# mining: two users are co-travelers if they occupy the same grid cell
+# in the same hour bucket at least CT_MIN_SHARED DISTINCT times. It is
+# the pairwise counterpart of q_stay_points (dwell on one trajectory)
+# and of the reference's stop clustering (ops/cluster.py greedy merge:
+# spatial proximity only) — here proximity must REPEAT across time to
+# count, which is what separates co-travel from coincidence.
+#
+# Synthetic presence (deterministic, splitmix-derived, both sides
+# expression-identical): each (user, hour-of-event) is at the user's
+# HOME cell 3/4 of the time, else at that hour's global VENUE cell —
+# so repeated pairs arise both from shared home cells and from
+# co-attendance at venues. Hour bucket = epoch_us // 3.6e9 (exact
+# integer on both sides; SQL uses epoch_us(), never double epoch()).
+#
+# Scale shape: per-batch dedupe of (user, cell, hour) presence rows →
+# ONE shuffle keyed by (cell, hour) bucket hash → per-bucket pair
+# emission (np.triu_indices over the bucket's distinct users, one
+# vectorized call per bucket) → second pair-hash-sharded sum with a
+# map-side combine → threshold filter. Pair emission is quadratic in
+# BUCKET occupancy only — the grid resolution bounds it (CT_MAX_BUCKET
+# guard raises rather than silently emitting O(L^2) rows; at 100 TB
+# raise CT_CELLS so occupancy stays bounded, exactly like the
+# co-citation per-target cap in graph_queries.py).
+
+_CT_MODE, _CT_HOME, _CT_VEN = 290, 291, 292
+CT_CELLS = 16
+CT_MIN_SHARED = 4
+CT_MAX_BUCKET = 4096  # per-(cell,hour) occupancy guard (pairs <= ~8.4M)
+_CT_KMUL = 1_000_003  # > max hour bucket (~474k for 2024 hours)
+_CT_HOUR_US = 3_600_000_000
+
+
+def q_co_travelers(sf_dir: str):
+    """(user_a, user_b, n_shared) for pairs sharing >= CT_MIN_SHARED
+    distinct (cell, hour) presence buckets."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.sources.pages import _uint
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def presence(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy(np.int64)
+        hourb = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // _CT_HOUR_US
+        k = (uid * _CT_KMUL + hourb).astype(np.uint64)
+        traveling = _uint(k, _CT_MODE, 42, 4) == 0
+        cell = np.where(
+            traveling,
+            _uint(hourb.astype(np.uint64), _CT_VEN, 42, CT_CELLS),
+            _uint(uid.astype(np.uint64), _CT_HOME, 42, CT_CELLS),
+        )
+        out = pd.DataFrame({"user_id": uid, "hourb": hourb, "cell": cell})
+        return out.drop_duplicates()  # map-side combine: presence is a set
+
+    def pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        g = g.sort_values(["cell", "hourb", "user_id"], kind="mergesort")
+        cells = g["cell"].to_numpy(np.int64)
+        hrs = g["hourb"].to_numpy(np.int64)
+        us = g["user_id"].to_numpy(np.int64)
+        gk = cells * (1 << 32) + hrs
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        lengths = np.diff(np.r_[starts, len(g)])
+        if lengths.size and int(lengths.max()) > CT_MAX_BUCKET:
+            raise ValueError(
+                f"bucket occupancy {int(lengths.max())} > {CT_MAX_BUCKET}; "
+                "raise CT_CELLS to keep pair emission bounded"
+            )
+        a_parts, b_parts = [], []
+        for s, ln in zip(starts, lengths):  # one vectorized call per BUCKET
+            if ln < 2:
+                continue
+            ia, ib = np.triu_indices(int(ln), k=1)
+            a_parts.append(us[s + ia])
+            b_parts.append(us[s + ib])
+        if not a_parts:
+            return pd.DataFrame(
+                {"user_a": pd.Series([], dtype=np.int64),
+                 "user_b": pd.Series([], dtype=np.int64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        out = pd.DataFrame(
+            {"user_a": np.concatenate(a_parts), "user_b": np.concatenate(b_parts)}
+        )
+        # each bucket contributes ONE distinct co-occurrence per pair
+        return out.groupby(["user_a", "user_b"], as_index=False).agg(
+            n=("user_b", "size")
+        )
+
+    def sum_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_a", "user_b"], as_index=False)["n"].sum()
+        g = g[g["n"] >= CT_MIN_SHARED]
+        return g.rename(columns={"n": "n_shared"}).astype(np.int64)
+
+    pres = ev.map_batches(presence, batch_format="pandas")
+    pairs = sharded_map_groups(pres, ["cell", "hourb"], pairs_shard)
+    return sharded_map_groups(pairs, ["user_a", "user_b"], sum_shard)
+
+
+def sql_co_travelers() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    kx = f"CAST(user_id * {_CT_KMUL} + hourb AS UBIGINT)"
+    hx = "CAST(hourb AS UBIGINT)"
+    ux = "CAST(user_id AS UBIGINT)"
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT user_id, hourb,
+         CASE WHEN ({_s_uint(kx, _CT_MODE, 4)}) = 0
+              THEN ({_s_uint(hx, _CT_VEN, CT_CELLS)})
+              ELSE ({_s_uint(ux, _CT_HOME, CT_CELLS)}) END AS cell
+  FROM (SELECT user_id, epoch_us(ts) // {_CT_HOUR_US} AS hourb FROM events)
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pres a
+JOIN pres b ON a.cell = b.cell AND a.hourb = b.hourb
+           AND a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {CT_MIN_SHARED}
+ORDER BY 1, 2
+"""

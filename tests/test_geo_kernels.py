@@ -857,3 +857,73 @@ class TestStayPoints:
             j = a + int(r.n_pts)
             if j < len(xs):
                 assert max(abs(xs[j] - xs[a]), abs(ys[j] - ys[a])) > gq.STAY_R
+
+
+class TestCoTravelers:
+    """Spatio-temporal co-location pairs (geo_queries.q_co_travelers)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _presence(self):
+        """Scalar replay of the synthetic presence set."""
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+        from osm2gtfs_ray.sources.pages import _uint
+
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["user_id", "ts"]
+        ).to_pandas()
+        pres = set()
+        for r in t.itertuples():
+            uid = int(r.user_id)
+            hourb = int(r.ts.value // 1000) // gq._CT_HOUR_US
+            k = np.array([uid * gq._CT_KMUL + hourb], dtype=np.uint64)
+            if int(_uint(k, gq._CT_MODE, 42, 4)[0]) == 0:
+                cell = int(_uint(np.array([hourb], dtype=np.uint64),
+                                 gq._CT_VEN, 42, gq.CT_CELLS)[0])
+            else:
+                cell = int(_uint(np.array([uid], dtype=np.uint64),
+                                 gq._CT_HOME, 42, gq.CT_CELLS)[0])
+            pres.add((uid, hourb, cell))
+        return pres
+
+    def test_matches_scalar_pair_count(self, ray_session):
+        from collections import Counter
+
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+
+        got = (
+            gq.q_co_travelers(self.SF)
+            .to_pandas()
+            .sort_values(["user_a", "user_b"])
+            .reset_index(drop=True)
+        )
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for uid, hourb, cell in self._presence():
+            buckets.setdefault((hourb, cell), []).append(uid)
+        counts: Counter[tuple[int, int]] = Counter()
+        for users in buckets.values():
+            us = sorted(set(users))
+            for i in range(len(us)):
+                for j in range(i + 1, len(us)):
+                    counts[(us[i], us[j])] += 1
+        want_rows = sorted(
+            (a, b, n) for (a, b), n in counts.items() if n >= gq.CT_MIN_SHARED
+        )
+        import pandas as pd
+
+        want = pd.DataFrame(
+            want_rows, columns=["user_a", "user_b", "n_shared"]
+        )
+        assert len(want) > 0  # pairs really exist at sf0.001
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_pair_invariants(self, ray_session):
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+
+        got = gq.q_co_travelers(self.SF).to_pandas()
+        assert (got["user_a"] < got["user_b"]).all()
+        assert (got["n_shared"] >= gq.CT_MIN_SHARED).all()
+        # pairs are unique
+        assert not got.duplicated(["user_a", "user_b"]).any()
