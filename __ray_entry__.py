@@ -82,7 +82,7 @@ _GATE_ORDER = [
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
-    "co_travelers",
+    "co_travelers", "watermark_late",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": aq.q_mode_event_type,
         # Count-Min sketch point estimates (oracle rebuilds the sketch)
         "cms_user_counts": aq.q_cms_user_counts,
+        # streaming watermark: on-time vs dropped-late per event-time hour
+        "watermark_late": aq.q_watermark_late,
         "corr_qty_price": aq.q_corr_qty_price,
         "event_pivot": aq.q_event_pivot,
         "revenue_rollup": aq.q_revenue_rollup,
@@ -448,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         # windowed / multi-level / statistical aggregates
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "cms_user_counts": aq.sql_cms_user_counts(),
+        "watermark_late": aq.sql_watermark_late(),
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
         "event_pivot": aq.SQL_EVENT_PIVOT,
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,

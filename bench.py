@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "od_flows",
     "stay_points",
     "co_travelers",
+    "watermark_late",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -197,3 +197,69 @@ def distributed_rank(
         rank_shard, batch_format="pandas"
     )
     return ranked, int(base[-1])
+
+
+# int64 sentinel for "no prior row" in the exclusive running max —
+# far below any epoch-microsecond value but safe to subtract from.
+RUNNING_MAX_NEG = -(1 << 62)
+
+
+def distributed_running_max(
+    ds,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prior_max",
+    n_shards: int = DEFAULT_SHARDS,
+):
+    """Attach ``out_col`` = EXCLUSIVE running max of ``value_col`` in
+    global ``order_cols`` order: each row sees the max over all
+    strictly earlier rows (the watermark primitive of every streaming
+    engine — Flink/Beam event-time watermarks are exactly this scan
+    over arrival order); the globally first row gets
+    ``RUNNING_MAX_NEG``.
+
+    Same two-phase shape as :func:`distributed_cumsum`, but bucketed
+    by quantile RANGES of the leading order column (arrival keys are
+    not dense): map-side per-shard MAX partials → driver exclusive
+    prefix-max (n_shards ints) → one shuffle, local sort by
+    ``order_cols``, exclusive cummax combined with the shard base.
+    Ties on the leading column always share a shard (searchsorted on
+    edge values), so intra-tie ordering by the remaining ``order_cols``
+    is entirely local. ``order_cols`` must form a total order;
+    ``value_col`` must be int64."""
+    lead = order_cols[0]
+    ds = ds.materialize()
+    edges = _quantile_edges(ds, lead, n_shards)
+    n_buckets = len(edges) + 1
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy(deep=False)
+        v = batch[lead].to_numpy(dtype=np.float64)
+        out["__shard__"] = np.searchsorted(edges, v, side="right").astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+
+    def max_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.full(n_buckets, RUNNING_MAX_NEG, dtype=np.int64)
+        sid = batch["__shard__"].to_numpy(dtype=np.int64)
+        np.maximum.at(v, sid, batch[value_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"s": np.arange(n_buckets, dtype=np.int64), "v": v})
+
+    parts = tagged.map_batches(max_partials, batch_format="pandas").to_pandas()
+    shard_max = np.full(n_buckets, RUNNING_MAX_NEG, dtype=np.int64)
+    agg = parts.groupby("s", sort=True)["v"].max()
+    shard_max[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
+    base = np.full(n_buckets, RUNNING_MAX_NEG, dtype=np.int64)
+    base[1:] = np.maximum.accumulate(shard_max)[:-1]
+
+    def scan_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["__shard__"].iloc[0])
+        g = g.sort_values(order_cols, kind="mergesort").drop(columns="__shard__")
+        v = g[value_col].to_numpy(dtype=np.int64)
+        run = np.maximum.accumulate(v)
+        prior = np.r_[np.int64(RUNNING_MAX_NEG), run[:-1]]
+        g[out_col] = np.maximum(prior, base[s])
+        return g
+
+    return tagged.groupby("__shard__").map_groups(scan_shard, batch_format="pandas")

@@ -912,3 +912,109 @@ SELECT e.user_id, CAST(e.est_n AS BIGINT) AS est_n,
 FROM est e LEFT JOIN tru t ON t.user_id = e.user_id
 ORDER BY e.user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Event-time watermark with late-data accounting (streaming semantics)
+# --------------------------------------------------------------------------
+# The Flink/Beam watermark model replayed deterministically over a
+# batch: events ARRIVE in (arrival_ts, event_id) order, where
+# arrival_ts = event_ts + a bounded synthetic ingestion delay
+# (splitmix-derived from event_id, expression-identical both sides);
+# the watermark after each arrival is the max EVENT time seen so far;
+# an event is LATE (dropped from its window) when its event time is
+# older than the pre-arrival watermark minus the allowed lateness.
+# Output: per tumbling event-time hour, on-time vs dropped-late counts
+# — the accounting every streaming sink needs to reconcile against
+# its batch backfill.
+#
+# Scale shape: the watermark is an EXCLUSIVE running max over global
+# arrival order — ops/scan.distributed_running_max (two-phase scan:
+# quantile-range shards, map-side max partials, driver prefix-max of
+# n_shards ints, one shuffle + local sorted cummax). The final
+# per-hour rollup is a bounded-key sum (<= hours in the corpus).
+#
+# Reference analogue: the schedule-vs-OSM alignment cursor
+# (ops/alignment.py J10) is the sequential form of "consume in one
+# order, account against another"; this is its cluster-parallel,
+# event-time generalization.
+
+_WM_DELAY_STREAM = 293
+WM_MAX_DELAY_S = 3600       # ingestion delay in [0, 1h)
+WM_LATENESS_S = 900         # allowed lateness: 15 min
+_WM_HOUR_US = 3_600_000_000
+
+
+def q_watermark_late(sf_dir: str):
+    """(hourb, n_on_time, n_late) per tumbling event-time hour."""
+    from osm2gtfs_ray.ops.scan import RUNNING_MAX_NEG, distributed_running_max
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.sources.pages import _uint
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def arrivals(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        t_us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        delay_us = _uint(eid.astype(np.uint64), _WM_DELAY_STREAM, 42,
+                         WM_MAX_DELAY_S) * 1_000_000
+        return pd.DataFrame(
+            {"event_id": eid, "t_us": t_us, "a_us": t_us + delay_us}
+        )
+
+    arr = ev.map_batches(arrivals, batch_format="pandas")
+    wm = distributed_running_max(
+        arr, order_cols=["a_us", "event_id"], value_col="t_us",
+        out_col="prior_max",
+    )
+
+    late_cut_us = WM_LATENESS_S * 1_000_000
+
+    def window_partials(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["t_us"].to_numpy(np.int64)
+        late = t < b["prior_max"].to_numpy(np.int64) - late_cut_us
+        out = pd.DataFrame(
+            {
+                "hourb": t // _WM_HOUR_US,
+                "n_on_time": (~late).astype(np.int64),
+                "n_late": late.astype(np.int64),
+            }
+        )
+        return out.groupby("hourb", as_index=False).sum()  # map-side combine
+
+    parts = wm.map_batches(window_partials, batch_format="pandas")
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    res = bounded_key_sum(
+        parts, "hourb", ["n_on_time", "n_late"], driver=n_rows <= 200_000
+    )
+    return res.sort("hourb")
+
+
+def sql_watermark_late() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    ex = "CAST(event_id AS UBIGINT)"
+    return f"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS t_us,
+         epoch_us(ts)
+           + CAST(({_s_uint(ex, _WM_DELAY_STREAM, WM_MAX_DELAY_S)}) AS BIGINT)
+             * 1000000 AS a_us
+  FROM events
+),
+wm AS (
+  SELECT *, MAX(t_us) OVER (ORDER BY a_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM arr
+)
+SELECT t_us // {_WM_HOUR_US} AS hourb,
+       CAST(SUM(CASE WHEN prior_max IS NULL
+                       OR t_us >= prior_max - {WM_LATENESS_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+       CAST(SUM(CASE WHEN prior_max IS NOT NULL
+                      AND t_us < prior_max - {WM_LATENESS_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM wm GROUP BY 1 ORDER BY 1
+"""

@@ -212,3 +212,105 @@ class TestBloomSemi:
         bits = bloom_bits(rd.from_pandas(small), "k", m_bits=1 << 14)
         for pos in _bloom_positions(small["k"].to_numpy(), 1 << 14):
             assert ((bits[pos // 8] >> (pos % 8)) & 1).all()
+
+
+class TestDistributedRunningMax:
+    def _fixture(self, n=600, seed=7):
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n * 5)[:n]  # sparse unique arrival keys
+        vals = rng.integers(-1000, 10_000, size=n)
+        tie = np.arange(n)
+        return pd.DataFrame({"a": order, "eid": tie, "v": vals})
+
+    def test_matches_sorted_exclusive_cummax(self, rd):
+        from osm2gtfs_ray.ops.scan import (
+            RUNNING_MAX_NEG,
+            distributed_running_max,
+        )
+
+        df = self._fixture()
+        ds = rd.from_pandas(df).repartition(11)
+        got = (
+            distributed_running_max(
+                ds, ["a", "eid"], "v", out_col="pm", n_shards=9
+            )
+            .to_pandas()
+            .sort_values(["a", "eid"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["a", "eid"]).reset_index(drop=True)
+        run = np.maximum.accumulate(want["v"].to_numpy(np.int64))
+        pm = np.r_[np.int64(RUNNING_MAX_NEG), run[:-1]]
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["pm"].tolist() == pm.tolist()
+
+    def test_ties_on_leading_key_break_by_tie_col(self, rd):
+        from osm2gtfs_ray.ops.scan import (
+            RUNNING_MAX_NEG,
+            distributed_running_max,
+        )
+
+        # heavy ties: only 4 distinct arrival keys
+        df = pd.DataFrame(
+            {"a": [1, 1, 1, 2, 2, 3, 3, 3, 4, 4],
+             "eid": list(range(10)),
+             "v": [5, 3, 9, 1, 7, 2, 8, 0, 6, 4]}
+        )
+        ds = rd.from_pandas(df).repartition(3)
+        got = (
+            distributed_running_max(
+                ds, ["a", "eid"], "v", out_col="pm", n_shards=4
+            )
+            .to_pandas()
+            .sort_values(["a", "eid"])
+            .reset_index(drop=True)
+        )
+        run = np.maximum.accumulate(df["v"].to_numpy(np.int64))
+        pm = np.r_[np.int64(RUNNING_MAX_NEG), run[:-1]]
+        assert got["pm"].tolist() == pm.tolist()
+
+
+class TestWatermarkLate:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_watermark_replay(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import analytics_queries as aq
+        from osm2gtfs_ray.sources.pages import _uint
+
+        got = (
+            aq.q_watermark_late(self.SF)
+            .to_pandas()
+            .sort_values("hourb")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["event_id", "ts"]
+        ).to_pandas()
+        eid = t["event_id"].to_numpy(np.int64)
+        t_us = t["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        d_us = _uint(
+            eid.astype(np.uint64), aq._WM_DELAY_STREAM, 42, aq.WM_MAX_DELAY_S
+        ) * 1_000_000
+        order = np.lexsort((eid, t_us + d_us))
+        on_time: dict[int, int] = {}
+        late: dict[int, int] = {}
+        wm = None
+        for i in order:
+            h = int(t_us[i]) // aq._WM_HOUR_US
+            is_late = wm is not None and t_us[i] < wm - aq.WM_LATENESS_S * 1_000_000
+            (late if is_late else on_time)[h] = (
+                (late if is_late else on_time).get(h, 0) + 1
+            )
+            wm = int(t_us[i]) if wm is None else max(wm, int(t_us[i]))
+        hours = sorted(set(on_time) | set(late))
+        want = pd.DataFrame(
+            {
+                "hourb": hours,
+                "n_on_time": [on_time.get(h, 0) for h in hours],
+                "n_late": [late.get(h, 0) for h in hours],
+            }
+        )
+        assert (want["n_late"].sum() > 0) and (want["n_on_time"].sum() > 0)
+        assert got.astype("int64").equals(want.astype("int64"))
