@@ -82,7 +82,7 @@ _GATE_ORDER = [
     "domain_authority", "tile_authority", "bfs_hops", "od_flows",
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
-    "co_travelers", "watermark_late",
+    "co_travelers", "watermark_late", "phrase_search",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact Gini-Simpson vocabulary diversity per language
         "vocab_diversity": tq.q_vocab_diversity,
         "inverted_index": tq.q_inverted_index,
+        # exact phrase match via positional posting-list intersection
+        "phrase_search": tq.q_phrase_search,
         "tfidf_top_terms": tq.q_tfidf_top_terms,
         "norm_dedup": tq.q_norm_dedup,
         "stratified_sample": q.q_stratified_sample,
@@ -483,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": tq.SQL_DUP_NGRAM_SPANS,
         "vocab_diversity": tq.SQL_VOCAB_DIVERSITY,
         "inverted_index": tq.SQL_INVERTED_INDEX,
+        "phrase_search": tq.sql_phrase_search(),
         "tfidf_top_terms": tq.SQL_TFIDF_TOP_TERMS,
         "norm_dedup": tq.SQL_NORM_DEDUP,
         "stratified_sample": q.SQL_STRATIFIED_SAMPLE,

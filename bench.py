@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "stay_points",
     "co_travelers",
     "watermark_late",
+    "phrase_search",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1375,3 +1375,110 @@ SELECT lang, n_tokens, n_terms,
             AS BIGINT) AS gini_fp
 FROM st ORDER BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Exact phrase search over a positional inverted index
+# --------------------------------------------------------------------------
+# The search-engine primitive BM25 (q_bm25_topk) cannot express:
+# consecutive-position matching. The index build is the same
+# embarrassingly-parallel map as q_inverted_index but POSITIONAL —
+# (term, doc_id, pos) — and pruned at the source to the query phrases'
+# vocabulary (a handful of terms: the classic term-at-a-time plan
+# touches only the queried posting lists, never the full index). The
+# match itself is the textbook posting-list intersection: w0's
+# positions joined against w1's positions shifted by 1, then w2's by
+# 2, ... — executed per DOC-HASH shard after ONE shuffle, the
+# Lucene/ES document-partitioned index layout (every doc's postings
+# co-locate, so the L-1 position joins are local pandas merges; the
+# alternative term-partitioned layout would need L-1 cluster-wide
+# hash joins per phrase).
+#
+# Occurrences are counted at every starting position (overlaps
+# included), exactly like the oracle's positional LATERAL scan.
+
+PHRASES = ["table hash", "fast query", "big order scan"]
+
+
+def q_phrase_search(sf_dir: str):
+    """(phrase_id, doc_id, n_matches) for every document containing
+    each query phrase at least once."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.sources.pages import _flat_ranges
+
+    phrase_toks = [p.split() for p in PHRASES]
+    vocab = sorted({t for toks in phrase_toks for t in toks})
+    tid_of = {t: i for i, t in enumerate(vocab)}
+    phrase_tids = [[tid_of[t] for t in toks] for toks in phrase_toks]
+    vocab_arr = pa.array(vocab)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        # positional split on the literal single space so positions
+        # are 1-based indices into SQL's string_split(text, ' ')
+        words = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        pos = _flat_ranges(pc.list_value_length(words).to_numpy()) + 1
+        tid = pc.index_in(flat, value_set=vocab_arr)
+        keep = pc.is_valid(tid)
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"].combine_chunks(), parent).filter(keep),
+                "pos": pa.array(pos, pa.int64()).filter(keep),
+                "tid": pc.cast(tid.filter(keep), pa.int64()),
+            }
+        )
+
+    pruned = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def match_shard(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pid, tids in enumerate(phrase_tids):
+            m = g.loc[g["tid"] == tids[0], ["doc_id", "pos"]]
+            for j, tj in enumerate(tids[1:], 1):
+                r = g.loc[g["tid"] == tj, ["doc_id", "pos"]].copy()
+                r["pos"] = r["pos"] - j
+                m = m.merge(r, on=["doc_id", "pos"])
+                if m.empty:
+                    break
+            if not m.empty:
+                c = m.groupby("doc_id", as_index=False).agg(
+                    n_matches=("pos", "size")
+                )
+                c.insert(0, "phrase_id", np.int64(pid))
+                outs.append(c)
+        if not outs:
+            return pd.DataFrame(
+                {"phrase_id": pd.Series([], dtype=np.int64),
+                 "doc_id": pd.Series([], dtype=np.int64),
+                 "n_matches": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True).astype(np.int64)
+
+    return sharded_map_groups(pruned, "doc_id", match_shard)
+
+
+def sql_phrase_search() -> str:
+    arms = []
+    for pid, p in enumerate(PHRASES):
+        toks = p.split()
+        cond = " AND ".join(
+            f"w[i+{j}] = '{t}'" if j else f"w[i] = '{t}'"
+            for j, t in enumerate(toks)
+        )
+        arms.append(f"""
+  SELECT CAST({pid} AS BIGINT) AS phrase_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM ws, (SELECT unnest(generate_series(1, len(w) - {len(toks) - 1})) AS i)
+  WHERE {cond}
+  GROUP BY doc_id""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+{body}
+ORDER BY phrase_id, doc_id
+"""

@@ -1371,3 +1371,57 @@ class TestVocabDiversity:
         row = got.iloc[0]
         assert row["n_tokens"] == n and row["gini_fp"] == exact
         assert 0 <= row["gini_fp"] <= GINI_SCALE
+
+
+class TestPhraseSearch:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_scan(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import text_queries as tq
+
+        got = (
+            tq.q_phrase_search(self.SF)
+            .to_pandas()
+            .sort_values(["phrase_id", "doc_id"])
+            .reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        rows = []
+        for pid, phrase in enumerate(tq.PHRASES):
+            toks = phrase.split()
+            for r in docs.itertuples():
+                ws = r.text.split(" ")
+                n = sum(
+                    1
+                    for i in range(len(ws) - len(toks) + 1)
+                    if ws[i:i + len(toks)] == toks
+                )
+                if n:
+                    rows.append((pid, int(r.doc_id), n))
+        want = pd.DataFrame(
+            rows, columns=["phrase_id", "doc_id", "n_matches"]
+        )
+        assert len(want) > 10
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_counts_overlapping_occurrences(self, ray_session):
+        # the per-shard position-join must count every starting
+        # position, including overlaps ("a a a" contains "a a" twice)
+        import pandas as pd
+
+        from osm2gtfs_ray.ops.sharded import sharded_map_groups  # noqa: F401
+        from osm2gtfs_ray.pipelines import text_queries as tq
+
+        ws = "table hash table hash table hash".split(" ")
+        toks = tq.PHRASES[0].split()
+        n = sum(
+            1
+            for i in range(len(ws) - len(toks) + 1)
+            if ws[i:i + len(toks)] == toks
+        )
+        assert n == 3  # positional scan counts all starts
