@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "co_travelers",
     "watermark_late",
     "phrase_search",
+    "semantic_dedup",
     "domain_authority",
     "vocab_diversity",
 ]

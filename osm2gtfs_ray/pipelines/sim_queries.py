@@ -968,3 +968,137 @@ adc AS (
 )
 SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster-bounded near-dup removal)
+# --------------------------------------------------------------------------
+# Abbas et al. 2023 ("SemDeDup"): k-means the embedding space, then
+# look for near-duplicates ONLY within each cluster — the candidate
+# set drops from O(n^2) to sum of per-cluster squares, and at corpus
+# scale n_centroids grows with the corpus so cluster size stays
+# bounded (SEM_MAX_CLUSTER guard raises rather than silently doing a
+# quadratic blow-up, same discipline as co_travelers' bucket cap).
+# Members of each within-cluster duplicate component are removed in
+# favor of the min-vec_id canonical.
+#
+# Driver-checkable like q_ann_ivf_kmeans: the trained centroids are
+# snapshotted, and the oracle replays assignment (same argmax /
+# first-max tie-break), within-cluster pairing, and the component
+# closure (WITH RECURSIVE min-label reach) in SQL. Engine plan: ONE
+# cluster-hash shuffle after the broadcast-centroid assignment map;
+# per-cluster pairwise cosine is a local matmul; components never
+# cross clusters by construction, so union-find is shard-local.
+
+SEMDEDUP_CENTROIDS_SNAPSHOT = "/tmp/graft_semdedup_centroids"
+SEM_TAU = 0.3
+SEM_MAX_CLUSTER = 8192
+
+
+def q_semantic_dedup(sf_dir: str):
+    """(vec_id, canonical_id) for every vector removed by semantic
+    dedup — non-canonical members of within-cluster cosine>=tau
+    components."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+    from osm2gtfs_ray.state.snapshot import write_snapshot
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    cents = ann_mod.kmeans_centroids(emb, n_centroids=16, n_iters=3)
+    write_snapshot(
+        pa.table(
+            {
+                "cid": pa.array(np.arange(len(cents), dtype=np.int64)),
+                "c": pa.array([row.tolist() for row in cents], pa.list_(pa.float64())),
+            }
+        ),
+        SEMDEDUP_CENTROIDS_SNAPSHOT,
+        extra={"n_src": emb.count()},
+    )
+    indexed = emb.map_batches(
+        ann_mod.IVFIndexStage(centroids=cents),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out_v: list[int] = []
+        out_c: list[int] = []
+        for _, sub in g.groupby("ivf_cell", sort=True):
+            if len(sub) > SEM_MAX_CLUSTER:
+                raise ValueError(
+                    f"cluster size {len(sub)} > {SEM_MAX_CLUSTER}; raise "
+                    "n_centroids so per-cluster pairing stays bounded"
+                )
+            order = np.argsort(sub["vec_id"].to_numpy(np.int64), kind="stable")
+            ids = sub["vec_id"].to_numpy(np.int64)[order]
+            m = np.vstack(sub["embedding"].to_numpy()[order]).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            m = m / norms
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= SEM_TAU
+            parent = np.arange(len(ids), dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i, j in zip(iu[hit], ju[hit]):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    # union by min index keeps the root = min vec_id
+                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                    parent[hi] = lo
+            for i, j in zip(iu[hit], ju[hit]):  # touched nodes only
+                for x in (int(i), int(j)):
+                    r = find(x)
+                    if r != x:
+                        out_v.append(int(ids[x]))
+                        out_c.append(int(ids[r]))
+        df = pd.DataFrame({"vec_id": out_v, "canonical_id": out_c})
+        return df.drop_duplicates().astype(np.int64)
+
+    return sharded_map_groups(
+        indexed.select_columns(["vec_id", "embedding", "ivf_cell"]),
+        "ivf_cell",
+        cluster_dedup,
+    )
+
+
+def sql_semantic_dedup() -> str:
+    return f"""
+WITH RECURSIVE cents AS (
+  SELECT cid, CAST(c AS DOUBLE[]) AS c
+  FROM read_parquet('{SEMDEDUP_CENTROIDS_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(SEMDEDUP_CENTROIDS_SNAPSHOT, "embeddings")} = 1
+),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(cents.c, CAST(e.embedding AS DOUBLE[])) DESC, cid
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {SEM_TAU}
+),
+sym AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs
+),
+reach(node, m) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.node, s.b FROM reach r JOIN sym s ON r.m = s.a
+)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(m) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node HAVING node != MIN(m)
+ORDER BY vec_id
+"""

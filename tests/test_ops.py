@@ -1425,3 +1425,68 @@ class TestPhraseSearch:
             if ws[i:i + len(toks)] == toks
         )
         assert n == 3  # positional scan counts all starts
+
+
+class TestSemanticDedup:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_semdedup(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+        from osm2gtfs_ray.stages import ann as ann_mod
+
+        got = (
+            sq.q_semantic_dedup(self.SF)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{self.SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        m = ann_mod.stack_embeddings(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        import ray.data
+
+        cents = ann_mod.kmeans_centroids(
+            ray.data.from_arrow(t), n_centroids=16, n_iters=3
+        )
+        c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cell = np.argmax(m @ c.T, axis=1)
+        canon: dict[int, int] = {}
+        for cl in np.unique(cell):
+            sub = np.nonzero(cell == cl)[0]
+            sub = sub[np.argsort(ids[sub])]
+            sims = m[sub] @ m[sub].T
+            # brute component closure per cluster
+            lab = {int(ids[i]): int(ids[i]) for i in sub}
+            changed = True
+            while changed:
+                changed = False
+                for ii in range(len(sub)):
+                    for jj in range(ii + 1, len(sub)):
+                        if sims[ii, jj] >= sq.SEM_TAU:
+                            a, b = int(ids[sub[ii]]), int(ids[sub[jj]])
+                            lo = min(lab[a], lab[b])
+                            if lab[a] != lo or lab[b] != lo:
+                                lab[a] = lab[b] = lo
+                                changed = True
+            for v, lb in lab.items():
+                if v != lb:
+                    canon[v] = lb
+        want = pd.DataFrame(
+            sorted(canon.items()), columns=["vec_id", "canonical_id"]
+        )
+        assert len(want) > 50
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_removal_list_invariants(self, ray_session):
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+
+        got = sq.q_semantic_dedup(self.SF).to_pandas()
+        # canonical ids are never themselves removed
+        assert not set(got["canonical_id"]) & set(got["vec_id"])
+        assert (got["canonical_id"] < got["vec_id"]).all()
+        assert not got.duplicated("vec_id").any()
