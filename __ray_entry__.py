@@ -83,6 +83,7 @@ _GATE_ORDER = [
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
+    "spike_days",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -221,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": aq.q_cms_user_counts,
         # streaming watermark: on-time vs dropped-late per event-time hour
         "watermark_late": aq.q_watermark_late,
+        # integer-exact 1.5-sigma daily anomaly detection per type
+        "spike_days": aq.q_spike_days,
         "corr_qty_price": aq.q_corr_qty_price,
         "event_pivot": aq.q_event_pivot,
         "revenue_rollup": aq.q_revenue_rollup,
@@ -455,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": aq.SQL_MODE_EVENT_TYPE,
         "cms_user_counts": aq.sql_cms_user_counts(),
         "watermark_late": aq.sql_watermark_late(),
+        "spike_days": aq.sql_spike_days(),
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
         "event_pivot": aq.SQL_EVENT_PIVOT,
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "watermark_late",
     "phrase_search",
     "semantic_dedup",
+    "spike_days",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1018,3 +1018,88 @@ SELECT t_us // {_WM_HOUR_US} AS hourb,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM wm GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Daily spike (anomaly) detection per event type — integer-exact 1.5σ
+# --------------------------------------------------------------------------
+# Time-series anomaly primitive: a (event_type, day) cell spikes when
+# its count exceeds the type's mean daily count by more than 1.5
+# standard deviations. Exact in integers on both sides: with n days,
+# S = Σc, Q = Σc², the test  c − S/n > 1.5·σ  (σ² = (nQ − S²)/n²)
+# rearranges to  n·c > S  AND  4(n·c − S)² > 9(nQ − S²)  — no floats,
+# no sqrt. The quadratic is evaluated with PYTHON INTS on the final
+# bounded table (types × days rows — never corpus-sized), so it cannot
+# wrap however large the daily counts get (the vocab-diversity gini
+# lesson: int64 quadratics over corpus-scale counts silently overflow;
+# SQL side uses HUGEINT for the same reason).
+#
+# Scale shape: per-batch partial counts on a BOUNDED key space
+# (types × days) → bounded_key_sum (driver-merge under the corpus-rows
+# gate, Ray groupby exchange above it) → the driver-side quadratic on
+# the bounded stats table.
+
+_SPIKE_DAY_US = 86_400_000_000
+
+
+def q_spike_days(sf_dir: str):
+    """(event_type, day, c) for daily counts > mean + 1.5σ of their
+    event type's daily series."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                // _SPIKE_DAY_US,
+            }
+        )
+        out["c"] = np.int64(1)
+        return out.groupby(["event_type", "day"], as_index=False)["c"].sum()
+
+    parts = ev.map_batches(partials, batch_format="pandas")
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    daily = bounded_key_sum(
+        parts, ["event_type", "day"], ["c"], driver=n_rows <= 200_000
+    ).to_pandas()  # bounded: |types| x |days|
+
+    rows = []
+    for et, g in daily.groupby("event_type", sort=True):
+        cs = [int(x) for x in g["c"]]
+        n, s = len(cs), sum(cs)
+        q = sum(c * c for c in cs)
+        for day, c in zip(g["day"], cs):
+            d = n * c - s  # Python ints: exact at any corpus size
+            if d > 0 and 4 * d * d > 9 * (n * q - s * s):
+                rows.append((et, int(day), c))
+    out = pd.DataFrame(rows, columns=["event_type", "day", "c"])
+    out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
+    out["day"] = out["day"].astype(np.int64)
+    out["c"] = out["c"].astype(np.int64)
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def sql_spike_days() -> str:
+    return f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // {_SPIKE_DAY_US} AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s, CAST(SUM(c * c) AS HUGEINT) AS q
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.c
+FROM d JOIN st USING (event_type)
+WHERE n * c > s AND 4 * (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
+ORDER BY d.event_type, day
+"""

@@ -314,3 +314,60 @@ class TestWatermarkLate:
         )
         assert (want["n_late"].sum() > 0) and (want["n_on_time"].sum() > 0)
         assert got.astype("int64").equals(want.astype("int64"))
+
+
+class TestSpikeDays:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_sigma_test(self, ray_session):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import analytics_queries as aq
+
+        got = (
+            aq.q_spike_days(self.SF)
+            .to_pandas()
+            .sort_values(["event_type", "day"])
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["event_type", "ts"]
+        ).to_pandas()
+        t["day"] = (
+            t["ts"].to_numpy("datetime64[us]").astype("int64")
+            // aq._SPIKE_DAY_US
+        )
+        daily = t.groupby(["event_type", "day"]).size()
+        rows = []
+        for et in sorted(t["event_type"].unique()):
+            cs = daily[et]
+            n = len(cs)
+            mean = cs.sum() / n
+            sigma = math.sqrt(((cs - mean) ** 2).sum() / n)
+            for day, c in cs.items():
+                if c > mean + 1.5 * sigma:
+                    rows.append((et, int(day), int(c)))
+        want = pd.DataFrame(rows, columns=["event_type", "day", "c"])
+        assert len(want) > 0
+        assert got["event_type"].tolist() == want["event_type"].tolist()
+        assert got["day"].tolist() == want["day"].tolist()
+        assert got["c"].tolist() == want["c"].tolist()
+
+    def test_integer_form_equals_float_form_on_boundary(self):
+        # the integer rearrangement must agree with the float sigma
+        # test even for adversarially large counts where float64 loses
+        # integer resolution only in the FLOAT version
+        import math
+
+        cs = [10**9 + 3, 10**9, 10**9 + 51_000, 10**9 - 7]
+        n, s = len(cs), sum(cs)
+        q = sum(c * c for c in cs)
+        for c in cs:
+            d = n * c - s
+            int_spike = d > 0 and 4 * d * d > 9 * (n * q - s * s)
+            mean = s / n
+            sigma = math.sqrt(max(0.0, (q / n) - mean * mean))
+            float_spike = c > mean + 1.5 * sigma
+            assert int_spike == float_spike
