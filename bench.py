@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "host_stats",
     "robots_filter",
     "pagerank",
+    "ppr",
     "cell_pyramid",
     "crawl_schedule",
     "bfs_hops",

@@ -222,3 +222,173 @@ def pagerank(edges, n_nodes: int, iters: int = 5, broadcast: bool | None = None,
         pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64))})
     )
     return pagerank_shuffle(edges, nodes, iters=iters, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport mass restarts to a SEED SET instead
+# of uniformly — the query/topic-biased authority variant (random walk
+# with restart). Identical fixed-point discipline: initial mass
+# TOTAL_FP // n_seeds on each seed, zero elsewhere; per round
+#     rank'[d] = base[d] + (85 * inflow(d)) // 100
+# with base[d] = ((100-85) * (TOTAL_FP // n_seeds)) // 100 on seeds,
+# 0 elsewhere. Same dual physical plans as pagerank(); the only new
+# state is the seed membership, which is O(n_seeds) and rides ray.put
+# in the shuffle plan's seeding map.
+# ---------------------------------------------------------------------------
+
+def ppr_broadcast(edges, n_nodes: int, seeds: np.ndarray, iters: int = 5):
+    import ray
+    from ray.data.aggregate import Sum
+
+    seeds = np.asarray(seeds, dtype=np.int64)
+    init = TOTAL_FP // len(seeds)
+    base_val = ((DAMP_DEN - DAMP_NUM) * init) // DAMP_DEN
+    base = np.zeros(n_nodes, dtype=np.int64)
+    base[seeds] = base_val
+    ranks = np.zeros(n_nodes, dtype=np.int64)
+    ranks[seeds] = init
+
+    edges = edges.materialize()
+    if n_nodes <= DRIVER_MERGE_NODES and edges.num_blocks() > 8:
+        edges = edges.repartition(8).materialize()
+
+    for _ in range(iters):
+        ref = ray.put(ranks)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            r = ray.get(_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            outdeg = t["outdeg"].to_numpy(zero_copy_only=False)
+            contrib = r[src] // outdeg
+            g = (
+                pa.table({"node": t["dst"], "c": contrib})
+                .group_by("node")
+                .aggregate([("c", "sum")])
+            )
+            return g.rename_columns(["node", "inflow"])
+
+        parts = edges.map_batches(partial, batch_format="pyarrow")
+        if n_nodes <= DRIVER_MERGE_NODES:
+            inflow = _collect_arrow(parts)
+        else:
+            inflow = _collect_arrow(
+                parts.groupby("node").aggregate(Sum("inflow", alias_name="inflow"))
+            )
+        infl_vec = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(
+            infl_vec,
+            inflow["node"].to_numpy(zero_copy_only=False),
+            inflow["inflow"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        ranks = base + (DAMP_NUM * infl_vec) // DAMP_DEN
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_nodes, dtype=np.int64)),
+                "rank_fp": pa.array(ranks),
+            }
+        )
+    )
+
+
+def ppr_shuffle(edges, nodes, seeds: np.ndarray, iters: int = 5,
+                num_partitions: int = 16):
+    """Shuffle plan: like pagerank_shuffle but the seed/update maps
+    carry the per-node base via a broadcast sorted seed array
+    (O(n_seeds) — the seed list is small by definition of PPR)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    seeds = np.sort(np.asarray(seeds, dtype=np.int64))
+    init = TOTAL_FP // len(seeds)
+    base_val = ((DAMP_DEN - DAMP_NUM) * init) // DAMP_DEN
+    seeds_ref = ray.put(seeds)
+
+    def seed_map(t: pa.Table) -> pa.Table:
+        s = ray.get(seeds_ref)
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_seed = s[np.searchsorted(s, node).clip(0, len(s) - 1)] == node
+        return pa.table(
+            {
+                "src": pa.array(node),
+                "rank": pa.array(np.where(is_seed, init, 0).astype(np.int64)),
+            }
+        )
+
+    nodes = nodes.materialize()
+    ranks = nodes.map_batches(seed_map, batch_format="pyarrow")
+    edges = edges.materialize()
+
+    for _ in range(iters):
+        joined = edges.join(
+            ranks, join_type="inner", num_partitions=num_partitions, on=("src",)
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = t["rank"].to_numpy(zero_copy_only=False) // t[
+                "outdeg"
+            ].to_numpy(zero_copy_only=False)
+            g = (
+                pa.table({"node": t["dst"], "c": c})
+                .group_by("node")
+                .aggregate([("c", "sum")])
+            )
+            return g.rename_columns(["node", "inflow"])
+
+        inflow = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("inflow", alias_name="inflow"))
+        )
+        filled = nodes.join(
+            inflow,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            s = ray.get(seeds_ref)
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            is_seed = s[np.searchsorted(s, node).clip(0, len(s) - 1)] == node
+            infl = (
+                pc.fill_null(pc.cast(t["inflow"], pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "src": pa.array(node),
+                    "rank": pa.array(
+                        np.where(is_seed, base_val, 0)
+                        + (DAMP_NUM * infl) // DAMP_DEN
+                    ),
+                }
+            )
+
+        ranks = filled.map_batches(update, batch_format="pyarrow").materialize()
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["src"], "rank_fp": t["rank"]})
+
+    return ranks.map_batches(emit, batch_format="pyarrow")
+
+
+def personalized_pagerank(edges, n_nodes: int, seeds: np.ndarray,
+                          iters: int = 5, broadcast: bool | None = None,
+                          num_partitions: int = 16):
+    """Size-aware plan selection, same rule as pagerank()."""
+    if broadcast is None:
+        broadcast = n_nodes <= BROADCAST_RANK_ROWS
+    if broadcast:
+        return ppr_broadcast(edges, n_nodes, seeds, iters=iters)
+    import ray.data
+
+    nodes = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64))})
+    )
+    return ppr_shuffle(edges, nodes, seeds, iters=iters,
+                       num_partitions=num_partitions)

@@ -1304,3 +1304,59 @@ SELECT d.domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM dom d JOIN pr ON pr.node = d.node JOIN tok ON tok.node = d.node
 GROUP BY d.domain ORDER BY d.domain
 """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart to a seed set)
+# ---------------------------------------------------------------------------
+# Topic/query-biased authority: teleport mass restarts only to the
+# crawl seed list (every PPR_SEED_MOD-th doc — the same seed set as
+# q_bfs_hops) instead of uniformly. Same fixed-point discipline and
+# dual broadcast/shuffle plans as q_pagerank (ops/pagerank.py:
+# personalized_pagerank); plan equivalence is pytested like the other
+# round-based graph ops.
+
+PPR_ITERS = 5
+PPR_SEED_MOD = 100
+
+
+def q_ppr(sf_dir: str):
+    """(doc_id, rank_fp) — K=5 personalized-PageRank rounds, teleport
+    restricted to the every-100th-doc seed set."""
+    from osm2gtfs_ray.ops.pagerank import personalized_pagerank
+
+    n = _n_docs(sf_dir)
+    seeds = np.arange(0, n, PPR_SEED_MOD, dtype=np.int64)
+    return personalized_pagerank(
+        build_link_graph(sf_dir), n, seeds, iters=PPR_ITERS
+    )
+
+
+def sql_ppr() -> str:
+    head = f"""{_sql_edges()},
+ns AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM ids
+       WHERE node % {PPR_SEED_MOD} = 0),
+b AS (SELECT ({DAMP_DEN - DAMP_NUM} * (CAST({TOTAL_FP} AS HUGEINT) // m))
+             // {DAMP_DEN} AS basev,
+             CAST({TOTAL_FP} AS HUGEINT) // m AS init FROM ns),
+r0 AS (SELECT node,
+              CASE WHEN node % {PPR_SEED_MOD} = 0 THEN init
+                   ELSE CAST(0 AS HUGEINT) END AS rank
+       FROM ids CROSS JOIN b)"""
+    rounds = []
+    for i in range(1, PPR_ITERS + 1):
+        rounds.append(f"""
+i{i} AS (SELECT e.dst AS node, SUM(r.rank // e.outdeg) AS inflow
+       FROM edges e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst),
+r{i} AS (SELECT ids.node,
+              CASE WHEN ids.node % {PPR_SEED_MOD} = 0 THEN basev
+                   ELSE CAST(0 AS HUGEINT) END
+              + COALESCE(({DAMP_NUM} * i.inflow) // {DAMP_DEN}, 0) AS rank
+       FROM ids CROSS JOIN b LEFT JOIN i{i} i ON i.node = ids.node)""")
+    return (
+        "WITH " + head + "," + ",".join(rounds)
+        + f"""
+SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_fp
+FROM r{PPR_ITERS} ORDER BY doc_id
+"""
+    )

@@ -889,3 +889,78 @@ class TestDomainAuthority:
         n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
         assert int(got["n_docs"].sum()) == n
         assert (got["n_docs"] >= 1).all() and (got["n_tokens"] > 0).all()
+
+
+class TestPersonalizedPagerank:
+    def _seeds(self):
+        return np.arange(0, N, 17, dtype=np.int64)  # denser than prod mod
+
+    def _loop(self, edges: pa.Table, n: int, seeds: np.ndarray,
+              iters: int) -> np.ndarray:
+        src = edges["src"].to_numpy()
+        dst = edges["dst"].to_numpy()
+        outdeg = edges["outdeg"].to_numpy()
+        init = TOTAL_FP // len(seeds)
+        base = np.zeros(n, dtype=np.int64)
+        base[seeds] = (15 * init) // 100
+        r = np.zeros(n, dtype=np.int64)
+        r[seeds] = init
+        for _ in range(iters):
+            inflow = np.zeros(n, dtype=np.int64)
+            for s, d, o in zip(src.tolist(), dst.tolist(), outdeg.tolist()):
+                inflow[d] += r[s] // o
+            r = base + (85 * inflow) // 100
+        return r
+
+    def test_broadcast_matches_reference_loop(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.pagerank import ppr_broadcast
+
+        seeds = self._seeds()
+        edges = ray.data.from_arrow(_edges_table())
+        got = (
+            ppr_broadcast(edges, N, seeds, iters=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        want = self._loop(_edges_table(), N, seeds, 4)
+        assert (got["rank_fp"].to_numpy() == want).all()
+
+    def test_plan_equivalence(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.pagerank import personalized_pagerank
+
+        seeds = self._seeds()
+        b = personalized_pagerank(
+            ray.data.from_arrow(_edges_table()), N, seeds, iters=3,
+            broadcast=True,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        s = personalized_pagerank(
+            ray.data.from_arrow(_edges_table()), N, seeds, iters=3,
+            broadcast=False, num_partitions=4,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert (b["rank_fp"].to_numpy() == s["rank_fp"].to_numpy()).all()
+
+    def test_mass_concentrates_near_seeds(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.pagerank import ppr_broadcast
+
+        seeds = self._seeds()
+        r = (
+            ppr_broadcast(ray.data.from_arrow(_edges_table()), N, seeds, iters=3)
+            .to_pandas()
+            .sort_values("doc_id")["rank_fp"]
+            .to_numpy()
+        )
+        # every seed keeps at least the teleport floor; total mass only
+        # ever shrinks under floor division
+        floor = (15 * (TOTAL_FP // len(seeds))) // 100
+        assert (r[seeds] >= floor).all()
+        assert r.sum() <= TOTAL_FP
+        # non-seed mass is strictly inflow-derived: mean seed rank
+        # dominates mean non-seed rank
+        non = np.setdiff1d(np.arange(N), seeds)
+        assert r[seeds].mean() > r[non].mean()
