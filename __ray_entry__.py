@@ -83,7 +83,7 @@ _GATE_ORDER = [
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
-    "spike_days", "ppr",
+    "spike_days", "ppr", "skyline_docs",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_late": aq.q_watermark_late,
         # integer-exact 1.5-sigma daily anomaly detection per type
         "spike_days": aq.q_spike_days,
+        # Pareto frontier of documents (length x lexical diversity)
+        "skyline_docs": aq.q_skyline_docs,
         "corr_qty_price": aq.q_corr_qty_price,
         "event_pivot": aq.q_event_pivot,
         "revenue_rollup": aq.q_revenue_rollup,
@@ -462,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": aq.sql_cms_user_counts(),
         "watermark_late": aq.sql_watermark_late(),
         "spike_days": aq.sql_spike_days(),
+        "skyline_docs": aq.SQL_SKYLINE_DOCS,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
         "event_pivot": aq.SQL_EVENT_PIVOT,
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,

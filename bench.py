@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "semantic_dedup",
     "spike_days",
+    "skyline_docs",
     "domain_authority",
     "vocab_diversity",
 ]

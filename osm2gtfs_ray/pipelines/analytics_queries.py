@@ -1103,3 +1103,99 @@ FROM d JOIN st USING (event_type)
 WHERE n * c > s AND 4 * (n * c - s) * (n * c - s) > 9 * (n * q - s * s)
 ORDER BY d.event_type, day
 """
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) of documents — maximize (n_chars, n_distinct)
+# --------------------------------------------------------------------------
+# The classic multi-criteria operator (Börzsönyi et al., ICDE 2001):
+# keep every document no other document dominates (>= in both
+# dimensions, > in at least one; identical points never dominate each
+# other, so exact duplicates co-survive). Dimensions here: raw length
+# (n_chars) and lexical diversity (distinct token count) — the
+# "longest AND most diverse" corpus-curation frontier.
+#
+# Scale shape: the textbook two-phase plan. Each block computes its
+# LOCAL skyline (two C-level groupbys for the distinct count, then a
+# sort + per-x-group running-max scan — no per-row Python); the union
+# of local skylines provably contains the global skyline (dominance is
+# transitive), and for independent-ish dimensions a local skyline is
+# O(log block_rows) points, so the pooled candidate set is tiny and
+# the final exact pass runs on the driver. A dependent-dimension
+# adversary (every point on the frontier) degrades to the sort-based
+# sweep, not a quadratic blowup.
+
+def _skyline_scan(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact skyline of (n_chars max, n_distinct max) — vectorized
+    sweep: within an equal-n_chars group only max-n_distinct points
+    survive; sweeping n_chars descending, a group survives iff its
+    max n_distinct strictly exceeds every larger-n_chars group's."""
+    g = (
+        df.groupby("n_chars", as_index=False)["n_distinct"]
+        .max()
+        .sort_values("n_chars", ascending=False)
+    )
+    ymax = g["n_distinct"].to_numpy(np.int64)
+    prev = np.r_[np.int64(-1), np.maximum.accumulate(ymax)[:-1]]
+    keep_x = g["n_chars"].to_numpy(np.int64)[ymax > prev]
+    keep_y = ymax[ymax > prev]
+    lim = pd.DataFrame({"n_chars": keep_x, "n_distinct": keep_y})
+    return df.merge(lim, on=["n_chars", "n_distinct"])
+
+
+def q_skyline_docs(sf_dir: str):
+    """(doc_id, n_chars, n_distinct) for Pareto-optimal documents."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars", "text"])
+
+    def local_skyline(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern(t["text"].combine_chunks(), " ")
+        parent = pc.list_parent_indices(words)
+        flat = pc.list_flatten(words)
+        per_doc = (
+            pa.table({"p": parent, "w": flat})
+            .group_by(["p", "w"])
+            .aggregate([])
+            .group_by("p")
+            .aggregate([([], "count_all")])
+        )
+        nd = np.zeros(len(t), dtype=np.int64)
+        nd[per_doc["p"].to_numpy()] = per_doc["count_all"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "n_chars": t["n_chars"].to_numpy(),
+                "n_distinct": nd,
+            }
+        )
+        return _skyline_scan(df)
+
+    cand = docs.map_batches(local_skyline, batch_format="pyarrow").to_pandas()
+    out = (
+        _skyline_scan(cand)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    return ray.data.from_pandas(out)
+
+
+SQL_SKYLINE_DOCS = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+)
+SELECT a.doc_id, a.n_chars, a.n_distinct
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.n_chars >= a.n_chars AND b.n_distinct >= a.n_distinct
+    AND (b.n_chars > a.n_chars OR b.n_distinct > a.n_distinct)
+)
+ORDER BY a.doc_id
+"""

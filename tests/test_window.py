@@ -371,3 +371,61 @@ class TestSpikeDays:
             sigma = math.sqrt(max(0.0, (q / n) - mean * mean))
             float_spike = c > mean + 1.5 * sigma
             assert int_spike == float_spike
+
+
+class TestSkylineDocs:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_brute_force_dominance(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import analytics_queries as aq
+
+        got = (
+            aq.q_skyline_docs(self.SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{self.SF}/documents.parquet",
+            columns=["doc_id", "n_chars", "text"],
+        ).to_pandas()
+        pts = [
+            (int(r.doc_id), int(r.n_chars), len(set(r.text.split(" "))))
+            for r in t.itertuples()
+        ]
+        sky = [
+            (d, x, y)
+            for d, x, y in pts
+            if not any(
+                bx >= x and by >= y and (bx > x or by > y)
+                for _, bx, by in pts
+            )
+        ]
+        want = pd.DataFrame(
+            sorted(sky), columns=["doc_id", "n_chars", "n_distinct"]
+        )
+        assert len(want) > 0
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_scan_keeps_equal_points_and_partition_invariance(self, ray_session):
+        from osm2gtfs_ray.pipelines.analytics_queries import _skyline_scan
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "n_chars": [10, 10, 9, 8, 10],
+                "n_distinct": [5, 5, 6, 7, 4],
+            }
+        )
+        out = _skyline_scan(df).sort_values("doc_id")
+        # (10,5) twice: equal points co-survive; (10,4) dominated;
+        # (9,6) and (8,7) undominated
+        assert out["doc_id"].tolist() == [1, 2, 3, 4]
+        # two-phase equivalence: skyline(union of per-half skylines)
+        # == skyline(whole)
+        h1, h2 = df.iloc[:2], df.iloc[2:]
+        pooled = pd.concat([_skyline_scan(h1), _skyline_scan(h2)])
+        again = _skyline_scan(pooled).sort_values("doc_id")
+        assert again["doc_id"].tolist() == out["doc_id"].tolist()
