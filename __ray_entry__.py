@@ -83,7 +83,7 @@ _GATE_ORDER = [
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
-    "spike_days", "ppr", "skyline_docs",
+    "spike_days", "ppr", "skyline_docs", "sssp",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": grq.q_pagerank,
         # personalized PageRank: restart to the crawl seed set
         "ppr": grq.q_ppr,
+        # bounded-hop weighted shortest paths (Bellman-Ford rounds)
+        "sssp": grq.q_sssp,
         "bfs_hops": grq.q_bfs_hops,
         "domain_link_stats": grq.q_domain_link_stats,
         "reciprocal_links": grq.q_reciprocal_links,
@@ -419,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_schedule": wq.SQL_CRAWL_SCHEDULE,
         "pagerank": grq.SQL_PAGERANK,
         "ppr": grq.sql_ppr(),
+        "sssp": grq.sql_sssp(),
         "bfs_hops": grq.SQL_BFS_HOPS,
         "domain_link_stats": grq.SQL_DOMAIN_LINK_STATS,
         "reciprocal_links": grq.SQL_RECIPROCAL_LINKS,

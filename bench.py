@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "pagerank",
     "ppr",
+    "sssp",
     "cell_pyramid",
     "crawl_schedule",
     "bfs_hops",

@@ -1360,3 +1360,76 @@ SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank_fp
 FROM r{PPR_ITERS} ORDER BY doc_id
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (bounded-hop Bellman-Ford) over the link graph
+# ---------------------------------------------------------------------------
+# The weighted generalization of q_bfs_hops: integer edge weights
+# w(u,v) = 1 + U(9) synthesized from the edge endpoints (so the SQL
+# side re-derives them arithmetically), K = SSSP_ITERS global
+# relaxation rounds from the crawl seed set. Result: exact minimum
+# path weight using at most K edges — the bounded-round semantics
+# that keeps the oracle a K-level unrolled MIN-merge. Dual plans in
+# ops/sssp.py (broadcast distance vector / Dataset-join shuffle),
+# plan-equivalence pytested.
+#
+# Endpoint-key weights assume doc ids < 2^31 (src<<32 | dst fits
+# uint64); a larger id space would widen the key to two streams.
+
+SSSP_ITERS = 6
+SSSP_SEED_MOD = 100
+_S_W = 294
+
+
+def build_weighted_graph(sf_dir: str):
+    """(src, dst, w) — the link graph with deterministic integer
+    weights derived from the edge endpoints."""
+    base = build_link_graph(sf_dir)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        k = (src.astype(np.uint64) << np.uint64(32)) + dst.astype(np.uint64)
+        w = 1 + _uint(k, _S_W, SEED, 9)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"], "w": pa.array(w, pa.int64())}
+        )
+
+    return base.map_batches(weigh, batch_format="pyarrow")
+
+
+def q_sssp(sf_dir: str):
+    """(doc_id, dist) — minimum path weight from the seed set using
+    at most SSSP_ITERS edges."""
+    from osm2gtfs_ray.ops.sssp import sssp
+
+    n = _n_docs(sf_dir)
+    seeds = np.arange(0, n, SSSP_SEED_MOD, dtype=np.int64)
+    return sssp(build_weighted_graph(sf_dir), n, seeds, iters=SSSP_ITERS)
+
+
+def sql_sssp() -> str:
+    kx = ("CAST(CAST(src AS UBIGINT) * 4294967296 + CAST(dst AS UBIGINT) "
+          "AS UBIGINT)")
+    rounds = []
+    for i in range(1, SSSP_ITERS + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.d + e.w AS d
+    FROM we e JOIN d{i - 1} r ON r.node = e.src
+  ) GROUP BY node)""")
+    return f"""
+WITH {_sql_edges()},
+we AS MATERIALIZED (
+  SELECT src, dst, 1 + ({_s_uint(kx, _S_W, 9)}) AS w FROM edges
+),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM ids
+       WHERE node % {SSSP_SEED_MOD} = 0),
+{",".join(rounds)}
+SELECT node AS doc_id, CAST(d AS BIGINT) AS dist
+FROM d{SSSP_ITERS} ORDER BY doc_id
+"""

@@ -964,3 +964,88 @@ class TestPersonalizedPagerank:
         # dominates mean non-seed rank
         non = np.setdiff1d(np.arange(N), seeds)
         assert r[seeds].mean() > r[non].mean()
+
+
+class TestSSSP:
+    def _weighted(self) -> pa.Table:
+        from osm2gtfs_ray.pipelines.graph_queries import _S_W, SEED
+        from osm2gtfs_ray.sources.pages import _uint
+
+        e = _edges_table()
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        k = (src.astype(np.uint64) << np.uint64(32)) + dst.astype(np.uint64)
+        w = 1 + _uint(k, _S_W, SEED, 9)
+        return pa.table({"src": src, "dst": dst, "w": w.astype(np.int64)})
+
+    def _loop(self, e: pa.Table, n: int, seeds, iters: int):
+        INF = 1 << 62
+        d = [INF] * n
+        for s in seeds:
+            d[int(s)] = 0
+        src = e["src"].to_numpy().tolist()
+        dst = e["dst"].to_numpy().tolist()
+        w = e["w"].to_numpy().tolist()
+        for _ in range(iters):
+            nd = list(d)
+            for s, t, ww in zip(src, dst, w):
+                if d[s] < INF and d[s] + ww < nd[t]:
+                    nd[t] = d[s] + ww
+            d = nd
+        return {i: v for i, v in enumerate(d) if v < INF}
+
+    def test_broadcast_matches_reference_loop(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.sssp import sssp_broadcast
+
+        seeds = np.arange(0, N, 23, dtype=np.int64)
+        got = (
+            sssp_broadcast(ray.data.from_arrow(self._weighted()), N, seeds,
+                           iters=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        want = self._loop(self._weighted(), N, seeds, 4)
+        assert got["doc_id"].tolist() == sorted(want)
+        assert got["dist"].tolist() == [want[i] for i in sorted(want)]
+
+    def test_plan_equivalence(self, ray_session):
+        import ray.data
+
+        from osm2gtfs_ray.ops.sssp import sssp
+
+        seeds = np.arange(0, N, 23, dtype=np.int64)
+        b = sssp(ray.data.from_arrow(self._weighted()), N, seeds, iters=3,
+                 broadcast=True).to_pandas().sort_values("doc_id")
+        s = sssp(ray.data.from_arrow(self._weighted()), N, seeds, iters=3,
+                 broadcast=False, num_partitions=4).to_pandas().sort_values(
+            "doc_id")
+        assert b["doc_id"].tolist() == s["doc_id"].tolist()
+        assert b["dist"].tolist() == s["dist"].tolist()
+
+    def test_bounded_hop_semantics_and_monotone_rounds(self, ray_session):
+        # distances can only shrink (or stay) as K grows; K covers BFS
+        import ray.data
+
+        from osm2gtfs_ray.ops.sssp import sssp_broadcast
+
+        seeds = np.array([0], dtype=np.int64)
+        e = self._weighted()
+        d3 = sssp_broadcast(
+            ray.data.from_arrow(e), N, seeds, iters=3
+        ).to_pandas().set_index("doc_id")["dist"]
+        d5 = sssp_broadcast(
+            ray.data.from_arrow(e), N, seeds, iters=5
+        ).to_pandas().set_index("doc_id")["dist"]
+        assert set(d3.index) <= set(d5.index)
+        common = d3.index
+        assert (d5.loc[common] <= d3.loc[common]).all()
+        # weights are 1..9: any reached node's dist is >= its hop count
+        from osm2gtfs_ray.ops.bfs import bfs_broadcast
+
+        hops = bfs_broadcast(
+            ray.data.from_arrow(_edges_table()), N, seeds, iters=5
+        ).to_pandas().set_index("doc_id")["hops"]
+        both = d5.index.intersection(hops.index)
+        assert (d5.loc[both] >= hops.loc[both]).all()
