@@ -83,7 +83,7 @@ _GATE_ORDER = [
     "phash_pairs", "audio_features", "bowtie", "ann_pq", "rrf_fusion", "stay_points", "ann_ivfpq",
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
-    "spike_days", "ppr", "skyline_docs", "sssp",
+    "spike_days", "ppr", "skyline_docs", "sssp", "gram_matrix",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_kmeans": sq.q_ann_ivf_kmeans,
         # SemDeDup: cluster-bounded cosine near-dup removal lists
         "semantic_dedup": sq.q_semantic_dedup,
+        # embedding Gram/covariance matrix (mergeable int partials)
+        "gram_matrix": sq.q_gram_matrix,
         "ann_pq": sq.q_ann_pq,
         "ann_ivfpq": sq.q_ann_ivfpq,
         "rrf_fusion": sq.q_rrf_fusion,
@@ -524,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": sq.SQL_RANDOM_PROJECTION,
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "semantic_dedup": sq.sql_semantic_dedup(),
+        "gram_matrix": sq.SQL_GRAM_MATRIX,
         "ann_pq": sq.SQL_ANN_PQ,
         "ann_ivfpq": sq.SQL_ANN_IVFPQ,
         "rrf_fusion": sq.sql_rrf_fusion(),

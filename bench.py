@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "spike_days",
     "skyline_docs",
+    "gram_matrix",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1102,3 +1102,75 @@ SELECT CAST(node AS BIGINT) AS vec_id, CAST(MIN(m) AS BIGINT) AS canonical_id
 FROM reach GROUP BY node HAVING node != MIN(m)
 ORDER BY vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# Embedding Gram / covariance matrix (PCA & whitening prep)
+# --------------------------------------------------------------------------
+# The second-moment matrix G[i,j] = Σ_rows v_i · v_j over e6-quantized
+# embeddings — the distributed step of PCA, ZCA whitening, and linear
+# probes. The map side is a single int64 matmul per batch (V.T @ V —
+# a (d×n)(n×d) BLAS call, the textbook mergeable partial: G = Σ G_b);
+# the (d×d) partials are merged with PYTHON INTS on the driver, so the
+# accumulated sum cannot wrap however many rows the corpus has (each
+# per-batch partial is int64-safe: |v| < 2^21 e6-units ⇒ products
+# < 2^42, × batch rows ≤ 2^20 stays < 2^62; the cross-batch total is
+# where int64 would eventually wrap — hence big-int merge, the
+# spike_days / vocab-diversity lesson). Output: the upper triangle as
+# (i, j, s) rows, 1-based to match SQL list indexing.
+
+GRAM_DIM = 64
+
+
+def q_gram_matrix(sf_dir: str):
+    """(i, j, s): upper-triangle entries of the e6-quantized embedding
+    Gram matrix."""
+    import pandas as pd
+    import ray.data
+
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = ann_mod.quantize_e6(ann_mod.stack_embeddings(t["embedding"]))
+        g = v.T @ v  # int64 BLAS; safe per batch (see module comment)
+        iu, ju = np.triu_indices(GRAM_DIM)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "s": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    parts_df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # big-int merge of the bounded (d x d) partials
+    acc: dict[tuple[int, int], int] = {}
+    for i, j, s in zip(parts_df["i"], parts_df["j"], parts_df["s"]):
+        key = (int(i), int(j))
+        acc[key] = acc.get(key, 0) + int(s)
+    keys = sorted(acc)
+    out = pd.DataFrame(
+        {
+            "i": [k[0] for k in keys],
+            "j": [k[1] for k in keys],
+            "s": [acc[k] for k in keys],
+        }
+    )
+    if (out["s"].abs() >= 2**63).any():
+        raise OverflowError("gram entries exceed int64; widen output encoding")
+    return ray.data.from_pandas(out.astype(np.int64))
+
+
+SQL_GRAM_MATRIX = f"""
+WITH e AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+idx AS (SELECT unnest(generate_series(1, {GRAM_DIM})) AS i)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(CAST(e.v[a.i] AS HUGEINT) * e.v[b.i]) AS BIGINT) AS s
+FROM e, idx a, idx b
+WHERE a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

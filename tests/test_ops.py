@@ -1490,3 +1490,39 @@ class TestSemanticDedup:
         assert not set(got["canonical_id"]) & set(got["vec_id"])
         assert (got["canonical_id"] < got["vec_id"]).all()
         assert not got.duplicated("vec_id").any()
+
+
+class TestGramMatrix:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_numpy_whole_matrix(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+        from osm2gtfs_ray.stages import ann as ann_mod
+
+        got = (
+            sq.q_gram_matrix(self.SF)
+            .to_pandas()
+            .sort_values(["i", "j"])
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{self.SF}/embeddings.parquet",
+                          columns=["embedding"])
+        v = ann_mod.quantize_e6(ann_mod.stack_embeddings(t["embedding"]))
+        g = v.T @ v
+        iu, ju = np.triu_indices(sq.GRAM_DIM)
+        assert got["s"].to_numpy().tolist() == g[iu, ju].tolist()
+        # symmetry is implied by upper-triangle output; diagonal is
+        # a sum of squares, strictly positive for nonzero embeddings
+        diag = got[got["i"] == got["j"]]["s"]
+        assert (diag > 0).all()
+
+    def test_partials_merge_exactly(self, ray_session):
+        # Gram over the whole equals sum of Gram over any row split —
+        # the mergeable-partial property the distributed plan relies on
+        rng = np.random.default_rng(5)
+        v = rng.integers(-1000, 1000, size=(100, 8)).astype(np.int64)
+        whole = v.T @ v
+        parts = v[:37].T @ v[:37] + v[37:].T @ v[37:]
+        assert (whole == parts).all()
