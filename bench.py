@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "spike_days",
     "skyline_docs",
     "gram_matrix",
+    "median_user_value",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1199,3 +1199,42 @@ WHERE NOT EXISTS (
 )
 ORDER BY a.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Exact per-group discrete median (lower median, element selection)
+# --------------------------------------------------------------------------
+# The grouped exact-quantile operator: unlike the sketch path
+# (q_quantile_price_sketch, bounded error) this SELECTS the true
+# median ELEMENT per group — lower median, the value at sorted index
+# (n-1)//2, which DuckDB's quantile_disc(x, 0.5) implements exactly
+# (probed; element selection means no float arithmetic happens, so
+# engine and oracle agree bit-for-bit on doubles). Scale shape: ONE
+# user-hash shuffle, then a vectorized per-shard sort + group-start
+# index pick — the groups of a shard are handled in one C-level pass,
+# never one Python call per user.
+
+def q_median_user_value(sf_dir: str):
+    """(user_id, median_value): lower-median event value per user."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def med_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, len(g)])
+        pick = starts + (lengths - 1) // 2
+        return pd.DataFrame(
+            {"user_id": uid[starts], "median_value": val[pick]}
+        )
+
+    return sharded_map_groups(ev, "user_id", med_shard)
+
+
+SQL_MEDIAN_USER_VALUE = """
+SELECT user_id, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

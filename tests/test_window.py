@@ -429,3 +429,37 @@ class TestSkylineDocs:
         pooled = pd.concat([_skyline_scan(h1), _skyline_scan(h2)])
         again = _skyline_scan(pooled).sort_values("doc_id")
         assert again["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+class TestMedianUserValue:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_lower_median(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import analytics_queries as aq
+
+        got = (
+            aq.q_median_user_value(self.SF)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["user_id", "value"]
+        ).to_pandas()
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            vs = sorted(g["value"].tolist())
+            rows.append((int(uid), vs[(len(vs) - 1) // 2]))
+        want = pd.DataFrame(rows, columns=["user_id", "median_value"])
+        assert got["user_id"].tolist() == want["user_id"].tolist()
+        # element selection: values must be EXACTLY equal (no
+        # interpolation arithmetic ever happens)
+        assert got["median_value"].tolist() == want["median_value"].tolist()
+
+    def test_even_group_picks_lower_element(self, ray_session):
+        # the (n-1)//2 rule on an even-sized group picks the LOWER of
+        # the two central elements (quantile_disc semantics)
+        vs = [4.0, 1.0, 3.0, 2.0]
+        assert sorted(vs)[(len(vs) - 1) // 2] == 2.0
