@@ -84,7 +84,7 @@ _GATE_ORDER = [
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
     "spike_days", "ppr", "skyline_docs", "sssp", "gram_matrix",
-    "median_user_value",
+    "median_user_value", "type_lift",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_docs": aq.q_skyline_docs,
         # exact per-group lower median (element selection)
         "median_user_value": aq.q_median_user_value,
+        # market-basket lift over per-user event-type sets
+        "type_lift": aq.q_type_lift,
         "corr_qty_price": aq.q_corr_qty_price,
         "event_pivot": aq.q_event_pivot,
         "revenue_rollup": aq.q_revenue_rollup,
@@ -474,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "spike_days": aq.sql_spike_days(),
         "skyline_docs": aq.SQL_SKYLINE_DOCS,
         "median_user_value": aq.SQL_MEDIAN_USER_VALUE,
+        "type_lift": aq.SQL_TYPE_LIFT,
         "corr_qty_price": aq.SQL_CORR_QTY_PRICE,
         "event_pivot": aq.SQL_EVENT_PIVOT,
         "revenue_rollup": aq.SQL_REVENUE_ROLLUP,

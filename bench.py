@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "skyline_docs",
     "gram_matrix",
     "median_user_value",
+    "type_lift",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1238,3 +1238,89 @@ SQL_MEDIAN_USER_VALUE = """
 SELECT user_id, quantile_disc(value, 0.5) AS median_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Association-rule lift over per-user event-type baskets
+# --------------------------------------------------------------------------
+# Market-basket analysis: basket = the set of event types a user ever
+# emitted; for each unordered type pair, lift = P(a,b)/(P(a)P(b)) =
+# n_ab·N / (n_a·n_b) in fixed point (·10^6, floor). The type domain is
+# closed (EVENT_TYPES), so every aggregate lands in a BOUNDED key
+# space: per-batch (user, type) dedupe → ONE user-hash shuffle for the
+# exact per-user distinct sets → per-shard vectorized single/pair/user
+# partial counts (<= 5 + 10 + 1 keys) → driver merge, with the final
+# lift quotient computed in PYTHON INTS over <= 10 rows (n_ab·N·10^6
+# would wrap int64 near ~3e6 users — the spike_days lesson; SQL side
+# uses HUGEINT).
+
+LIFT_SCALE = 1_000_000
+
+
+def q_type_lift(sf_dir: str):
+    """(type_a, type_b, n_a, n_b, n_ab, lift_fp) per co-occurring
+    unordered event-type pair."""
+    import ray.data
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        rows: list[tuple[str, str, int]] = []
+        nu = g["user_id"].nunique()
+        rows.append(("__users__", "", int(nu)))
+        singles = g.groupby("event_type").size()
+        rows.extend((t, "", int(c)) for t, c in singles.items())
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"]).size()
+        rows.extend((a, b, int(c)) for (a, b), c in pairs.items())
+        return pd.DataFrame(rows, columns=["ka", "kb", "c"])
+
+    parts = sharded_map_groups(
+        ev.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas"),
+        "user_id",
+        count_shard,
+    ).to_pandas()
+    agg = parts.groupby(["ka", "kb"], sort=True)["c"].sum()
+    nu = int(agg.get(("__users__", ""), 0))
+    singles = {k[0]: int(v) for k, v in agg.items() if k[1] == "" and k[0] != "__users__"}
+    out_rows = []
+    for (a, b), cab in agg.items():
+        if b == "":
+            continue
+        cab = int(cab)
+        lift = (cab * nu * LIFT_SCALE) // (singles[a] * singles[b])
+        out_rows.append((a, b, singles[a], singles[b], cab, lift))
+    out = pd.DataFrame(
+        sorted(out_rows),
+        columns=["type_a", "type_b", "n_a", "n_b", "n_ab", "lift_fp"],
+    )
+    for c in ["n_a", "n_b", "n_ab", "lift_fp"]:
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+SQL_TYPE_LIFT = f"""
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+p AS (
+  SELECT a.event_type AS ta, b2.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS cab
+  FROM b a JOIN b b2
+    ON a.user_id = b2.user_id AND a.event_type < b2.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta AS type_a, p.tb AS type_b, sa.c AS n_a, sb.c AS n_b,
+       p.cab AS n_ab,
+       CAST((CAST(p.cab AS HUGEINT) * nu * {LIFT_SCALE})
+            // (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_fp
+FROM p
+JOIN s sa ON sa.event_type = p.ta
+JOIN s sb ON sb.event_type = p.tb
+CROSS JOIN n
+ORDER BY type_a, type_b
+"""

@@ -463,3 +463,49 @@ class TestMedianUserValue:
         # the two central elements (quantile_disc semantics)
         vs = [4.0, 1.0, 3.0, 2.0]
         assert sorted(vs)[(len(vs) - 1) // 2] == 2.0
+
+
+class TestTypeLift:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_basket_lift(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import analytics_queries as aq
+
+        got = (
+            aq.q_type_lift(self.SF)
+            .to_pandas()
+            .sort_values(["type_a", "type_b"])
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["user_id", "event_type"]
+        ).to_pandas()
+        baskets = t.groupby("user_id")["event_type"].agg(set)
+        nu = len(baskets)
+        types = sorted(t["event_type"].unique())
+        singles = {ty: sum(ty in b for b in baskets) for ty in types}
+        rows = []
+        for i, a in enumerate(types):
+            for b in types[i + 1:]:
+                cab = sum(a in s and b in s for s in baskets)
+                if cab:
+                    lift = (cab * nu * aq.LIFT_SCALE) // (
+                        singles[a] * singles[b]
+                    )
+                    rows.append((a, b, singles[a], singles[b], cab, lift))
+        want = pd.DataFrame(
+            rows,
+            columns=["type_a", "type_b", "n_a", "n_b", "n_ab", "lift_fp"],
+        )
+        assert len(want) > 0
+        for c in want.columns:
+            assert got[c].tolist() == want[c].tolist()
+
+    def test_lift_identity_when_independent(self):
+        # if every user has both types, lift == 1.0 exactly
+        from osm2gtfs_ray.pipelines.analytics_queries import LIFT_SCALE
+
+        nu, na, nb, nab = 100, 100, 100, 100
+        assert (nab * nu * LIFT_SCALE) // (na * nb) == LIFT_SCALE
