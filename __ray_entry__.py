@@ -84,7 +84,7 @@ _GATE_ORDER = [
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
     "spike_days", "ppr", "skyline_docs", "sssp", "gram_matrix",
-    "median_user_value", "type_lift",
+    "median_user_value", "type_lift", "ann_recall",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": sq.q_semantic_dedup,
         # embedding Gram/covariance matrix (mergeable int partials)
         "gram_matrix": sq.q_gram_matrix,
+        # retrieval eval: recall@k + MRR of IVF vs exact gold
+        "ann_recall": sq.q_ann_recall,
         "ann_pq": sq.q_ann_pq,
         "ann_ivfpq": sq.q_ann_ivfpq,
         "rrf_fusion": sq.q_rrf_fusion,
@@ -534,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans": sq.SQL_ANN_IVF_KMEANS,
         "semantic_dedup": sq.sql_semantic_dedup(),
         "gram_matrix": sq.SQL_GRAM_MATRIX,
+        "ann_recall": sq.SQL_ANN_RECALL,
         "ann_pq": sq.SQL_ANN_PQ,
         "ann_ivfpq": sq.SQL_ANN_IVFPQ,
         "rrf_fusion": sq.sql_rrf_fusion(),

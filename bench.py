@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "gram_matrix",
     "median_user_value",
     "type_lift",
+    "ann_recall",
     "domain_authority",
     "vocab_diversity",
 ]

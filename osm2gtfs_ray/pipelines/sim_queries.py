@@ -1174,3 +1174,170 @@ FROM e, idx a, idx b
 WHERE a.i <= b.i
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: recall@k and MRR of IVF search vs exact gold
+# --------------------------------------------------------------------------
+# The eval-harness operator every ANN deployment needs: for a batch of
+# Q query vectors, compute the EXACT cosine top-k (gold) and the IVF
+# probe-pruned top-k (system), then per query the overlap (recall@k,
+# fixed point) and the reciprocal rank of the first relevant system
+# hit (MRR, exact rational SCALE // rank). Both lists rank by
+# (sim_e6 DESC, vec_id) — the e6-rounded grid is where engine (numpy
+# normalized matmul) and oracle (list_cosine_similarity) provably
+# agree, the q_ann_ivf precedent.
+#
+# Scale shape: ONE distributed sims pass emits (qid, vec_id, sim_e6,
+# cell) with the Q-vector matrix broadcast; gold and system lists are
+# two keep_top_k passes over it (map-side k-per-key combine, so the
+# shuffle moves O(k·Q·blocks) rows); the final set-compare touches
+# 2·Q·k rows on the driver.
+
+ANN_EVAL_Q = 8
+ANN_EVAL_K = 10
+ANN_EVAL_NPROBE = 4
+EVAL_SCALE = 1_000_000
+
+
+def q_ann_recall(sf_dir: str):
+    """(qid, n_hits, recall_fp, mrr_fp) for Q=8 query vectors: IVF
+    top-k vs exact gold top-k."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from osm2gtfs_ray.ops.dedupe import keep_top_k
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    qmat = ann_mod.make_centroids(emb, n_centroids=ANN_EVAL_Q)
+    cents = ann_mod.make_centroids(emb, n_centroids=16)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    # probe sets: top NPROBE cells per query, (sim DESC, cid) order
+    qc = qn @ cn.T
+    probe_mask = np.zeros((ANN_EVAL_Q, len(cents)), dtype=bool)
+    for qi in range(ANN_EVAL_Q):
+        order = np.lexsort((np.arange(len(cents)), -qc[qi]))
+        probe_mask[qi, order[:ANN_EVAL_NPROBE]] = True
+    ref = ray.put((qn, cn, probe_mask))
+
+    def sims_batch(t: pa.Table) -> pa.Table:
+        q, c, _ = ray.get(ref)
+        e = ann_mod.stack_embeddings(t["embedding"])
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = e / norms
+        sims = en @ q.T  # (n, Q)
+        cell = np.argmax(en @ c.T, axis=1).astype(np.int64)
+        n = len(t)
+        vec = t["vec_id"].to_numpy(zero_copy_only=False)
+        qid = np.tile(np.arange(ANN_EVAL_Q, dtype=np.int64), n)
+        return pa.table(
+            {
+                "qid": qid,
+                "vec_id": np.repeat(vec, ANN_EVAL_Q),
+                "sim_e6": np.rint(sims.ravel() * 1e6).astype(np.int64),
+                "cell": np.repeat(cell, ANN_EVAL_Q),
+            }
+        )
+
+    sims = emb.map_batches(sims_batch, batch_format="pyarrow").materialize()
+
+    def add_neg(b):
+        out = b.copy(deep=False)
+        out["neg"] = -out["sim_e6"]
+        return out
+
+    ranked_cols = ["neg", "vec_id"]
+    gold = keep_top_k(
+        sims.map_batches(add_neg, batch_format="pandas"),
+        "qid", ranked_cols, ANN_EVAL_K,
+    ).to_pandas()
+
+    def probe_filter(b: pd.DataFrame) -> pd.DataFrame:
+        _, _, pm = ray.get(ref)
+        keep = pm[b["qid"].to_numpy(np.int64), b["cell"].to_numpy(np.int64)]
+        out = b[keep].copy(deep=False)
+        out["neg"] = -out["sim_e6"]
+        return out
+
+    appr = keep_top_k(
+        sims.map_batches(probe_filter, batch_format="pandas"),
+        "qid", ranked_cols, ANN_EVAL_K,
+    ).to_pandas()
+
+    rows = []
+    for qi in range(ANN_EVAL_Q):
+        gset = set(gold.loc[gold["qid"] == qi, "vec_id"])
+        a = appr[appr["qid"] == qi].sort_values("rnk")
+        hits = int(a["vec_id"].isin(gset).sum())
+        in_gold = a[a["vec_id"].isin(gset)]
+        mrr = EVAL_SCALE // int(in_gold["rnk"].iloc[0]) if len(in_gold) else 0
+        rows.append(
+            (qi, hits, hits * EVAL_SCALE // ANN_EVAL_K, mrr)
+        )
+    out = pd.DataFrame(
+        rows, columns=["qid", "n_hits", "recall_fp", "mrr_fp"]
+    ).astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+SQL_ANN_RECALL = f"""
+WITH cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         CAST(embedding AS DOUBLE[]) AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+qs AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {ANN_EVAL_Q}
+),
+assign AS MATERIALIZED (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(cents.c, CAST(e.embedding AS DOUBLE[])) DESC, cid
+          LIMIT 1) AS cell
+  FROM embeddings e
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(c.c, q.qe) DESC, c.cid) AS r
+    FROM cents c CROSS JOIN qs q
+  ) WHERE r <= {ANN_EVAL_NPROBE}
+),
+sims AS MATERIALIZED (
+  SELECT q.qid, a.vec_id, a.cell,
+         CAST(ROUND(list_cosine_similarity(a.emb, q.qe) * 1000000) AS BIGINT)
+           AS sim_e6
+  FROM assign a CROSS JOIN qs q
+),
+gold AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY sim_e6 DESC, vec_id) AS r
+    FROM sims
+  ) WHERE r <= {ANN_EVAL_K}
+),
+appr AS (
+  SELECT qid, vec_id, r FROM (
+    SELECT s.qid, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.qid
+             ORDER BY s.sim_e6 DESC, s.vec_id) AS r
+    FROM sims s JOIN probe p ON p.qid = s.qid AND p.cid = s.cell
+  ) WHERE r <= {ANN_EVAL_K}
+),
+h AS (
+  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(a.r) AS fr
+  FROM appr a JOIN gold g ON g.qid = a.qid AND g.vec_id = a.vec_id
+  GROUP BY a.qid
+)
+SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) * {EVAL_SCALE} // {ANN_EVAL_K} AS recall_fp,
+       COALESCE({EVAL_SCALE} // h.fr, 0) AS mrr_fp
+FROM qs q LEFT JOIN h ON h.qid = q.qid
+ORDER BY q.qid
+"""

@@ -1526,3 +1526,64 @@ class TestGramMatrix:
         whole = v.T @ v
         parts = v[:37].T @ v[:37] + v[37:].T @ v[37:]
         assert (whole == parts).all()
+
+
+class TestAnnRecall:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_scalar_eval(self, ray_session):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+        from osm2gtfs_ray.stages import ann as ann_mod
+
+        got = (
+            sq.q_ann_recall(self.SF)
+            .to_pandas()
+            .sort_values("qid")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(f"{self.SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = t["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = ann_mod.stack_embeddings(t["embedding"])[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        Q, K, P = sq.ANN_EVAL_Q, sq.ANN_EVAL_K, sq.ANN_EVAL_NPROBE
+        qn = mn[:Q]
+        cn = mn[:16]
+        cell = np.argmax(mn @ cn.T, axis=1)
+        rows = []
+        for qi in range(Q):
+            sims = np.rint(mn @ qn[qi] * 1e6).astype(np.int64)
+            rank_order = np.lexsort((ids, -sims))
+            gold = set(ids[rank_order[:K]].tolist())
+            probe = set(
+                np.lexsort((np.arange(16), -(cn @ qn[qi])))[:P].tolist()
+            )
+            cand = rank_order[np.isin(cell[rank_order], list(probe))][:K]
+            hits = sum(1 for v in ids[cand] if v in gold)
+            mrr = 0
+            for r, v in enumerate(ids[cand], 1):
+                if v in gold:
+                    mrr = sq.EVAL_SCALE // r
+                    break
+            rows.append((qi, hits, hits * sq.EVAL_SCALE // K, mrr))
+        want = pd.DataFrame(
+            rows, columns=["qid", "n_hits", "recall_fp", "mrr_fp"]
+        )
+        assert got.astype("int64").equals(want.astype("int64"))
+        # the eval is non-degenerate: IVF misses some gold, finds some
+        assert got["n_hits"].sum() > 0
+        assert (got["recall_fp"] <= sq.EVAL_SCALE).all()
+
+    def test_query_is_own_top1_when_probed(self, ray_session):
+        # each query vector's own cell is always probed (sim = 1 with
+        # itself ranks its centroid first), so MRR@1 = SCALE whenever
+        # the query appears in its own gold list and survives pruning
+        from osm2gtfs_ray.pipelines import sim_queries as sq
+
+        got = sq.q_ann_recall(self.SF).to_pandas()
+        assert (got["mrr_fp"] == sq.EVAL_SCALE).all()
