@@ -84,7 +84,7 @@ _GATE_ORDER = [
     # -- tier 1b: added in r5, never driver-checked
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
     "spike_days", "ppr", "skyline_docs", "sssp", "gram_matrix",
-    "median_user_value", "type_lift", "ann_recall",
+    "median_user_value", "type_lift", "ann_recall", "radius_gyration",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-user consecutive-event OD cell transition matrix
         "od_flows": gq.q_od_flows,
         "stay_points": gq.q_stay_points,
+        # exact integer radius of gyration per user (mobility range)
+        "radius_gyration": gq.q_radius_gyration,
         # repeated spatio-temporal co-location pairs (>=K shared buckets)
         "co_travelers": gq.q_co_travelers,
         # per-tile recrawl delta (snapshot membership x entity cells)
@@ -446,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_clusters": gq.sql_grid_clusters(),
         "od_flows": gq.SQL_OD_FLOWS,
         "stay_points": gq.sql_stay_points(),
+        "radius_gyration": gq.sql_radius_gyration(),
         "co_travelers": gq.sql_co_travelers(),
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,

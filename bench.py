@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "median_user_value",
     "type_lift",
     "ann_recall",
+    "radius_gyration",
     "domain_authority",
     "vocab_diversity",
 ]

@@ -1891,3 +1891,104 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {CT_MIN_SHARED}
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Radius of gyration per user — the classic mobility-range metric
+# --------------------------------------------------------------------------
+# rog(u) = sqrt( (1/n) * sum_i |r_i - r_mean|^2 ) over user u's event
+# positions (Gonzalez et al. 2008, "Understanding individual human
+# mobility patterns"). Exact integer form on the e2 planar grid
+# (lat_e2/lon_e2 are integers by construction of _synth_latlon):
+#
+#   num   = n * sum(x^2 + y^2) - (sum x)^2 - (sum y)^2   (= n^2 * rog^2)
+#   rog_fp = isqrt( num * 10^8 // n^2 )                  (rog_e2 * 10^4)
+#
+# One user-hash shuffle (sharded_map_groups) with a vectorized int64
+# per-shard group reduce; the per-user finalize (num, floor-div,
+# isqrt) runs with PYTHON BIG INTS over the shard's own user rows —
+# n * sq wraps int64 past ~150k max-spread events per user, and the
+# output cardinality IS the user count, so the O(users-in-shard)
+# big-int pass is the work any engine must do (the q_median_user_value
+# / q_type_lift finalize discipline). math.isqrt is exact; the SQL
+# oracle uses HUGEINT + the float-seeded ±1-corrected isqrt idiom
+# (sql_shape_length — seed error ≪ 1 for num*1e8 ≲ 1e21, so the ±1
+# window holds).
+#
+# Reference semantics analogue: the stop-clustering radius rule
+# (/root/reference/osm2gtfs/core/osm_connector.py greedy 500 m merge,
+# ops/cluster.py here) measures spatial spread per name group; rog is
+# the per-entity generalization over trajectories.
+
+ROG_SCALE = 10**8  # (1e4)^2 — four fixed-point digits on the e2 grid
+
+
+def q_radius_gyration(sf_dir: str):
+    """(user_id, n_events, rog_fp): exact integer radius of gyration
+    of each user's synthetic event positions; rog_fp = floor(rog_e2 *
+    10^4) with rog_e2 in centidegree planar units."""
+    import math
+
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def local_pre(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy(np.int64)
+        x = (eid * 104729) % 36000 - 18000
+        y = (eid * 7919) % 18000 - 9000
+        part = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "n": np.ones(len(g), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sq": x * x + y * y,
+            }
+        )
+        return part.groupby("user_id", sort=False, as_index=False).sum()
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("user_id", sort=False, as_index=False).sum()
+        rog = [
+            math.isqrt(
+                ((int(n) * int(sq) - int(sx) ** 2 - int(sy) ** 2) * ROG_SCALE)
+                // (int(n) * int(n))
+            )
+            for n, sx, sy, sq in zip(a["n"], a["sx"], a["sy"], a["sq"])
+        ]
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"].astype(np.int64),
+                "n_events": a["n"].astype(np.int64),
+                "rog_fp": pd.Series(rog, dtype=np.int64),
+            }
+        )
+
+    return sharded_map_groups(ev, "user_id", finalize, local_pre=local_pre)
+
+
+def sql_radius_gyration() -> str:
+    num = "(n * sq - sx * sx - sy * sy)"
+    v = f"(({num} * {ROG_SCALE}) // (n * n))"
+    r0 = f"CAST(FLOOR(SQRT(CAST({v} AS DOUBLE))) AS HUGEINT)"
+    return f"""
+WITH pos AS (
+  SELECT user_id,
+         CAST((event_id * 104729) % 36000 - 18000 AS HUGEINT) AS x,
+         CAST((event_id * 7919) % 18000 - 9000 AS HUGEINT) AS y
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x + y * y) AS sq
+  FROM pos GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST({r0} - CASE WHEN {r0} * {r0} > {v} THEN 1 ELSE 0 END
+                 + CASE WHEN ({r0} + 1) * ({r0} + 1) <= {v} THEN 1 ELSE 0 END
+            AS BIGINT) AS rog_fp
+FROM agg ORDER BY user_id
+"""

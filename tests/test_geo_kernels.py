@@ -927,3 +927,48 @@ class TestCoTravelers:
         assert (got["n_shared"] >= gq.CT_MIN_SHARED).all()
         # pairs are unique
         assert not got.duplicated(["user_a", "user_b"]).any()
+
+
+class TestRadiusGyration:
+    """Exact integer radius of gyration (geo_queries.q_radius_gyration)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_scalar_replay(self, ray_session):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines import geo_queries as gq
+
+        got = (
+            gq.q_radius_gyration(self.SF)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(
+            f"{self.SF}/events.parquet", columns=["event_id", "user_id"]
+        ).to_pandas()
+        want = {}
+        for eid, uid in zip(ev["event_id"], ev["user_id"]):
+            x = (int(eid) * 104729) % 36000 - 18000
+            y = (int(eid) * 7919) % 18000 - 9000
+            n, sx, sy, sq = want.get(int(uid), (0, 0, 0, 0))
+            want[int(uid)] = (n + 1, sx + x, sy + y, sq + x * x + y * y)
+        assert len(got) == len(want)
+        for r in got.itertuples():
+            n, sx, sy, sq = want[int(r.user_id)]
+            num = n * sq - sx * sx - sy * sy
+            assert num >= 0  # Cauchy-Schwarz: always a true square sum
+            assert int(r.n_events) == n
+            assert int(r.rog_fp) == math.isqrt(num * gq.ROG_SCALE // (n * n))
+
+    def test_single_point_user_is_zero(self):
+        """A user with one event has zero spread by definition."""
+        import math
+
+        n, x, y = 1, 17000, -8000
+        num = n * (x * x + y * y) - x * x - y * y
+        assert num == 0
+        assert math.isqrt(num) == 0
