@@ -85,6 +85,9 @@ _GATE_ORDER = [
     "co_travelers", "watermark_late", "phrase_search", "semantic_dedup",
     "spike_days", "ppr", "skyline_docs", "sssp", "gram_matrix",
     "median_user_value", "type_lift", "ann_recall", "radius_gyration",
+    # -- tier 1c: added late in r5, never driver-checked
+    "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
+    "segment_crossings", "orphan_pages", "phash_groups",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -374,6 +377,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_gyration": gq.q_radius_gyration,
         # repeated spatio-temporal co-location pairs (>=K shared buckets)
         "co_travelers": gq.q_co_travelers,
+        # hierarchical cell-set compaction (H3 compactCells analogue)
+        "cell_compact": gq.q_cell_compact,
+        # morphological 1-ring dilation of the occupied cell set
+        "cell_buffer": gq.q_cell_buffer,
+        # per-user geofence enter/exit transition stream
+        "geofence_transitions": gq.q_geofence_transitions,
+        # per-user max leg speed (exact integer trajectory kinematics)
+        "ping_speed": gq.q_ping_speed,
+        # per-tile properly-crossing segment pair counts
+        "segment_crossings": gq.q_segment_crossings,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -397,6 +410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": grq.q_scc,
         # Broder bow-tie macro-structure (core/in/out/other)
         "bowtie": grq.q_bowtie,
+        # zero-in-degree pages (crawl-frontier hygiene anti-join)
+        "orphan_pages": grq.q_orphan_pages,
+        # image near-dup clusters: pHash pairs -> components
+        "phash_groups": mq.q_phash_groups,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -450,6 +467,11 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": gq.sql_stay_points(),
         "radius_gyration": gq.sql_radius_gyration(),
         "co_travelers": gq.sql_co_travelers(),
+        "cell_compact": gq.sql_cell_compact(),
+        "cell_buffer": gq.sql_cell_buffer(),
+        "geofence_transitions": gq.sql_geofence_transitions(),
+        "ping_speed": gq.sql_ping_speed(),
+        "segment_crossings": gq.sql_segment_crossings(),
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,
@@ -459,6 +481,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_authority": grq.sql_domain_authority(),
         "scc": grq.SQL_SCC,
         "bowtie": grq.SQL_BOWTIE,
+        "orphan_pages": grq.SQL_ORPHAN_PAGES,
+        "phash_groups": _sql_components_over(
+            "/tmp/graft_phash_group_pairs", "documents"),
         # corpus preparation
         "seq_pack": cq.SQL_SEQ_PACK,
         "weighted_sample": cq.sql_weighted_sample(),

@@ -149,6 +149,13 @@ BENCH_QUERIES = [
     "radius_gyration",
     "domain_authority",
     "vocab_diversity",
+    "cell_compact",
+    "cell_buffer",
+    "geofence_transitions",
+    "ping_speed",
+    "segment_crossings",
+    "orphan_pages",
+    "phash_groups",
 ]
 
 

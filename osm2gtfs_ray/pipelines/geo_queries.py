@@ -1992,3 +1992,505 @@ SELECT user_id, CAST(n AS BIGINT) AS n_events,
             AS BIGINT) AS rog_fp
 FROM agg ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Hierarchical cell-set compaction (H3 `compact` analogue)
+# --------------------------------------------------------------------------
+# Given the set of occupied fine cells, replace every COMPLETE 4x4
+# sibling block with its parent cell two levels up (the Morton-prefix
+# parent relation of geo/cells.py parent_cell(steps=2), row-major here
+# so the oracle can express it). This is the index-size reducer every
+# hierarchical tile store runs before serving coverage sets — H3's
+# compactCells, S2's CellUnion.Normalize.
+#
+# Scale shape: ONE corpus shuffle to the distinct fine-cell set
+# (bounded by the grid, <= nx*ny rows), then compaction keyed by
+# parent. Both plans implemented (cell_smooth discipline): `local`
+# compacts the bounded grid table in one pass; `shuffle` re-keys by
+# parent hash (sharded_map_groups) so no single process ever holds the
+# full cell set — the plan a deeper pyramid (res-15 grids, billions of
+# cells) requires. Plan equivalence is pytested.
+#
+# Reference semantics analogue: osm2gtfs renders per-zoom stop/route
+# maps (stops_creator per-map grouping); compaction is the coverage-
+# set normalization a tile service applies before publishing.
+
+CPT_LEVEL = 7          # fine grid: nx=128, ny=64
+CPT_STEP = 2           # parent two levels up -> 4x4 = 16 children
+
+
+def _occupied_cells(sf_dir: str, level: int):
+    """Distinct occupied row-major cells of `events` at `level` (one
+    corpus pass; bounded-key merge gated like _smooth_counts)."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    nx, ny = 1 << level, 1 << (level - 1)
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lat, lon = _synth_latlon(t["event_id"].to_numpy())
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        cells = np.unique(iy * nx + ix)  # map-side combine: presence is a set
+        return pa.table({"cell_rm": cells, "partial": np.ones(len(cells), np.int64)})
+
+    return bounded_key_sum(
+        ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["partial"],
+        driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+        out_names=["n"],
+    )
+
+
+def q_cell_compact(sf_dir: str, plan: str = "local"):
+    """(level, cell_rm): compacted cover of the occupied fine cells —
+    parent rows (level CPT_LEVEL-2) where all 16 children are
+    occupied, fine rows (level CPT_LEVEL) elsewhere."""
+    import pandas as pd
+
+    nx = 1 << CPT_LEVEL
+    pnx = nx >> CPT_STEP
+    occ = _occupied_cells(sf_dir, CPT_LEVEL)
+
+    def compact_pd(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["cell_rm"].to_numpy(np.int64)
+        iy, ix = key // nx, key % nx
+        pk = (iy >> CPT_STEP) * pnx + (ix >> CPT_STEP)
+        order = np.argsort(pk, kind="stable")
+        pk, key = pk[order], key[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        counts = np.diff(np.r_[starts, len(pk)])
+        full = counts == (1 << CPT_STEP) ** 2
+        out_lvl = [np.full(int(full.sum()), CPT_LEVEL - CPT_STEP, np.int64)]
+        out_key = [pk[starts[full]]]
+        keep = np.repeat(~full, counts)
+        out_lvl.append(np.full(int(keep.sum()), CPT_LEVEL, np.int64))
+        out_key.append(key[keep])
+        return pd.DataFrame(
+            {"level": np.concatenate(out_lvl), "cell_rm": np.concatenate(out_key)}
+        )
+
+    if plan == "local":
+        def compact(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                compact_pd(t.select(["cell_rm"]).to_pandas()), preserve_index=False
+            )
+
+        return occ.repartition(1).map_batches(
+            compact, batch_format="pyarrow", batch_size=None
+        )
+
+    # shuffle plan: parent-hash sharding co-locates every sibling set
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    def add_parent(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["cell_rm"].to_numpy(np.int64)
+        iy, ix = key // nx, key % nx
+        return pd.DataFrame(
+            {"cell_rm": key,
+             "parent": (iy >> CPT_STEP) * pnx + (ix >> CPT_STEP)}
+        )
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        return compact_pd(g[["cell_rm"]])
+
+    return sharded_map_groups(occ, "parent", shard, local_pre=add_parent)
+
+
+def _sql_fine_cells(level: int) -> str:
+    nx, ny = 1 << level, 1 << (level - 1)
+    return f"""
+  SELECT DISTINCT
+         LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * {ny}) AS BIGINT), {ny - 1}) AS iy,
+         LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * {nx}) AS BIGINT), {nx - 1}) AS ix
+  FROM (
+    SELECT {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon
+    FROM events
+  )"""
+
+
+def sql_cell_compact() -> str:
+    nx = 1 << CPT_LEVEL
+    pnx = nx >> CPT_STEP
+    kids = (1 << CPT_STEP) ** 2
+    return f"""
+WITH f AS ({_sql_fine_cells(CPT_LEVEL)}),
+p AS (
+  SELECT iy // 4 AS py, ix // 4 AS px, COUNT(*) AS c
+  FROM f GROUP BY 1, 2
+)
+SELECT CAST({CPT_LEVEL - CPT_STEP} AS BIGINT) AS level,
+       py * {pnx} + px AS cell_rm
+FROM p WHERE c = {kids}
+UNION ALL
+SELECT CAST({CPT_LEVEL} AS BIGINT), f.iy * {nx} + f.ix
+FROM f JOIN p ON f.iy // 4 = p.py AND f.ix // 4 = p.px
+WHERE p.c < {kids}
+"""
+
+
+# --------------------------------------------------------------------------
+# Morphological cell-set dilation (grid buffer)
+# --------------------------------------------------------------------------
+# The raster buffer operation: grow the occupied cell set by one
+# Chebyshev ring (8-neighborhood), longitude wrapping and latitude
+# clamping exactly like q_cell_smooth's kernel. Output marks each
+# dilated cell as core (was occupied) or halo (added by the buffer) —
+# the coverage expansion a geofence or service-area query applies to a
+# point set before a PIP pass. Same dual-plan shape as cell_smooth:
+# `local` on the grid-bounded distinct table, `shuffle` emits the 9
+# neighbor keys per cell and re-groups with MAX(core).
+
+BUF_LEVEL = CELL_LEVEL  # reuse the res-8 analogue grid (256 x 128)
+
+
+def q_cell_buffer(sf_dir: str, plan: str = "local"):
+    """(cell_rm, is_core): 1-ring Chebyshev dilation of the occupied
+    cell set; is_core = 1 for originally occupied cells, 0 for halo."""
+    nx, ny = 1 << BUF_LEVEL, 1 << (BUF_LEVEL - 1)
+    occ = _occupied_cells(sf_dir, BUF_LEVEL)
+
+    if plan == "local":
+        def dilate(t: pa.Table) -> pa.Table:
+            key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+            grid = np.zeros((ny, nx), dtype=bool)
+            grid[key // nx, key % nx] = True
+            dil = np.zeros_like(grid)
+            for dy in (-1, 0, 1):
+                if dy < 0:
+                    src, dst = grid[1:], dil[:-1]
+                elif dy > 0:
+                    src, dst = grid[:-1], dil[1:]
+                else:
+                    src, dst = grid, dil
+                for dx in (-1, 0, 1):
+                    dst |= np.roll(src, dx, axis=1)
+            iy, ix = np.nonzero(dil)
+            return pa.table(
+                {"cell_rm": iy * nx + ix,
+                 "is_core": grid[iy, ix].astype(np.int64)}
+            )
+
+        return occ.repartition(1).map_batches(
+            dilate, batch_format="pyarrow", batch_size=None
+        )
+
+    # shuffle plan: emit 9 neighbor keys per occupied cell, MAX(core)
+    from ray.data.aggregate import Max
+
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        ks, cs = [], []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                ks.append((iy[ok] + dy) * nx + (ix[ok] + dx + nx) % nx)
+                cs.append(
+                    np.full(int(ok.sum()), 1 if dx == 0 and dy == 0 else 0, np.int64)
+                )
+        return pa.table({"cell_rm": np.concatenate(ks), "c": np.concatenate(cs)})
+
+    out = (
+        occ.map_batches(emit, batch_format="pyarrow")
+        .groupby("cell_rm")
+        .aggregate(Max("c", alias_name="is_core"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+             "is_core": pc.cast(t["is_core"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_cell_buffer() -> str:
+    nx, ny = 1 << BUF_LEVEL, 1 << (BUF_LEVEL - 1)
+    return f"""
+WITH c AS ({_sql_fine_cells(BUF_LEVEL)}),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT (c.iy + o.dy) * {nx} + ((c.ix + o.dx + {nx}) % {nx}) AS cell_rm,
+       CAST(MAX(CASE WHEN o.dy = 0 AND o.dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS is_core
+FROM c JOIN o ON c.iy + o.dy >= 0 AND c.iy + o.dy < {ny}
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Geofence entry/exit transitions per user
+# --------------------------------------------------------------------------
+# The streaming geofence primitive: order each user's events in time,
+# flag which positions fall inside a fixed fence bbox (the reference's
+# G6 bbox predicate, geo/pip.py, applied per ping), and emit a row at
+# every state CHANGE — enter (outside->inside) or exit — with the
+# user's initial state defined as outside. One user-hash shuffle
+# (sharded_map_groups), vectorized lag within the shard's sorted runs
+# (the stay_points starts/lengths idiom); output cardinality is the
+# transition count, not the corpus.
+
+GF_LAT = (-30.0, 30.0)   # fence bbox, half-open like geo/pip.bbox
+GF_LON = (-60.0, 60.0)
+
+
+def q_geofence_transitions(sf_dir: str):
+    """(user_id, seq, dir): dir=1 enter / -1 exit at the user's seq-th
+    event (1-based, ordered by ts then event_id)."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        lat, lon = _synth_latlon(g["event_id"].to_numpy())
+        inside = (
+            (lat >= GF_LAT[0]) & (lat < GF_LAT[1])
+            & (lon >= GF_LON[0]) & (lon < GF_LON[1])
+        )
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths) + 1
+        prev = np.r_[False, inside[:-1]]
+        prev[starts] = False  # initial state: outside
+        m = inside != prev
+        return pd.DataFrame(
+            {
+                "user_id": uid[m],
+                "seq": seq[m],
+                "dir": np.where(inside[m], 1, -1).astype(np.int64),
+            }
+        )
+
+    return sharded_map_groups(ev, "user_id", shard)
+
+
+def sql_geofence_transitions() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT) AS seq,
+         CASE WHEN lat >= {GF_LAT[0]} AND lat < {GF_LAT[1]}
+               AND lon >= {GF_LON[0]} AND lon < {GF_LON[1]}
+              THEN 1 ELSE 0 END AS inside
+  FROM (
+    SELECT user_id, ts, event_id,
+           {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon
+    FROM events
+  )
+)
+SELECT user_id, seq, CAST(2 * inside - 1 AS BIGINT) AS dir
+FROM (
+  SELECT user_id, seq, inside,
+         LAG(inside, 1, 0) OVER (PARTITION BY user_id ORDER BY seq) AS p
+  FROM s
+)
+WHERE inside <> p
+ORDER BY user_id, seq
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-leg travel speed (trajectory kinematics)
+# --------------------------------------------------------------------------
+# Consecutive-ping displacement over elapsed time, per user — the
+# GPS-trace speed screen every map-matching / anomaly filter runs
+# before snapping (the reference's stop<->way distance rule applied to
+# a trace's own legs). Exact integer form on the e2 planar grid:
+# positions x=(id*104729)%36000, y=(id*7919)%18000 (the _synth_latlon
+# lattice in integer centidegrees), squared leg length d2 = dx^2+dy^2
+# (<= 1.6e9, int64-safe), elapsed dt_s = max(epoch_us diff // 1e6, 1),
+# and the reported figure v2_fp = d2 * 10^6 // dt_s^2 — the squared
+# speed in fixed point, so no isqrt is needed on either side
+# (d2 * 10^6 <= 1.6e15 < 2^63). Users with a single event emit
+# nothing. One user-hash shuffle, vectorized diff per shard.
+
+V2_SCALE = 10**6
+
+
+def q_ping_speed(sf_dir: str):
+    """(user_id, n_legs, v2max_fp): per-user leg count and max squared
+    leg speed (centidegree^2 * 10^6 / s^2, floor division)."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        n = len(g)
+        legs = np.r_[False, uid[1:] == uid[:-1]]  # row i closes leg (i-1, i)
+        dx = np.r_[0, np.diff(x)][legs]
+        dy = np.r_[0, np.diff(y)][legs]
+        dt = np.maximum(np.r_[0, np.diff(tu)][legs] // 1_000_000, 1)
+        v2 = (dx * dx + dy * dy) * V2_SCALE // (dt * dt)
+        out = pd.DataFrame({"user_id": uid[legs], "v2": v2})
+        agg = out.groupby("user_id", sort=False, as_index=False).agg(
+            n_legs=("v2", "size"), v2max_fp=("v2", "max")
+        )
+        return agg.astype(np.int64)
+
+    return sharded_map_groups(ev, "user_id", shard)
+
+
+def sql_ping_speed() -> str:
+    return f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         (event_id * 104729) % 36000 AS x,
+         (event_id * 7919) % 18000 AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+legs AS (
+  SELECT user_id,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy,
+         GREATEST((tu - LAG(tu) OVER w) // 1000000, 1) AS dt
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+)
+SELECT user_id,
+       CAST(COUNT(dx) AS BIGINT) AS n_legs,
+       CAST(MAX((dx * dx + dy * dy) * {V2_SCALE} // (dt * dt)) AS BIGINT)
+         AS v2max_fp
+FROM legs
+WHERE dx IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Segment-crossing counts per tile (exact integer intersection tests)
+# --------------------------------------------------------------------------
+# The line-intersection primitive under every overlay/conflation job
+# (way self-intersection checks, route-network validation — the
+# reference's shape builder assumes stitched ways don't cross, G3).
+# Each event spawns one segment on the integer e2 lattice: endpoint A
+# = ((id*104729)%36000, (id*7919)%18000), endpoint B = A + a splitmix
+# jitter in [-400, 400]^2. Two segments cross (PROPERLY — strict sign
+# test, collinear touches don't count; the hashed lattice makes exact
+# degeneracy measure-zero, and both sides run the identical integer
+# arithmetic regardless) iff the endpoints of each straddle the other:
+# sign(cross(B-A, C-A)) * sign(cross(B-A, D-A)) < 0, both ways. Cross
+# products stay under 2^63 (coords <= 36400, diffs <= 37k, products
+# <= 1.4e9 * 2).
+#
+# Scale shape: pair generation is bounded by TILE, not corpus — one
+# tile-hash shuffle (sharded_map_groups), per-tile vectorized
+# triu_indices pair test, SX_MAX_TILE occupancy guard that RAISES
+# rather than silently emitting O(L^2) pairs (the co_travelers /
+# cocitation cap discipline: at denser corpora raise SX_TILES so
+# occupancy stays bounded). Cross-tile pairs are out of contract by
+# construction (each segment belongs to the tile of endpoint A) —
+# the partitioning assumption is part of the operator's definition,
+# like any grid-blocked spatial self-join.
+
+_SX_DX, _SX_DY = 300, 301
+SX_TILE_LEVEL = 4          # 16 x 8 tiles over the e2 lattice
+SX_MAX_TILE = 4096
+
+
+def _synth_segments(eid: np.ndarray):
+    from osm2gtfs_ray.sources.pages import _uint
+
+    eid = np.asarray(eid, dtype=np.int64)
+    ax = (eid * 104729) % 36000
+    ay = (eid * 7919) % 18000
+    k = eid.astype(np.uint64)
+    bx = ax + _uint(k, _SX_DX, 42, 801) - 400
+    by = ay + _uint(k, _SX_DY, 42, 801) - 400
+    ntx = 1 << SX_TILE_LEVEL
+    tile = (ay // (18000 // (ntx >> 1))) * ntx + ax // (36000 // ntx)
+    return ax, ay, bx, by, tile
+
+
+def q_segment_crossings(sf_dir: str):
+    """(tile, n_crossings): count of properly-intersecting segment
+    pairs whose A-endpoints share the tile; tiles with zero crossings
+    are omitted."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        ax, ay, bx, by, tile = _synth_segments(b["event_id"].to_numpy())
+        return pd.DataFrame(
+            {"tile": tile, "ax": ax, "ay": ay, "bx": bx, "by": by}
+        )
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile", kind="mergesort")
+        tile = g["tile"].to_numpy(np.int64)
+        ax, ay = g["ax"].to_numpy(np.int64), g["ay"].to_numpy(np.int64)
+        bx, by = g["bx"].to_numpy(np.int64), g["by"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        lengths = np.diff(np.r_[starts, len(g)])
+        if lengths.size and int(lengths.max()) > SX_MAX_TILE:
+            raise ValueError(
+                f"tile occupancy {int(lengths.max())} > {SX_MAX_TILE}; "
+                "raise SX_TILE_LEVEL to keep pair testing bounded"
+            )
+        rows = []
+        for s, ln in zip(starts, lengths):  # one vectorized pass per TILE
+            if ln < 2:
+                continue
+            i, j = np.triu_indices(int(ln), k=1)
+            i, j = i + s, j + s
+            d1x, d1y = bx[i] - ax[i], by[i] - ay[i]
+            o1 = np.sign(d1x * (ay[j] - ay[i]) - d1y * (ax[j] - ax[i]))
+            o2 = np.sign(d1x * (by[j] - ay[i]) - d1y * (bx[j] - ax[i]))
+            d2x, d2y = bx[j] - ax[j], by[j] - ay[j]
+            o3 = np.sign(d2x * (ay[i] - ay[j]) - d2y * (ax[i] - ax[j]))
+            o4 = np.sign(d2x * (by[i] - ay[j]) - d2y * (bx[i] - ax[j]))
+            c = int(((o1 * o2 < 0) & (o3 * o4 < 0)).sum())
+            if c:
+                rows.append((int(tile[s]), c))
+        return pd.DataFrame(rows, columns=["tile", "n_crossings"]).astype(np.int64)
+
+    segs = ev.map_batches(synth, batch_format="pandas")
+    return sharded_map_groups(segs, "tile", shard)
+
+
+def sql_segment_crossings() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    k = "CAST(event_id AS UBIGINT)"
+    ntx = 1 << SX_TILE_LEVEL
+    return f"""
+WITH seg AS (
+  SELECT event_id AS sid,
+         (event_id * 104729) % 36000 AS ax,
+         (event_id * 7919) % 18000 AS ay,
+         (event_id * 104729) % 36000 + ({_s_uint(k, _SX_DX, 801)}) - 400 AS bx,
+         (event_id * 7919) % 18000 + ({_s_uint(k, _SX_DY, 801)}) - 400 AS by,
+         (((event_id * 7919) % 18000) // {18000 // (ntx >> 1)}) * {ntx}
+           + ((event_id * 104729) % 36000) // {36000 // ntx} AS tile
+  FROM events
+)
+SELECT a.tile, CAST(COUNT(*) AS BIGINT) AS n_crossings
+FROM seg a JOIN seg b ON a.tile = b.tile AND a.sid < b.sid
+WHERE sign((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
+    * sign((a.bx - a.ax) * (b.by - a.ay) - (a.by - a.ay) * (b.bx - a.ax)) < 0
+  AND sign((b.bx - b.ax) * (a.ay - b.ay) - (b.by - b.ay) * (a.ax - b.ax))
+    * sign((b.bx - b.ax) * (a.by - b.ay) - (b.by - b.ay) * (a.bx - b.ax)) < 0
+GROUP BY a.tile
+ORDER BY a.tile
+"""

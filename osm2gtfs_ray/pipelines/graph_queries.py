@@ -1433,3 +1433,65 @@ d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM ids
 SELECT node AS doc_id, CAST(d AS BIGINT) AS dist
 FROM d{SSSP_ITERS} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Orphan pages: nodes with zero in-degree on the link graph
+# ---------------------------------------------------------------------------
+# The crawl-frontier hygiene query: pages no other page links to —
+# unreachable by link traversal, discoverable only via seeds/sitemaps
+# (the webtext analogue of the reference's unused-stop removal, A6:
+# stops_creator drops stops no route references). Scale shape: ONE
+# groupby shuffle over (node, flag) rows — every doc emits (id, 0),
+# every edge emits (dst, 1) with map-side dst dedup — then MAX(flag)
+# per node; orphans are flag 0. No broadcast set, no driver
+# materialization: works at any node count, unlike a NOT IN against a
+# collected dst set.
+
+def q_orphan_pages(sf_dir: str):
+    """(doc_id, outdeg) for every page with in-degree 0 on the
+    synthetic link graph."""
+    from ray.data.aggregate import Max
+
+    n = _n_docs(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = synthesize_edges(ids.astype(np.uint64), n)
+        dst = np.unique(e["dst"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "node": np.concatenate([ids, dst]),
+                "flag": np.concatenate(
+                    [np.zeros(len(ids), np.int64), np.ones(len(dst), np.int64)]
+                ),
+            }
+        )
+
+    flags = (
+        docs.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Max("flag", alias_name="linked"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t["linked"], pa.int64()), 0))
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outdeg = 1 + _uint(node.astype(np.uint64), _S_DEG, SEED, _MAX_DEG)
+        return pa.table({"doc_id": node, "outdeg": outdeg})
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_orphan_pages() -> str:
+    return f"""
+WITH {_sql_edges()}
+SELECT node AS doc_id, CAST(outdeg AS BIGINT) AS outdeg
+FROM deg
+WHERE node NOT IN (SELECT dst FROM edges)
+ORDER BY doc_id
+"""
+
+
+SQL_ORPHAN_PAGES = _sql_orphan_pages()

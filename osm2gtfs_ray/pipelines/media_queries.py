@@ -197,3 +197,37 @@ SELECT x.media_id AS a, y.media_id AS b,
 FROM sigs x JOIN sigs y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.sig, y.sig)) <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# Image near-dup GROUPS: pHash pairs -> connected components
+# --------------------------------------------------------------------------
+# Composes q_phash_pairs' exact hamming<=3 pair set with the
+# distributed min-label components operator (ops/components.py) — the
+# image counterpart of dedup_groups (MinHash text clusters) and
+# embedding_dedup_groups. Same snapshot-oracle contract: the verified
+# pair set is written to parquet inside the query and the oracle
+# recomputes the grouping over that same file WITH RECURSIVE, so the
+# clustering step is exactly driver-verified even though the DCT hash
+# itself is not SQL-reproducible.
+
+PHASH_GROUP_PAIRS_SNAPSHOT = "/tmp/graft_phash_group_pairs"
+
+
+def q_phash_groups(sf_dir: str):
+    """(node, component) for every media id that appears in a pHash
+    hamming<=3 pair; component = min media id of its cluster."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osm2gtfs_ray.ops.components import connected_components
+    from osm2gtfs_ray.state.snapshot import write_snapshot
+
+    n_src = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    snap = write_snapshot(
+        q_phash_pairs(sf_dir).select_columns(["a", "b"]),
+        PHASH_GROUP_PAIRS_SNAPSHOT,
+        extra={"n_src": n_src},
+    )
+    pairs = ray.data.from_arrow(snap) if isinstance(snap, pa.Table) else snap
+    return connected_components(pairs)

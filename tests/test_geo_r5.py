@@ -1,0 +1,283 @@
+"""Round-5 geo/web operators: cell compaction, grid buffer, geofence
+transitions, leg speed, segment crossings, orphan pages, pHash groups.
+
+Each query's bit-exact oracle is its SQL gate entry; here we test the
+operator SEMANTICS against independent scalar/brute references and the
+dual plans against each other.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+class TestCellCompact:
+    def test_plan_equivalence(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_cell_compact
+
+        a = canon(q_cell_compact(SF, plan="local").to_pandas())
+        b = canon(q_cell_compact(SF, plan="shuffle").to_pandas())
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    def test_expansion_reproduces_fine_set(self, ray_session):
+        """Expanding every parent row back to its 16 children and
+        unioning the leaf rows must reproduce the occupied fine-cell
+        set exactly (the compactCells round-trip law)."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            CPT_LEVEL,
+            CPT_STEP,
+            _synth_latlon,
+            q_cell_compact,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << CPT_LEVEL, 1 << (CPT_LEVEL - 1)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        fine = set((iy * nx + ix).tolist())
+
+        out = q_cell_compact(SF).to_pandas()
+        pnx = nx >> CPT_STEP
+        got: set[int] = set()
+        for lvl, key in zip(out["level"], out["cell_rm"]):
+            if lvl == CPT_LEVEL:
+                assert key not in got
+                got.add(int(key))
+            else:
+                py, px = int(key) // pnx, int(key) % pnx
+                for dy in range(1 << CPT_STEP):
+                    for dx in range(1 << CPT_STEP):
+                        child = (py * 4 + dy) * nx + (px * 4 + dx)
+                        assert child not in got
+                        got.add(child)
+        assert got == fine
+
+
+class TestCellBuffer:
+    def test_plan_equivalence(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_cell_buffer
+
+        a = canon(q_cell_buffer(SF, plan="local").to_pandas())
+        b = canon(q_cell_buffer(SF, plan="shuffle").to_pandas())
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    def test_dilation_law(self, ray_session):
+        """Core rows = the occupied set; every halo row is Chebyshev-1
+        adjacent (lon wrap, lat clamp) to a core row; and every
+        neighbor of a core row is present."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            BUF_LEVEL,
+            _synth_latlon,
+            q_cell_buffer,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << BUF_LEVEL, 1 << (BUF_LEVEL - 1)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        occ = set((iy * nx + ix).tolist())
+
+        out = q_cell_buffer(SF).to_pandas()
+        core = set(out.loc[out["is_core"] == 1, "cell_rm"].tolist())
+        halo = set(out.loc[out["is_core"] == 0, "cell_rm"].tolist())
+        assert core == occ and not (halo & occ)
+
+        expect: set[int] = set()
+        for k in occ:
+            ky, kx = k // nx, k % nx
+            for dy in (-1, 0, 1):
+                if not (0 <= ky + dy < ny):
+                    continue
+                for dx in (-1, 0, 1):
+                    expect.add((ky + dy) * nx + (kx + dx) % nx)
+        assert core | halo == expect
+
+
+class TestGeofenceTransitions:
+    def test_scalar_reference(self, ray_session):
+        """Per-user Python replay of the fence state machine."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            GF_LAT,
+            GF_LON,
+            _synth_latlon,
+            q_geofence_transitions,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            lat, lon = _synth_latlon(g["event_id"].to_numpy())
+            state = False
+            for i, (la, lo) in enumerate(zip(lat, lon), start=1):
+                inside = GF_LAT[0] <= la < GF_LAT[1] and GF_LON[0] <= lo < GF_LON[1]
+                if inside != state:
+                    rows.append((int(uid), i, 1 if inside else -1))
+                    state = inside
+        ref = pd.DataFrame(rows, columns=["user_id", "seq", "dir"]).astype(
+            np.int64
+        )
+        got = canon(q_geofence_transitions(SF).to_pandas())
+        assert canon(ref).equals(got.astype(np.int64))
+
+    def test_dirs_alternate(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_geofence_transitions
+
+        out = q_geofence_transitions(SF).to_pandas()
+        for _, g in out.sort_values(["user_id", "seq"]).groupby("user_id"):
+            d = g["dir"].to_numpy()
+            assert d[0] == 1 and (d[1:] != d[:-1]).all()
+
+
+class TestPingSpeed:
+    def test_scalar_reference(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import V2_SCALE, q_ping_speed
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            eid = g["event_id"].to_numpy(np.int64)
+            tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            x, y = (eid * 104729) % 36000, (eid * 7919) % 18000
+            if len(eid) < 2:
+                continue
+            best, n = -1, 0
+            for i in range(1, len(eid)):
+                dt = max((tu[i] - tu[i - 1]) // 1_000_000, 1)
+                d2 = int(x[i] - x[i - 1]) ** 2 + int(y[i] - y[i - 1]) ** 2
+                best = max(best, d2 * V2_SCALE // (dt * dt))
+                n += 1
+            rows.append((int(uid), n, int(best)))
+        ref = pd.DataFrame(
+            rows, columns=["user_id", "n_legs", "v2max_fp"]
+        ).astype(np.int64)
+        got = canon(q_ping_speed(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+
+
+class TestSegmentCrossings:
+    def test_brute_reference(self, ray_session):
+        """All-pairs scalar orientation test per tile, no vectorization
+        shared with the operator."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            _synth_segments,
+            q_segment_crossings,
+        )
+        import pyarrow.parquet as pq
+
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        ax, ay, bx, by, tile = _synth_segments(eid)
+
+        def cross(ox, oy, px, py, qx, qy):
+            v = int(px - ox) * int(qy - oy) - int(py - oy) * int(qx - ox)
+            return (v > 0) - (v < 0)
+
+        from collections import defaultdict
+
+        by_tile = defaultdict(list)
+        for i in range(len(eid)):
+            by_tile[int(tile[i])].append(i)
+        counts = {}
+        for tl, idx in by_tile.items():
+            c = 0
+            for u in range(len(idx)):
+                for v in range(u + 1, len(idx)):
+                    i, j = idx[u], idx[v]
+                    o1 = cross(ax[i], ay[i], bx[i], by[i], ax[j], ay[j])
+                    o2 = cross(ax[i], ay[i], bx[i], by[i], bx[j], by[j])
+                    o3 = cross(ax[j], ay[j], bx[j], by[j], ax[i], ay[i])
+                    o4 = cross(ax[j], ay[j], bx[j], by[j], bx[i], by[i])
+                    if o1 * o2 < 0 and o3 * o4 < 0:
+                        c += 1
+            if c:
+                counts[tl] = c
+        ref = pd.DataFrame(
+            sorted(counts.items()), columns=["tile", "n_crossings"]
+        ).astype(np.int64)
+        got = canon(q_segment_crossings(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+
+    def test_occupancy_guard_raises(self, ray_session, monkeypatch):
+        import osm2gtfs_ray.pipelines.geo_queries as gq
+        import pytest
+
+        monkeypatch.setattr(gq, "SX_MAX_TILE", 2)
+        with pytest.raises(Exception, match="occupancy"):
+            gq.q_segment_crossings(SF).to_pandas()
+
+
+class TestOrphanPages:
+    def test_matches_direct_synthesis(self, ray_session):
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            q_orphan_pages,
+            synthesize_edges,
+        )
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+        e = synthesize_edges(ids.astype(np.uint64), len(ids))
+        dst = set(e["dst"].to_numpy().tolist())
+        orphans = sorted(set(ids.tolist()) - dst)
+        deg = dict(
+            zip(e["src"].to_numpy().tolist(), e["outdeg"].to_numpy().tolist())
+        )
+        got = q_orphan_pages(SF).to_pandas().sort_values("doc_id")
+        assert got["doc_id"].tolist() == orphans
+        assert got["outdeg"].tolist() == [deg[o] for o in orphans]
+        assert len(orphans) > 0  # the fixture graph must exercise the op
+
+
+class TestPhashGroups:
+    def test_components_cover_pairs(self, ray_session):
+        """Every snapshot pair's endpoints land in one component, the
+        component label is the min member, and planted duplicates
+        (id + 2^40 perturbed copies) group with their originals."""
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.media_queries import (
+            PHASH_GROUP_PAIRS_SNAPSHOT,
+            q_phash_groups,
+        )
+
+        out = q_phash_groups(SF).to_pandas()
+        comp = dict(zip(out["node"], out["component"]))
+        pairs = pq.read_table(PHASH_GROUP_PAIRS_SNAPSHOT).to_pandas()
+        assert len(pairs) > 0
+        for a, b in zip(pairs["a"], pairs["b"]):
+            assert comp[a] == comp[b]
+        groups: dict[int, list[int]] = {}
+        for n, c in comp.items():
+            groups.setdefault(c, []).append(n)
+        for c, members in groups.items():
+            assert c == min(members)
+        planted = [a for a in pairs["a"] if a + (1 << 40) in set(pairs["b"])]
+        assert planted  # recall: at least one planted near-dup recovered
