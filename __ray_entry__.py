@@ -88,6 +88,7 @@ _GATE_ORDER = [
     # -- tier 1c: added late in r5, never driver-checked
     "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
     "segment_crossings", "orphan_pages", "phash_groups",
+    "user_envelope", "interarrival_hist", "knn_graph",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -387,6 +388,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ping_speed": gq.q_ping_speed,
         # per-tile properly-crossing segment pair counts
         "segment_crossings": gq.q_segment_crossings,
+        # per-user extent envelope (ST_Extent aggregate)
+        "user_envelope": gq.q_user_envelope,
+        # log2-bucketed inter-arrival gap histogram per event type
+        "interarrival_hist": aq.q_interarrival_hist,
+        # kNN graph over embeddings (HNSW bootstrap self-join top-k)
+        "knn_graph": sq.q_knn_graph,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -472,6 +479,9 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),
         "segment_crossings": gq.sql_segment_crossings(),
+        "user_envelope": gq.SQL_USER_ENVELOPE,
+        "interarrival_hist": aq.SQL_INTERARRIVAL_HIST,
+        "knn_graph": sq.SQL_KNN_GRAPH,
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,

@@ -156,6 +156,9 @@ BENCH_QUERIES = [
     "segment_crossings",
     "orphan_pages",
     "phash_groups",
+    "user_envelope",
+    "interarrival_hist",
+    "knn_graph",
 ]
 
 

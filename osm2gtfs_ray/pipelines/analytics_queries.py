@@ -1324,3 +1324,71 @@ JOIN s sb ON sb.event_type = p.tb
 CROSS JOIN n
 ORDER BY type_a, type_b
 """
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival histogram: log2-bucketed gap distribution per type
+# --------------------------------------------------------------------------
+# The burstiness diagnostic behind rate-limit tuning and session-gap
+# calibration (the same gap statistic q_sessionize thresholds at 30
+# min, histogrammed instead of cut): for each (user, event_type) run
+# ordered by time, the gap to the previous event in whole seconds,
+# bucketed by b = floor(log2(gap_s + 1)) and counted per event_type.
+# log2 on an exact small integer is IEEE-exact at powers of two and
+# irrational (nowhere near an integer) otherwise, so the float floor
+# is integer-exact on both sides — the repo's vocab_diversity rule.
+# One user-hash shuffle (gaps are per-user-run local), per-shard
+# partial histograms, then a bounded (type x ~40 buckets) merge.
+
+def q_interarrival_hist(sf_dir: str):
+    """(event_type, bucket, n): count of consecutive same-type gaps per
+    user falling in [2^b - 1, 2^(b+1) - 1) seconds."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum, sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy()
+        tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])]
+        gap = (np.r_[0, np.diff(tu)][same]) // 1_000_000
+        bucket = np.floor(np.log2(gap + 1)).astype(np.int64)
+        part = pd.DataFrame({"event_type": typ[same], "bucket": bucket})
+        out = part.groupby(["event_type", "bucket"], sort=False,
+                           as_index=False).agg(partial=("bucket", "size"))
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(ev, "user_id", shard)
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    out = bounded_key_sum(parts, ["event_type", "bucket"], ["partial"],
+                          driver=n_rows <= 200_000, out_names=["n"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_INTERARRIVAL_HIST = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          )) // 1000000 AS gap
+  FROM events
+)
+SELECT event_type, CAST(FLOOR(LOG2(gap + 1)) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

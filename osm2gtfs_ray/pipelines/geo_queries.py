@@ -2494,3 +2494,70 @@ WHERE sign((a.bx - a.ax) * (b.ay - a.ay) - (a.by - a.ay) * (b.ax - a.ax))
 GROUP BY a.tile
 ORDER BY a.tile
 """
+
+
+# --------------------------------------------------------------------------
+# Per-user extent envelope (ST_Extent / ST_Envelope aggregate)
+# --------------------------------------------------------------------------
+# The bounding-box aggregate every spatial engine ships: min/max corner
+# of each user's positions on the integer e2 lattice, plus the derived
+# width/height/area — the cheap prefilter a spatial join runs before
+# exact PIP (the reference's bbox predicate, geo/pip.py / G6, turned
+# into a grouped aggregate). Fully mergeable partials (min/min/max/max)
+# via map-side combine + ONE groupby shuffle; area in HUGEINT-safe
+# int64 (<= 36000 * 18000 * 10^0 = 6.5e8).
+
+def q_user_envelope(sf_dir: str):
+    """(user_id, x_min, y_min, x_max, y_max, area): extent of each
+    user's positions; area = (x_max-x_min)*(y_max-y_min) in e2^2."""
+    from ray.data.aggregate import Max, Min
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        g = (
+            pa.table({"user_id": t["user_id"], "x": x, "y": y, "x2": x, "y2": y})
+            .group_by("user_id")
+            .aggregate([("x", "min"), ("y", "min"), ("x2", "max"), ("y2", "max")])
+        )
+        return g.rename_columns(["user_id", "px_min", "py_min", "px_max", "py_max"])
+
+    agg = (
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Min("px_min", alias_name="x_min"),
+            Min("py_min", alias_name="y_min"),
+            Max("px_max", alias_name="x_max"),
+            Max("py_max", alias_name="y_max"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {c: pc.cast(t[c], pa.int64()) for c in
+                ["user_id", "x_min", "y_min", "x_max", "y_max"]}
+        w = pc.subtract(cols["x_max"], cols["x_min"])
+        h = pc.subtract(cols["y_max"], cols["y_min"])
+        cols["area"] = pc.multiply(w, h)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USER_ENVELOPE = """
+SELECT user_id,
+       MIN(x) AS x_min, MIN(y) AS y_min,
+       MAX(x) AS x_max, MAX(y) AS y_max,
+       (MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS area
+FROM (
+  SELECT user_id,
+         (event_id * 104729) % 36000 AS x,
+         (event_id * 7919) % 18000 AS y
+  FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""

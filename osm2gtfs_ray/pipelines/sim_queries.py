@@ -1341,3 +1341,95 @@ SELECT q.qid, COALESCE(h.n_hits, 0) AS n_hits,
 FROM qs q LEFT JOIN h ON h.qid = q.qid
 ORDER BY q.qid
 """
+
+
+# --------------------------------------------------------------------------
+# kNN graph construction (the HNSW/NN-descent bootstrap primitive)
+# --------------------------------------------------------------------------
+# Every vector's K nearest OTHER vectors by cosine — the self-join
+# top-k that seeds graph-based ANN indexes and powers SemDeDup-style
+# cluster pruning. Ranking is on the e6-rounded similarity with
+# vec_id ascending as the tie-break (the q_ann_batch_topk total
+# order), packed into ONE int64 sort key ((-sim_e6) << 32 | id) so
+# the per-row top-K is a single argpartition — no float comparison
+# ever decides a rank. Physical plan: normalized matrix broadcast
+# once (ray.put), each batch scans its rows against it — O(n^2/B)
+# per batch, zero shuffles; the documented corpus-scale path swaps
+# the broadcast scan for the IVF bucket join (stages/ann.py,
+# q_ann_ivf) exactly as in q_cosine_pairs.
+
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph(sf_dir: str):
+    """(vec_id, nbr_id, sim_e6, rnk): each vector's KNN_GRAPH_K nearest
+    other vectors by cosine (sim desc, nbr_id asc)."""
+    import ray
+
+    emb_ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    full = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids_all = full["vec_id"].to_numpy().astype(np.int64)
+    mat = np.array(full["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids_all, mat))
+
+    class KnnGraph:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "nbr_id": pa.array([], pa.int64()),
+                     "sim_e6": pa.array([], pa.int64()),
+                     "rnk": pa.array([], pa.int64())}
+                )
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            e = ann_mod.stack_embeddings(t["embedding"]).astype(np.float64)
+            e = e / np.linalg.norm(e, axis=1, keepdims=True)
+            sims = np.rint(e @ self.m.T * 1e6).astype(np.int64)
+            # one exact composite key: sim desc then nbr id asc
+            key = (-sims << 32) + self.ids
+            k = KNN_GRAPH_K
+            out_v, out_n, out_s = [], [], []
+            for i in range(len(ids)):
+                row = key[i].copy()
+                row[self.ids == ids[i]] = np.iinfo(np.int64).max  # no self
+                part = np.argpartition(row, k - 1)[:k]
+                part = part[np.argsort(row[part], kind="stable")]
+                out_v.append(np.full(k, ids[i], np.int64))
+                out_n.append(self.ids[part])
+                out_s.append(sims[i][part])
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.concatenate(out_v)),
+                    "nbr_id": pa.array(np.concatenate(out_n)),
+                    "sim_e6": pa.array(np.concatenate(out_s)),
+                    "rnk": pa.array(
+                        np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))
+                    ),
+                }
+            )
+
+    return emb_ds.map_batches(KnnGraph, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_KNN_GRAPH = f"""
+SELECT vec_id, nbr_id, sim_e6, rnk FROM (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 1000000) AS BIGINT) AS sim_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[]))
+                          * 1000000) DESC, b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+WHERE rnk <= {KNN_GRAPH_K}
+"""

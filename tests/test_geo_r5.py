@@ -281,3 +281,77 @@ class TestPhashGroups:
             assert c == min(members)
         planted = [a for a in pairs["a"] if a + (1 << 40) in set(pairs["b"])]
         assert planted  # recall: at least one planted near-dup recovered
+
+
+class TestUserEnvelope:
+    def test_scalar_reference(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_user_envelope
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_id"]
+        ).to_pandas()
+        eid = t["event_id"].to_numpy(np.int64)
+        t["x"], t["y"] = (eid * 104729) % 36000, (eid * 7919) % 18000
+        ref = t.groupby("user_id", as_index=False).agg(
+            x_min=("x", "min"), y_min=("y", "min"),
+            x_max=("x", "max"), y_max=("y", "max"),
+        )
+        ref["area"] = (ref["x_max"] - ref["x_min"]) * (ref["y_max"] - ref["y_min"])
+        got = canon(q_user_envelope(SF).to_pandas()).astype(np.int64)
+        assert canon(ref.astype(np.int64)).equals(got)
+
+
+class TestInterarrivalHist:
+    def test_scalar_reference(self, ray_session):
+        from collections import Counter
+        from osm2gtfs_ray.pipelines.analytics_queries import q_interarrival_hist
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts"],
+        ).to_pandas()
+        t = t.sort_values(["user_id", "event_type", "ts", "event_id"])
+        c: Counter = Counter()
+        for (_, typ), g in t.groupby(["user_id", "event_type"]):
+            tu = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            for i in range(1, len(tu)):
+                gap = (tu[i] - tu[i - 1]) // 1_000_000
+                b = int(gap + 1).bit_length() - 1  # floor(log2(gap+1)), exact
+                c[(typ, b)] += 1
+        ref = pd.DataFrame(
+            [(k[0], k[1], v) for k, v in sorted(c.items())],
+            columns=["event_type", "bucket", "n"],
+        )
+        got = canon(q_interarrival_hist(SF).to_pandas())
+        ref = canon(ref)
+        assert ref["event_type"].tolist() == got["event_type"].tolist()
+        assert ref["bucket"].tolist() == got["bucket"].astype(int).tolist()
+        assert ref["n"].tolist() == got["n"].astype(int).tolist()
+
+
+class TestKnnGraph:
+    def test_brute_reference(self, ray_session):
+        from osm2gtfs_ray.pipelines.sim_queries import KNN_GRAPH_K, q_knn_graph
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.rint(m @ m.T * 1e6).astype(np.int64)
+        rows = []
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )[:KNN_GRAPH_K]
+            for r, j in enumerate(order, start=1):
+                rows.append((int(ids[i]), int(ids[j]), int(sims[i, j]), r))
+        ref = pd.DataFrame(
+            rows, columns=["vec_id", "nbr_id", "sim_e6", "rnk"]
+        ).astype(np.int64)
+        got = canon(q_knn_graph(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+        assert (got["vec_id"] != got["nbr_id"]).all()
