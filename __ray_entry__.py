@@ -88,7 +88,7 @@ _GATE_ORDER = [
     # -- tier 1c: added late in r5, never driver-checked
     "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
     "segment_crossings", "orphan_pages", "phash_groups",
-    "user_envelope", "interarrival_hist", "knn_graph",
+    "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_crossings": gq.q_segment_crossings,
         # per-user extent envelope (ST_Extent aggregate)
         "user_envelope": gq.q_user_envelope,
+        # exact integer Chebyshev-DTW between paired user trajectories
+        "trajectory_dtw": gq.q_trajectory_dtw,
         # log2-bucketed inter-arrival gap histogram per event type
         "interarrival_hist": aq.q_interarrival_hist,
         # kNN graph over embeddings (HNSW bootstrap self-join top-k)
@@ -480,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "ping_speed": gq.sql_ping_speed(),
         "segment_crossings": gq.sql_segment_crossings(),
         "user_envelope": gq.SQL_USER_ENVELOPE,
+        "trajectory_dtw": gq.sql_trajectory_dtw(),
         "interarrival_hist": aq.SQL_INTERARRIVAL_HIST,
         "knn_graph": sq.SQL_KNN_GRAPH,
         "tile_delta": gq.sql_tile_delta(),

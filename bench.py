@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "user_envelope",
     "interarrival_hist",
     "knn_graph",
+    "trajectory_dtw",
 ]
 
 

@@ -2561,3 +2561,159 @@ FROM (
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Trajectory similarity: exact integer DTW between paired users
+# --------------------------------------------------------------------------
+# Dynamic-time-warping distance — the standard trajectory-similarity
+# measure (Berndt & Clifford 1994) behind map-matching QA and
+# co-movement verification (the exact-cost step a co_travelers
+# candidate pair would be verified with). Trajectories are each
+# user's first DTW_K events ordered by (ts, event_id) on the integer
+# e2 lattice; ground distance is Chebyshev (exact int); pairs are the
+# deterministic (u, u+1) for even u, so both sides derive the same
+# pairing arithmetically. Classic step set {down, right, diagonal}.
+#
+# Exactness: the DP row recurrence c[i][j] = d[i][j] +
+# min(c[i-1][j], c[i-1][j-1], c[i][j-1]) factors into a min-plus
+# PREFIX SCAN per row — c[i][j] = D[j] + min_{k<=j}(am[k] - D[k-1])
+# with am[k] = min(c[i-1][k], c[i-1][k-1]) and D the row prefix sum
+# of d — so each DP row is one np.minimum.accumulate on the engine
+# side and one MIN() OVER (ORDER BY k) window on the oracle side,
+# unrolled to DTW_K CTEs (the pagerank/bfs unrolled-round
+# discipline applied to dynamic programming). All integer, bit-exact.
+#
+# Scale shape: per-user top-K capping inside one user-hash shuffle,
+# then ONE pair-key shuffle (each user belongs to exactly one pair:
+# pair = user_id // 2) and an O(K^2) vectorized DP per pair — the
+# corpus never fans out, and K bounds memory per group. At 100 TB
+# the same plan runs with the pair list coming from a candidate
+# generator (co_travelers buckets) instead of the arithmetic rule.
+
+DTW_K = 12
+
+
+def q_trajectory_dtw(sf_dir: str):
+    """(user_a, user_b, n_a, n_b, dtw): exact integer Chebyshev-DTW
+    cost between the first DTW_K points of users (2m, 2m+1)."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def topk_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths) + 1
+        m = seq <= DTW_K
+        eid = g["event_id"].to_numpy(np.int64)[m]
+        return pd.DataFrame(
+            {
+                "pair": uid[m] // 2,
+                "role": uid[m] % 2,
+                "seq": seq[m],
+                "x": (eid * 104729) % 36000,
+                "y": (eid * 7919) % 18000,
+            }
+        )
+
+    def dtw_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "role", "seq"], kind="mergesort")
+        rows = []
+        for pair_id, gp in g.groupby("pair", sort=False):
+            a = gp[gp["role"] == 0]
+            b = gp[gp["role"] == 1]
+            if len(a) == 0 or len(b) == 0:
+                continue
+            ax, ay = a["x"].to_numpy(np.int64), a["y"].to_numpy(np.int64)
+            bx, by = b["x"].to_numpy(np.int64), b["y"].to_numpy(np.int64)
+            d = np.maximum(
+                np.abs(ax[:, None] - bx[None, :]),
+                np.abs(ay[:, None] - by[None, :]),
+            )
+            c = np.cumsum(d[0])  # row 1: horizontal-only prefix
+            for i in range(1, len(ax)):
+                am = np.minimum(c, np.r_[c[0], c[:-1]])
+                D = np.cumsum(d[i])
+                c = D + np.minimum.accumulate(am - (D - d[i]))
+            rows.append(
+                (
+                    int(pair_id) * 2, int(pair_id) * 2 + 1,
+                    len(ax), len(bx), int(c[-1]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["user_a", "user_b", "n_a", "n_b", "dtw"]
+        ).astype(np.int64)
+
+    pts = sharded_map_groups(ev, "user_id", topk_shard)
+    return sharded_map_groups(pts, "pair", dtw_shard)
+
+
+def sql_trajectory_dtw() -> str:
+    rows = []
+    for i in range(2, DTW_K + 1):
+        rows.append(f"""
+r{i} AS (
+  SELECT ua, j, D + MIN(am - Dprev) OVER (
+           PARTITION BY ua ORDER BY j ROWS UNBOUNDED PRECEDING
+         ) AS c
+  FROM (
+    SELECT dd.ua, dd.j,
+           SUM(dd.d) OVER (PARTITION BY dd.ua ORDER BY dd.j
+                           ROWS UNBOUNDED PRECEDING) AS D,
+           SUM(dd.d) OVER (PARTITION BY dd.ua ORDER BY dd.j
+                           ROWS UNBOUNDED PRECEDING) - dd.d AS Dprev,
+           LEAST(p.c, COALESCE(LAG(p.c) OVER (PARTITION BY dd.ua ORDER BY dd.j),
+                               p.c)) AS am
+    FROM d dd JOIN r{i - 1} p ON p.ua = dd.ua AND p.j = dd.j
+    WHERE dd.i = {i}
+  )
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT p.ua AS user_a, p.ub AS user_b, p.na AS n_a, p.nb AS n_b, "
+        f"r.c AS dtw FROM pairs p JOIN r{i} r ON r.ua = p.ua AND r.j = p.nb "
+        f"WHERE p.na = {i}"
+        for i in range(1, DTW_K + 1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, seq, x, y FROM (
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS seq,
+           (event_id * 104729) % 36000 AS x,
+           (event_id * 7919) % 18000 AS y
+    FROM events
+  ) WHERE seq <= {DTW_K}
+),
+n AS (SELECT user_id, MAX(seq) AS n FROM pts GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.n AS na, b.n AS nb
+  FROM n a JOIN n b ON b.user_id = a.user_id + 1
+  WHERE a.user_id % 2 = 0
+),
+d AS (
+  SELECT p.ua, pa.seq AS i, pb.seq AS j,
+         GREATEST(ABS(pa.x - pb.x), ABS(pa.y - pb.y)) AS d
+  FROM pairs p
+  JOIN pts pa ON pa.user_id = p.ua
+  JOIN pts pb ON pb.user_id = p.ub
+),
+r1 AS (
+  SELECT ua, j, SUM(d) OVER (PARTITION BY ua ORDER BY j
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM d WHERE i = 1
+),{",".join(rows)}
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(dtw AS BIGINT) AS dtw
+FROM ({finals})
+ORDER BY user_a
+"""
