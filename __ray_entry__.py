@@ -89,6 +89,7 @@ _GATE_ORDER = [
     "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
     "segment_crossings", "orphan_pages", "phash_groups",
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
+    "dedup_eval",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -396,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_hist": aq.q_interarrival_hist,
         # kNN graph over embeddings (HNSW bootstrap self-join top-k)
         "knn_graph": sq.q_knn_graph,
+        # MinHash-LSH dedup recall/precision vs exact-Jaccard gold
+        "dedup_eval": sq.q_dedup_eval,
         # per-tile recrawl delta (snapshot membership x entity cells)
         "tile_delta": gq.q_tile_delta,
         # domain co-citation pairs (2-hop link similarity, capped
@@ -485,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_dtw": gq.sql_trajectory_dtw(),
         "interarrival_hist": aq.SQL_INTERARRIVAL_HIST,
         "knn_graph": sq.SQL_KNN_GRAPH,
+        "dedup_eval": sq.sql_dedup_eval(),
         "tile_delta": gq.sql_tile_delta(),
         "cocitation": grq.SQL_COCITATION,
         "triangles": grq.SQL_TRIANGLES,

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "interarrival_hist",
     "knn_graph",
     "trajectory_dtw",
+    "dedup_eval",
 ]
 
 

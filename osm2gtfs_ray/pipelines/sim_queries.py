@@ -1433,3 +1433,127 @@ SELECT vec_id, nbr_id, sim_e6, rnk FROM (
 )
 WHERE rnk <= {KNN_GRAPH_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Dedup-pipeline evaluation: MinHash-LSH vs exact-Jaccard gold
+# --------------------------------------------------------------------------
+# The retrieval-eval discipline (q_ann_recall) applied to the text
+# near-dup family: how much of the exact word-3-gram Jaccard >= 0.5
+# pair set (q_ngram_jaccard, the inverted-index gold) does the
+# MinHash+LSH+verify pipeline (q_minhash_pairs) recover? Because the
+# LSH path VERIFIES candidates with the same exact Jaccard, its false
+# positives are zero by construction — precision is pinned at 1.0 and
+# the eval isolates the one real error source, banding recall (gold
+# pairs whose signatures never collided in any band). One flag-sum
+# shuffle over the two pair sets; the confusion totals are a bounded
+# 3-counter merge.
+
+def q_dedup_eval(sf_dir: str):
+    """Single row (n_pred, n_gold, tp, fp, fn, precision_e6,
+    recall_e6) comparing minhash_pairs against the exact gold."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
+
+    pred = q_minhash_pairs(sf_dir).select_columns(["a", "b"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    gold = ngram_jaccard_pairs(docs, n=3, threshold=0.5).select_columns(["a", "b"])
+
+    def tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "flag", pa.array(np.full(t.num_rows, flag, np.int64))
+            )
+        return f
+
+    both = pred.map_batches(tag(1), batch_format="pyarrow").union(
+        gold.map_batches(tag(2), batch_format="pyarrow")
+    )
+    flags = both.groupby(["a", "b"]).aggregate(Sum("flag", alias_name="s"))
+
+    def confusion(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["s"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tp": [int((s == 3).sum())],
+                "fp": [int((s == 1).sum())],
+                "fn": [int((s == 2).sum())],
+            }
+        )
+
+    parts = flags.map_batches(confusion, batch_format="pyarrow")
+    tot = parts.sum(["tp", "fp", "fn"])  # tiny driver merge of 3 counters
+    tp, fp, fn = tot["sum(tp)"], tot["sum(fp)"], tot["sum(fn)"]
+    n_pred, n_gold = tp + fp, tp + fn
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "fp": pa.array([fp], pa.int64()),
+            "fn": pa.array([fn], pa.int64()),
+            "precision_e6": pa.array([tp * 10**6 // max(n_pred, 1)], pa.int64()),
+            "recall_e6": pa.array([tp * 10**6 // max(n_gold, 1)], pa.int64()),
+        }
+    )
+
+
+def sql_dedup_eval() -> str:
+    """Shares the shingle CTE chain of SQL_NGRAM_JACCARD /
+    SQL_MINHASH_PAIRS; pred re-verifies the snapshot candidates, gold
+    is the exact inverted-index pair set."""
+    return rf"""
+WITH ws AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM ws WHERE len(w) >= 3
+),
+gr AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM idx
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM ws WHERE len(w) BETWEEN 1 AND 2
+),
+sh AS (SELECT DISTINCT doc_id, g FROM gr),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+gold AS (
+  SELECT i.a, i.b
+  FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+    FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  ) i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE (i.c * 1000000) >= 500000 * (sa.n + sb.n - i.c)
+),
+cand AS (
+  SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+  FROM read_parquet('{MINHASH_CAND_SNAPSHOT}/*.parquet')
+  WHERE {sql_guard(MINHASH_CAND_SNAPSHOT, "documents")} = 1
+),
+pred AS (
+  SELECT i.a, i.b
+  FROM (
+    SELECT cd.a, cd.b, COUNT(*) AS c
+    FROM cand cd
+    JOIN sh x ON x.doc_id = cd.a
+    JOIN sh y ON y.doc_id = cd.b AND y.g = x.g
+    GROUP BY 1, 2
+  ) i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE (i.c * 1000000) >= 500000 * (sa.n + sb.n - i.c)
+),
+conf AS (
+  SELECT
+    (SELECT COUNT(*) FROM pred p JOIN gold g ON g.a = p.a AND g.b = p.b) AS tp,
+    (SELECT COUNT(*) FROM pred p ANTI JOIN gold g ON g.a = p.a AND g.b = p.b) AS fp,
+    (SELECT COUNT(*) FROM gold g ANTI JOIN pred p ON g.a = p.a AND g.b = p.b) AS fn
+)
+SELECT CAST(tp + fp AS BIGINT) AS n_pred, CAST(tp + fn AS BIGINT) AS n_gold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(tp * 1000000 // GREATEST(tp + fp, 1) AS BIGINT) AS precision_e6,
+       CAST(tp * 1000000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_e6
+FROM conf
+"""

@@ -426,3 +426,21 @@ class TestTrajectoryDtw:
             D = np.cumsum(d[i])
             c = D + np.minimum.accumulate(am - (D - d[i]))
         assert c[-1] == 0
+
+
+class TestDedupEval:
+    def test_accounting_and_bounds(self, ray_session):
+        """Precision is 1.0 by construction (verified LSH); n_gold
+        matches an independent run of the exact pair generator; the
+        confusion row is self-consistent."""
+        from osm2gtfs_ray.pipelines.sim_queries import q_dedup_eval
+        from osm2gtfs_ray.sources.tables import read_table
+        from osm2gtfs_ray.stages.dedup import ngram_jaccard_pairs
+
+        row = q_dedup_eval(SF).to_pandas().iloc[0]
+        assert row["precision_e6"] == 10**6 and row["fp"] == 0
+        assert row["tp"] + row["fn"] == row["n_gold"]
+        assert 0 <= row["recall_e6"] <= 10**6
+        docs = read_table(SF, "documents", columns=["doc_id", "text"])
+        gold_n = ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+        assert row["n_gold"] == gold_n > 0
