@@ -89,7 +89,7 @@ _GATE_ORDER = [
     "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
     "segment_crossings", "orphan_pages", "phash_groups",
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
-    "dedup_eval",
+    "dedup_eval", "zorder_scan", "event_sequences",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -393,6 +393,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_envelope": gq.q_user_envelope,
         # exact integer Chebyshev-DTW between paired user trajectories
         "trajectory_dtw": gq.q_trajectory_dtw,
+        # Morton quadtree bbox cover -> pure range-predicate scan
+        "zorder_scan": gq.q_zorder_scan,
+        # ordered per-user behavior sequence extraction (collect_list)
+        "event_sequences": aq.q_event_sequences,
         # log2-bucketed inter-arrival gap histogram per event type
         "interarrival_hist": aq.q_interarrival_hist,
         # kNN graph over embeddings (HNSW bootstrap self-join top-k)
@@ -486,6 +490,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_crossings": gq.sql_segment_crossings(),
         "user_envelope": gq.SQL_USER_ENVELOPE,
         "trajectory_dtw": gq.sql_trajectory_dtw(),
+        "zorder_scan": gq.sql_zorder_scan(),
+        "event_sequences": aq.SQL_EVENT_SEQUENCES,
         "interarrival_hist": aq.SQL_INTERARRIVAL_HIST,
         "knn_graph": sq.SQL_KNN_GRAPH,
         "dedup_eval": sq.sql_dedup_eval(),

@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "knn_graph",
     "trajectory_dtw",
     "dedup_eval",
+    "zorder_scan",
+    "event_sequences",
 ]
 
 

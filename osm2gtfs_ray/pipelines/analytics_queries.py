@@ -1392,3 +1392,58 @@ FROM g WHERE gap IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Ordered behavior-sequence extraction per user
+# --------------------------------------------------------------------------
+# The sequence-building step of behavioral/session modeling (and of
+# sequence-LM training corpora): each user's first SEQ_N event types
+# in time order, serialized to one delimited string — the ordered
+# collect_list every feature store ships. One user-hash shuffle; the
+# per-shard pass is a single sorted groupby + capped string join
+# (C-level pandas), never a per-user Python dispatch.
+
+SEQ_N = 10
+
+
+def q_event_sequences(sf_dir: str):
+    """(user_id, n_events, seq): total event count and the '>'-joined
+    first SEQ_N event types ordered by (ts, event_id)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+        head = g[seq < SEQ_N]
+        agg = head.groupby("user_id", sort=False).agg(
+            seq=("event_type", ">".join)
+        )
+        agg["n_events"] = pd.Series(lengths, index=uid[starts])
+        return agg.reset_index().rename(columns={"index": "user_id"})[
+            ["user_id", "n_events", "seq"]
+        ]
+
+    return sharded_map_groups(ev, "user_id", shard)
+
+
+SQL_EVENT_SEQUENCES = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, CAST(ANY_VALUE(n_events) AS BIGINT) AS n_events,
+       STRING_AGG(event_type, '>' ORDER BY rn) AS seq
+FROM s WHERE rn <= {SEQ_N}
+GROUP BY user_id
+ORDER BY user_id
+"""

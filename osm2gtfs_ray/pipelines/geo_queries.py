@@ -2717,3 +2717,101 @@ SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
 FROM ({finals})
 ORDER BY user_a
 """
+
+
+# --------------------------------------------------------------------------
+# Z-order range scan: quadtree bbox decomposition over the Morton index
+# --------------------------------------------------------------------------
+# The index-scan primitive behind every Z-ordered spatial table
+# (BigQuery/Delta Z-ORDER BY, S2/H3 range covers): decompose a query
+# bbox into the minimal set of ALIGNED quadtree squares — each of
+# which is one CONTIGUOUS Morton key range [morton(corner), +s^2) —
+# then scan with pure range predicates on the cell key. That is what
+# lets a sorted-by-cell Parquet layout prune row groups by min/max
+# stats instead of evaluating a 2-D predicate per row. The bbox is
+# deliberately unaligned so the decomposition is non-trivial (~O(p)
+# ranges for perimeter p). Engine side filters on the ranges ONLY
+# (searchsorted over range starts — no ix/iy comparison in the scan
+# path); the oracle evaluates the rectangle directly, so the gate
+# proves the decomposition covers the rectangle exactly.
+
+ZS_LEVEL = CELL_LEVEL                      # 256 x 128 grid
+ZS_RECT = (77, 203, 23, 101)               # half-open [x0,x1) x [y0,y1)
+
+
+def z_cover_ranges(x0: int, x1: int, y0: int, y1: int, size: int) -> list[tuple[int, int]]:
+    """Maximal aligned-quadtree cover of the half-open rect as sorted,
+    merged, half-open Morton ranges."""
+    from osm2gtfs_ray.geo.cells import ij_to_cell
+
+    out: list[tuple[int, int]] = []
+
+    def rec(cx: int, cy: int, s: int) -> None:
+        if cx >= x1 or cx + s <= x0 or cy >= y1 or cy + s <= y0:
+            return
+        if x0 <= cx and cx + s <= x1 and y0 <= cy and cy + s <= y1:
+            base = int(ij_to_cell(np.array([cx]), np.array([cy]))[0])
+            out.append((base, base + s * s))
+            return
+        h = s // 2
+        for q in range(4):  # Z order: children emit in ascending key order
+            rec(cx + (q & 1) * h, cy + (q >> 1) * h, h)
+
+    rec(0, 0, size)
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def q_zorder_scan(sf_dir: str):
+    """(event_id, ix, iy) of events whose cell falls in ZS_RECT,
+    selected purely by Morton range predicates."""
+    from osm2gtfs_ray.geo.cells import ij_to_cell
+
+    nx, ny = 1 << ZS_LEVEL, 1 << (ZS_LEVEL - 1)
+    x0, x1, y0, y1 = ZS_RECT
+    ranges = z_cover_ranges(x0, x1, y0, y1, nx)
+    starts = np.array([r[0] for r in ranges], dtype=np.uint64)
+    ends = np.array([r[1] for r in ranges], dtype=np.uint64)
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def scan(t: pa.Table) -> pa.Table:
+        lat, lon = _synth_latlon(t["event_id"].to_numpy())
+        ix = np.minimum(np.floor(((lon + 180.0) / 360.0) * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(np.floor(((lat + 90.0) / 180.0) * ny).astype(np.int64), ny - 1)
+        m = ij_to_cell(ix, iy)
+        pos = np.searchsorted(starts, m, side="right") - 1
+        keep = (pos >= 0) & (m < ends[np.maximum(pos, 0)])
+        return pa.table(
+            {
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False)[keep],
+                "ix": ix[keep],
+                "iy": iy[keep],
+            }
+        )
+
+    return ev.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_zorder_scan() -> str:
+    nx, ny = 1 << ZS_LEVEL, 1 << (ZS_LEVEL - 1)
+    x0, x1, y0, y1 = ZS_RECT
+    return f"""
+SELECT event_id, ix, iy FROM (
+  SELECT event_id,
+         LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * {nx}) AS BIGINT), {nx - 1}) AS ix,
+         LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * {ny}) AS BIGINT), {ny - 1}) AS iy
+  FROM (
+    SELECT event_id,
+           {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon
+    FROM events
+  )
+)
+WHERE ix >= {x0} AND ix < {x1} AND iy >= {y0} AND iy < {y1}
+ORDER BY event_id
+"""

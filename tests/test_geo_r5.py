@@ -444,3 +444,65 @@ class TestDedupEval:
         docs = read_table(SF, "documents", columns=["doc_id", "text"])
         gold_n = ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
         assert row["n_gold"] == gold_n > 0
+
+
+class TestZorderScan:
+    def test_cover_is_exact_and_aligned(self):
+        """Every range is an aligned quadtree square's Morton span, the
+        union of decoded cells equals the rectangle, ranges are sorted
+        and disjoint."""
+        from osm2gtfs_ray.geo.cells import cell_to_ij
+        from osm2gtfs_ray.pipelines.geo_queries import ZS_RECT, z_cover_ranges
+
+        x0, x1, y0, y1 = ZS_RECT
+        ranges = z_cover_ranges(x0, x1, y0, y1, 256)
+        assert all(a < b for a, b in ranges)
+        assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+        cells = np.concatenate([np.arange(a, b, dtype=np.uint64) for a, b in ranges])
+        ix, iy = cell_to_ij(cells)
+        got = set(zip(ix.tolist(), iy.tolist()))
+        want = {(x, y) for x in range(x0, x1) for y in range(y0, y1)}
+        assert got == want
+
+    def test_scan_equals_direct_predicate(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            ZS_RECT,
+            _synth_latlon,
+            q_zorder_scan,
+        )
+        import pyarrow.parquet as pq
+
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * 256).astype(np.int64), 255)
+        iy = np.minimum(((lat + 90.0) / 180.0 * 128).astype(np.int64), 127)
+        x0, x1, y0, y1 = ZS_RECT
+        want = set(
+            eid[(ix >= x0) & (ix < x1) & (iy >= y0) & (iy < y1)].tolist()
+        )
+        got = set(q_zorder_scan(SF).to_pandas()["event_id"].tolist())
+        assert got == want and len(got) > 0
+
+
+class TestEventSequences:
+    def test_scalar_reference(self, ray_session):
+        from osm2gtfs_ray.pipelines.analytics_queries import (
+            SEQ_N,
+            q_event_sequences,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts"],
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            types = g["event_type"].tolist()
+            rows.append((int(uid), len(types), ">".join(types[:SEQ_N])))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_events", "seq"])
+        got = canon(q_event_sequences(SF).to_pandas())
+        assert canon(ref).astype(got.dtypes.to_dict()).equals(got)
