@@ -89,7 +89,8 @@ _GATE_ORDER = [
     "cell_compact", "cell_buffer", "geofence_transitions", "ping_speed",
     "segment_crossings", "orphan_pages", "phash_groups",
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
-    "dedup_eval", "zorder_scan", "event_sequences",
+    "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
+    "decayed_engagement",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -395,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_dtw": gq.q_trajectory_dtw,
         # Morton quadtree bbox cover -> pure range-predicate scan
         "zorder_scan": gq.q_zorder_scan,
+        # convex-hull boundary membership per user (exact orientation)
+        "hull_points": gq.q_hull_points,
+        # exact power-of-two time-decay engagement score
+        "decayed_engagement": aq.q_decayed_engagement,
         # ordered per-user behavior sequence extraction (collect_list)
         "event_sequences": aq.q_event_sequences,
         # log2-bucketed inter-arrival gap histogram per event type
@@ -491,6 +496,8 @@ def oracle_sql() -> dict[str, str]:
         "user_envelope": gq.SQL_USER_ENVELOPE,
         "trajectory_dtw": gq.sql_trajectory_dtw(),
         "zorder_scan": gq.sql_zorder_scan(),
+        "hull_points": gq.sql_hull_points(),
+        "decayed_engagement": aq.SQL_DECAYED_ENGAGEMENT,
         "event_sequences": aq.SQL_EVENT_SEQUENCES,
         "interarrival_hist": aq.SQL_INTERARRIVAL_HIST,
         "knn_graph": sq.SQL_KNN_GRAPH,

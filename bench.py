@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "dedup_eval",
     "zorder_scan",
     "event_sequences",
+    "hull_points",
+    "decayed_engagement",
 ]
 
 

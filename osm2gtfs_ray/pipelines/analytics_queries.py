@@ -1447,3 +1447,74 @@ FROM s WHERE rn <= {SEQ_N}
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Exponential time-decay engagement score (exact power-of-two decay)
+# --------------------------------------------------------------------------
+# The recency-weighted engagement counter behind feed ranking and
+# churn features — sum over a user's events of 2^-(age_days) with a
+# one-day half-life, made EXACT by scaling to w = 2^(DECAY_K - age):
+# every weight is an integer power of two, so the score is an exact
+# int64 sum (bound: events-in-window * 2^30 < 2^63 holds to ~8.6e9
+# events per user) and fully mergeable — per-batch partial sums, one
+# groupby Sum, no window ordering needed at all. Reference epoch is a
+# fixed constant one day past the corpus range so age >= 0.
+
+DECAY_K = 30                                    # window length in days
+DECAY_REF_US = 1_706_659_200_000_000            # 2024-01-31T00:00:00Z
+_DAY_US = 86_400_000_000
+
+
+def q_decayed_engagement(sf_dir: str):
+    """(user_id, n_recent, score_fp): events within the DECAY_K-day
+    window and the exact 2^(K-age_days)-weighted sum."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        tu = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        age = (DECAY_REF_US - tu) // _DAY_US
+        w = np.where((age >= 0) & (age <= DECAY_K),
+                     np.int64(1) << np.minimum(np.maximum(DECAY_K - age, 0), DECAY_K),
+                     0)
+        g = (
+            pa.table({
+                "user_id": t["user_id"],
+                "w": w,
+                "c": (w > 0).astype(np.int64),
+            })
+            .group_by("user_id")
+            .aggregate([("w", "sum"), ("c", "sum")])
+        )
+        return g.rename_columns(["user_id", "pw", "pc"])
+
+    agg = (
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("pc", alias_name="n_recent"), Sum("pw", alias_name="score_fp"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_recent": pc.cast(t["n_recent"], pa.int64()),
+            "score_fp": pc.cast(t["score_fp"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECAYED_ENGAGEMENT = f"""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (age BETWEEN 0 AND {DECAY_K}) AS BIGINT) AS n_recent,
+       CAST(COALESCE(SUM(CASE WHEN age BETWEEN 0 AND {DECAY_K}
+                              THEN CAST(1 AS BIGINT) << ({DECAY_K} - age)
+                              ELSE 0 END), 0) AS BIGINT) AS score_fp
+FROM (
+  SELECT user_id, ({DECAY_REF_US} - epoch_us(ts)) // {_DAY_US} AS age
+  FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -2815,3 +2815,105 @@ SELECT event_id, ix, iy FROM (
 WHERE ix >= {x0} AND ix < {x1} AND iy >= {y0} AND iy < {y1}
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Convex-hull boundary membership per user (exact integer orientation)
+# --------------------------------------------------------------------------
+# For each user's first HULL_K positions: how many lie ON the convex
+# hull boundary — the shape-complexity statistic behind coverage-area
+# estimation and outlier screening (the hull is what q_user_envelope's
+# bbox over-approximates). Definition (deterministic on the integer
+# lattice, duplicates and collinear runs included): p is a boundary
+# point iff there exists q at a different position with NO point
+# strictly left of the directed line p->q (all cross products <= 0).
+# Exact int64 orientation tests on both sides; no epsilon anywhere.
+#
+# Scale shape: one user-hash shuffle after a per-user HULL_K cap, then
+# an O(K^3) broadcast-tensor test per user (K=24 -> 13.8k cells, ~110KB
+# per user) — bounded per group, embarrassingly parallel across
+# shards. The oracle is the same exists/not-exists quantifier pair as
+# a correlated anti-join.
+
+HULL_K = 24
+
+
+def q_hull_points(sf_dir: str):
+    """(user_id, n_points, n_hull): capped point count and how many of
+    those points lie on the convex hull boundary."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lengths = np.diff(np.r_[starts, n])
+        seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+        keep = seq < HULL_K
+        uid, eid = uid[keep], eid[keep]
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        rows = []
+        bs = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bl = np.diff(np.r_[bs, len(uid)])
+        for s, ln in zip(bs, bl):
+            px, py = x[s:s + ln], y[s:s + ln]
+            # cross[i,j,k] = (pj-pi) x (pk-pi); strict-left exists -> bad edge
+            dxj = px[None, :, None] - px[:, None, None]
+            dyj = py[None, :, None] - py[:, None, None]
+            dxk = px[None, None, :] - px[:, None, None]
+            dyk = py[None, None, :] - py[:, None, None]
+            bad = ((dxj * dyk - dyj * dxk) > 0).any(axis=2)
+            distinct = (px[None, :] != px[:, None]) | (py[None, :] != py[:, None])
+            hull = (~bad & distinct).any(axis=1)
+            if ln == 1 or not distinct.any():
+                hull = np.ones(ln, dtype=bool)  # all points coincide
+            rows.append((int(uid[s]), int(ln), int(hull.sum())))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_points", "n_hull"]
+        ).astype(np.int64)
+
+    return sharded_map_groups(ev, "user_id", shard)
+
+
+def sql_hull_points() -> str:
+    return f"""
+WITH pts AS (
+  SELECT user_id, seq AS pid, x, y FROM (
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS seq,
+           (event_id * 104729) % 36000 AS x,
+           (event_id * 7919) % 18000 AS y
+    FROM events
+  ) WHERE seq <= {HULL_K}
+),
+counts AS (SELECT user_id, COUNT(*) AS n_points FROM pts GROUP BY user_id),
+degenerate AS (
+  SELECT user_id FROM pts GROUP BY user_id
+  HAVING COUNT(DISTINCT (x, y)) = 1
+),
+hull AS (
+  SELECT DISTINCT p.user_id, p.pid
+  FROM pts p JOIN pts q
+    ON q.user_id = p.user_id AND (q.x <> p.x OR q.y <> p.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.user_id = p.user_id
+      AND (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) > 0
+  )
+)
+SELECT c.user_id, c.n_points,
+       CASE WHEN d.user_id IS NOT NULL THEN c.n_points
+            ELSE (SELECT COUNT(*) FROM hull h WHERE h.user_id = c.user_id)
+       END AS n_hull
+FROM counts c LEFT JOIN degenerate d ON d.user_id = c.user_id
+ORDER BY c.user_id
+"""

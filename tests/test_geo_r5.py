@@ -506,3 +506,88 @@ class TestEventSequences:
         ref = pd.DataFrame(rows, columns=["user_id", "n_events", "seq"])
         got = canon(q_event_sequences(SF).to_pandas())
         assert canon(ref).astype(got.dtypes.to_dict()).equals(got)
+
+
+class TestHullPoints:
+    def test_matches_scipy_free_reference(self, ray_session):
+        """Brute scalar hull-membership per user (gift-wrapping-free:
+        direct definition check) on sf0.001."""
+        from osm2gtfs_ray.pipelines.geo_queries import HULL_K, q_hull_points
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "event_id", "ts"]
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            eid = g["event_id"].to_numpy(np.int64)[:HULL_K]
+            P = list(zip(((eid * 104729) % 36000).tolist(),
+                         ((eid * 7919) % 18000).tolist()))
+            n_hull = 0
+            if len(set(P)) == 1:
+                n_hull = len(P)
+            else:
+                for i, p in enumerate(P):
+                    on = False
+                    for j, q in enumerate(P):
+                        if q == p:
+                            continue
+                        if all(
+                            (q[0] - p[0]) * (r[1] - p[1])
+                            - (q[1] - p[1]) * (r[0] - p[0]) <= 0
+                            for r in P
+                        ):
+                            on = True
+                            break
+                    if on:
+                        n_hull += 1
+            rows.append((int(uid), len(P), n_hull))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_points", "n_hull"]).astype(np.int64)
+        got = canon(q_hull_points(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+        assert (got["n_hull"] <= got["n_points"]).all()
+        assert (got["n_hull"] >= np.minimum(got["n_points"], 2)).all()
+
+    def test_square_plus_interior(self):
+        """Hand case: 4 corners + centroid -> 4 hull points; collinear
+        midpoint on an edge counts as boundary."""
+        import osm2gtfs_ray.pipelines.geo_queries  # noqa: F401
+
+        P = [(0, 0), (10, 0), (10, 10), (0, 10), (5, 5), (5, 0)]
+
+        def on_hull(p):
+            return any(
+                q != p
+                and all(
+                    (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0]) <= 0
+                    for r in P
+                )
+                for q in P
+            )
+
+        flags = [on_hull(p) for p in P]
+        assert flags == [True, True, True, True, False, True]
+
+
+class TestDecayedEngagement:
+    def test_scalar_reference(self, ray_session):
+        from osm2gtfs_ray.pipelines.analytics_queries import (
+            DECAY_K,
+            DECAY_REF_US,
+            _DAY_US,
+            q_decayed_engagement,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+        tu = t["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        t["age"] = (DECAY_REF_US - tu) // _DAY_US
+        rows = []
+        for uid, g in t.groupby("user_id", sort=True):
+            ages = [a for a in g["age"] if 0 <= a <= DECAY_K]
+            rows.append((int(uid), len(ages), sum(1 << (DECAY_K - a) for a in ages)))
+        ref = pd.DataFrame(rows, columns=["user_id", "n_recent", "score_fp"]).astype(np.int64)
+        got = canon(q_decayed_engagement(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+        assert (got["score_fp"] > 0).any()
