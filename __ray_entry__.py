@@ -90,7 +90,7 @@ _GATE_ORDER = [
     "segment_crossings", "orphan_pages", "phash_groups",
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
-    "decayed_engagement",
+    "decayed_engagement", "cell_erode", "morans_i",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -384,6 +384,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_compact": gq.q_cell_compact,
         # morphological 1-ring dilation of the occupied cell set
         "cell_buffer": gq.q_cell_buffer,
+        # morphological erosion (interior extraction) at the coarse grid
+        "cell_erode": gq.q_cell_erode,
+        # exact fixed-point global Moran's I of the event raster
+        "morans_i": gq.q_morans_i,
         # per-user geofence enter/exit transition stream
         "geofence_transitions": gq.q_geofence_transitions,
         # per-user max leg speed (exact integer trajectory kinematics)
@@ -490,6 +494,8 @@ def oracle_sql() -> dict[str, str]:
         "co_travelers": gq.sql_co_travelers(),
         "cell_compact": gq.sql_cell_compact(),
         "cell_buffer": gq.sql_cell_buffer(),
+        "cell_erode": gq.sql_cell_erode(),
+        "morans_i": gq.sql_morans_i(),
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),
         "segment_crossings": gq.sql_segment_crossings(),

@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "event_sequences",
     "hull_points",
     "decayed_engagement",
+    "cell_erode",
+    "morans_i",
 ]
 
 

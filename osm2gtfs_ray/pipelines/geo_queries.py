@@ -2917,3 +2917,200 @@ SELECT c.user_id, c.n_points,
 FROM counts c LEFT JOIN degenerate d ON d.user_id = c.user_id
 ORDER BY c.user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Morphological cell-set erosion (complement of q_cell_buffer)
+# --------------------------------------------------------------------------
+# Keep only occupied cells whose FULL 8-neighborhood (lon wrap, lat
+# clamp: out-of-grid rows count as unoccupied, matching the buffer's
+# clamp) is also occupied — the interior extraction that pairs with
+# dilation to build morphological opening/closing over coverage
+# rasters. Same dual plans as cell_buffer. Runs at the COARSER
+# ER_LEVEL grid: erosion is only meaningful where occupancy is dense
+# enough for full neighborhoods to exist (at the res-8 grid the
+# test-scale point sets are ~30% occupied and the interior is
+# provably empty; density, not the operator, picks the level).
+
+ER_LEVEL = 6  # 64 x 32 grid
+
+
+def q_cell_erode(sf_dir: str, plan: str = "local"):
+    """(cell_rm): occupied cells all of whose 8 Chebyshev neighbors
+    are occupied (lat-edge cells never qualify)."""
+    nx, ny = 1 << ER_LEVEL, 1 << (ER_LEVEL - 1)
+    occ = _occupied_cells(sf_dir, ER_LEVEL)
+
+    if plan == "local":
+        def erode(t: pa.Table) -> pa.Table:
+            key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+            grid = np.zeros((ny, nx), dtype=bool)
+            grid[key // nx, key % nx] = True
+            core = np.ones_like(grid)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    shifted = np.roll(grid, dx, axis=1)
+                    if dy < 0:
+                        sh = np.zeros_like(grid)
+                        sh[:-1] = shifted[1:]
+                    elif dy > 0:
+                        sh = np.zeros_like(grid)
+                        sh[1:] = shifted[:-1]
+                    else:
+                        sh = shifted
+                    core &= sh
+            iy, ix = np.nonzero(core)
+            return pa.table({"cell_rm": iy * nx + ix})
+
+        return occ.repartition(1).map_batches(
+            erode, batch_format="pyarrow", batch_size=None
+        )
+
+    # shuffle plan: each occupied cell votes for its 9 neighbors;
+    # a cell erodes-in iff it collects all 9 votes
+    from ray.data.aggregate import Sum
+
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        ks = []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                ks.append((iy[ok] + dy) * nx + (ix[ok] + dx + nx) % nx)
+        k = np.concatenate(ks)
+        return pa.table({"cell_rm": k, "v": np.ones(len(k), np.int64)})
+
+    votes = (
+        occ.map_batches(emit, batch_format="pyarrow")
+        .groupby("cell_rm")
+        .aggregate(Sum("v", alias_name="nv"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(t["nv"], pa.int64()), 9))
+        return pa.table({"cell_rm": pc.cast(t["cell_rm"], pa.int64())})
+
+    return votes.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_cell_erode() -> str:
+    nx, ny = 1 << ER_LEVEL, 1 << (ER_LEVEL - 1)
+    return f"""
+WITH c AS ({_sql_fine_cells(ER_LEVEL)}),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+SELECT (c.iy + o.dy) * {nx} + ((c.ix + o.dx + {nx}) % {nx}) AS cell_rm
+FROM c JOIN o ON c.iy + o.dy >= 0 AND c.iy + o.dy < {ny}
+GROUP BY 1 HAVING COUNT(*) = 9
+"""
+
+
+# --------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the event-count raster
+# --------------------------------------------------------------------------
+# The canonical global clustering statistic (Moran 1950): with x the
+# per-cell event count over the FULL nx x ny grid (zeros included),
+# rook adjacency W (lon wraps, lat clamps — the cell_smooth kernel's
+# contract minus diagonals),
+#
+#   I = (N / SUM(W)) * sum_ij w_ij (x_i - m)(x_j - m) / sum_i (x_i - m)^2
+#
+# Made EXACT by clearing denominators with m = S/N:
+#   num_raw = N^2 * P - 2*N*S*D + S^2 * SW      (ordered-pair form)
+#   den_raw = N^2 * Q - N * S^2
+#   i_fp    = floor(10^6 * N * num_raw / (SW * den_raw))
+# where S = total events, Q = sum x^2, P = sum over ordered adjacent
+# nonzero pairs of x_i*x_j, D = sum x_i * deg(i), and SW / deg have
+# closed forms on the wrapped-clamped grid (zero cells contribute to
+# every term only through S, N, SW — so only the NONZERO cell table is
+# ever touched). The final scalar uses Python big ints (num_raw scales
+# like N^2*S^2 — past int64 long before any real corpus; SQL uses
+# HUGEINT), after one corpus shuffle to grid-bounded counts.
+
+MORAN_LEVEL = CELL_LEVEL  # 256 x 128
+MORAN_SCALE = 10**6
+
+
+def q_morans_i(sf_dir: str):
+    """Single row (n_cells, sum_w, s_events, i_fp): exact fixed-point
+    global Moran's I of the event-count raster."""
+    counts = _smooth_counts(sf_dir)  # (cell_rm, n) nonzero cells
+    nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+    N = nx * ny
+    SW = 2 * (ny * nx + (ny - 1) * nx)  # ordered rook pairs: wrap lon, clamp lat
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        grid[key // nx, key % nx] = n
+        S = int(n.sum())
+        Q = int((n.astype(object) ** 2).sum())
+        deg = np.full((ny, nx), 4, dtype=np.int64)
+        deg[0, :] -= 1
+        deg[-1, :] -= 1
+        og = grid.astype(object)  # big-int products: x_i*x_j can pass
+        D = int((og * deg)[key // nx, key % nx].sum())
+        # ordered adjacent products: horizontal wraps, vertical clamps
+        P = 2 * int((og * np.roll(og, 1, axis=1)).sum())
+        P += 2 * int((og[1:] * og[:-1]).sum())
+        num_raw = N * N * P - 2 * N * S * D + S * S * SW
+        den_raw = N * N * Q - N * S * S
+        i_fp = (MORAN_SCALE * N * num_raw) // (SW * den_raw)
+        return pa.table(
+            {
+                "n_cells": pa.array([N], pa.int64()),
+                "sum_w": pa.array([SW], pa.int64()),
+                "s_events": pa.array([S], pa.int64()),
+                "i_fp": pa.array([int(i_fp)], pa.int64()),
+            }
+        )
+
+    # grid-bounded final stage (<= nx*ny rows), the cell_smooth
+    # local-plan rule; everything corpus-sized already reduced by
+    # _smooth_counts' one shuffle
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def sql_morans_i() -> str:
+    nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+    N = nx * ny
+    SW = 2 * (ny * nx + (ny - 1) * nx)
+    return f"""
+WITH c AS (
+  SELECT iy, ix, CAST(COUNT(*) AS HUGEINT) AS x
+  FROM ({_sql_fine_cells(MORAN_LEVEL).replace("SELECT DISTINCT", "SELECT")})
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(SUM(x) AS HUGEINT) AS S, CAST(SUM(x * x) AS HUGEINT) AS Q,
+         CAST(SUM(x * (4 - CASE WHEN iy = 0 THEN 1 ELSE 0 END
+                            - CASE WHEN iy = {ny - 1} THEN 1 ELSE 0 END))
+              AS HUGEINT) AS D
+  FROM c
+),
+p AS (
+  SELECT CAST(COALESCE(SUM(a.x * b.x), 0) AS HUGEINT) AS P
+  FROM c a JOIN c b
+    ON (a.iy = b.iy AND ((a.ix + 1) % {nx}) = b.ix)
+    OR (a.ix = b.ix AND a.iy + 1 = b.iy)
+),
+f AS (
+  SELECT CAST({N} AS HUGEINT) AS N, CAST({SW} AS HUGEINT) AS SW,
+         S, Q, D, 2 * P AS P2
+  FROM s CROSS JOIN p
+)
+SELECT CAST(N AS BIGINT) AS n_cells, CAST(SW AS BIGINT) AS sum_w,
+       CAST(S AS BIGINT) AS s_events,
+       -- exact FLOOR division (num may be negative; DuckDB // truncates):
+       -- subtract the canonical non-negative residue first
+       CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS i_fp
+FROM (
+  SELECT N, SW, S,
+         {MORAN_SCALE} * N * (N * N * P2 - 2 * N * S * D + S * S * SW) AS num,
+         SW * (N * N * Q - N * S * S) AS den
+  FROM f
+)
+"""

@@ -591,3 +591,111 @@ class TestDecayedEngagement:
         got = canon(q_decayed_engagement(SF).to_pandas()).astype(np.int64)
         assert canon(ref).equals(got)
         assert (got["score_fp"] > 0).any()
+
+
+class TestCellErode:
+    def test_plan_equivalence(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_cell_erode
+
+        a = canon(q_cell_erode(SF, plan="local").to_pandas())
+        b = canon(q_cell_erode(SF, plan="shuffle").to_pandas())
+        assert len(a) > 0  # sf0.001 at the coarse grid has interior cells
+        assert a.equals(b.astype(a.dtypes.to_dict()))
+
+    def test_erosion_law(self, ray_session):
+        """Eroded set = occupied cells whose full 8-neighborhood is
+        occupied (lon wrap, lat clamp); erosion(occ) subset occ, and
+        dilation(erosion) subset occ on the same grid."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            ER_LEVEL,
+            _synth_latlon,
+            q_cell_erode,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << ER_LEVEL, 1 << (ER_LEVEL - 1)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        occ = set((iy * nx + ix).tolist())
+        want = set()
+        for k in occ:
+            ky, kx = k // nx, k % nx
+            full = True
+            for dy in (-1, 0, 1):
+                if not (0 <= ky + dy < ny):
+                    full = False
+                    break
+                for dx in (-1, 0, 1):
+                    if (ky + dy) * nx + (kx + dx) % nx not in occ:
+                        full = False
+                        break
+                if not full:
+                    break
+            if full:
+                want.add(k)
+        got = set(q_cell_erode(SF).to_pandas()["cell_rm"].tolist())
+        assert got == want and got <= occ
+
+
+class TestMoransI:
+    def test_scalar_reference(self, ray_session):
+        """Direct textbook Moran's I with explicit mean-centering over
+        the full grid (floats), compared to the exact fixed-point
+        output within 1 ulp of the e6 scale."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            MORAN_LEVEL,
+            MORAN_SCALE,
+            _synth_latlon,
+            q_morans_i,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        grid = np.zeros((ny, nx), dtype=np.float64)
+        np.add.at(grid, (iy, ix), 1.0)
+        m = grid.mean()
+        z = grid - m
+        num = 2.0 * (
+            (z * np.roll(z, 1, axis=1)).sum() + (z[1:] * z[:-1]).sum()
+        )
+        den = (z * z).sum()
+        N = nx * ny
+        SW = 2 * (ny * nx + (ny - 1) * nx)
+        i_float = (N / SW) * num / den
+        row = q_morans_i(SF).to_pandas().iloc[0]
+        assert row["n_cells"] == N and row["sum_w"] == SW
+        assert abs(row["i_fp"] - i_float * MORAN_SCALE) <= 1.0
+
+    def test_checkerboard_is_negative_stripes_positive(self):
+        """Sanity on hand rasters: the exact integer algebra gives
+        I < 0 for a checkerboard and I > 0 for wide stripes."""
+        def moran(grid):
+            ny, nx = grid.shape
+            N, SW = nx * ny, 2 * (ny * nx + (ny - 1) * nx)
+            S = int(grid.sum())
+            Q = int((grid.astype(object) ** 2).sum())
+            deg = np.full(grid.shape, 4, dtype=np.int64)
+            deg[0, :] -= 1
+            deg[-1, :] -= 1
+            D = int((grid.astype(object) * deg).sum())
+            og = grid.astype(object)
+            P = 2 * int((og * np.roll(og, 1, axis=1)).sum())
+            P += 2 * int((og[1:] * og[:-1]).sum())
+            num = N * N * P - 2 * N * S * D + S * S * SW
+            den = N * N * Q - N * S * S
+            return (10**6 * N * num) // (SW * den)
+
+        yy, xx = np.mgrid[0:8, 0:16]
+        checker = ((yy + xx) % 2).astype(np.int64)
+        stripes = (xx // 8 % 2).astype(np.int64)
+        assert moran(checker) < 0 < moran(stripes)
