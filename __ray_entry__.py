@@ -90,7 +90,8 @@ _GATE_ORDER = [
     "segment_crossings", "orphan_pages", "phash_groups",
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
-    "decayed_engagement", "cell_erode", "morans_i",
+    "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
+    "bearing_hist",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -388,6 +389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_erode": gq.q_cell_erode,
         # exact fixed-point global Moran's I of the event raster
         "morans_i": gq.q_morans_i,
+        # per-tile Gini-Simpson diversity of the event-type mix
+        "tile_entropy": gq.q_tile_entropy,
+        # exact integer octant histogram of movement directions
+        "bearing_hist": gq.q_bearing_hist,
         # per-user geofence enter/exit transition stream
         "geofence_transitions": gq.q_geofence_transitions,
         # per-user max leg speed (exact integer trajectory kinematics)
@@ -496,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_buffer": gq.sql_cell_buffer(),
         "cell_erode": gq.sql_cell_erode(),
         "morans_i": gq.sql_morans_i(),
+        "tile_entropy": gq.SQL_TILE_ENTROPY,
+        "bearing_hist": gq.SQL_BEARING_HIST,
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),
         "segment_crossings": gq.sql_segment_crossings(),

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "cell_erode",
     "morans_i",
+    "tile_entropy",
+    "bearing_hist",
 ]
 
 

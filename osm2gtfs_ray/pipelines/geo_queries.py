@@ -3114,3 +3114,162 @@ FROM (
   FROM f
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Per-tile event-type diversity (Gini-Simpson over the spatial grid)
+# --------------------------------------------------------------------------
+# The spatial-diversity raster behind land-use / activity-mix maps:
+# for each coarse tile, the Gini-Simpson index 1 - sum(c_t^2)/n^2 of
+# its event-type mix, exact in fixed point (the q_vocab_diversity
+# integer discipline applied per tile): gini_fp = ((n^2 - sum c^2)
+# * 10^6) // n^2 with PYTHON BIG INTS in the tile-bounded finalize —
+# n^2 wraps int64 past ~3e9 events per tile, and the output
+# cardinality is the tile count, so the O(tiles) big-int pass is the
+# work any engine must do. One (tile, type) shuffle with map-side
+# combine; the finalize sees <= tiles x types rows.
+
+TE_LEVEL = 4  # 16 x 8 tiles
+TE_SCALE = 10**6
+
+
+def q_tile_entropy(sf_dir: str):
+    """(tile, n, n_types, gini_fp): event count, distinct types, and
+    exact Gini-Simpson diversity per coarse tile."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ntx = 1 << TE_LEVEL
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        part = pd.DataFrame(
+            {
+                "tile": (y // (18000 // (ntx >> 1))) * ntx + x // (36000 // ntx),
+                "event_type": b["event_type"].to_numpy(),
+                "c": np.ones(len(b), np.int64),
+            }
+        )
+        return part.groupby(["tile", "event_type"], sort=False, as_index=False).sum()
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["tile", "event_type"], sort=False, as_index=False)["c"].sum()
+        rows = []
+        for tile, gt in g.groupby("tile", sort=False):
+            n = int(gt["c"].sum())
+            sq = sum(int(c) ** 2 for c in gt["c"])
+            rows.append(
+                (int(tile), n, len(gt), ((n * n - sq) * TE_SCALE) // (n * n))
+            )
+        return pd.DataFrame(
+            rows, columns=["tile", "n", "n_types", "gini_fp"]
+        ).astype(np.int64)
+
+    return sharded_map_groups(ev, "tile", finalize, local_pre=pre)
+
+
+SQL_TILE_ENTROPY = f"""
+WITH c AS (
+  SELECT (((event_id * 7919) % 18000) // {18000 // (1 << (TE_LEVEL - 1))}) * {1 << TE_LEVEL}
+           + ((event_id * 104729) % 36000) // {36000 // (1 << TE_LEVEL)} AS tile,
+         event_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT tile, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(((SUM(c) * SUM(c) - SUM(c * c)) * {TE_SCALE})
+            // (SUM(c) * SUM(c)) AS BIGINT) AS gini_fp
+FROM c GROUP BY tile ORDER BY tile
+"""
+
+
+# --------------------------------------------------------------------------
+# Movement-direction octant histogram (exact integer bearings)
+# --------------------------------------------------------------------------
+# Movement anisotropy: each consecutive same-user leg contributes its
+# compass OCTANT, decided purely by integer sign/magnitude tests (no
+# atan2 anywhere): octants 0..7 = E, NE, N, NW, W, SW, S, SE under
+# half-open boundaries (|dx| > |dy| -> horizontal-dominant; ties go to
+# the diagonal; zero legs dropped). The same LAG machinery as
+# q_ping_speed, aggregated to an 8-row histogram — partial counts per
+# shard, bounded merge.
+
+def q_bearing_hist(sf_dir: str):
+    """(octant, n): global count of movement legs per compass octant."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum, sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        legs = np.r_[False, uid[1:] == uid[:-1]]
+        dx = np.r_[0, np.diff(x)][legs]
+        dy = np.r_[0, np.diff(y)][legs]
+        nz = (dx != 0) | (dy != 0)
+        dx, dy = dx[nz], dy[nz]
+        ax, ay = np.abs(dx), np.abs(dy)
+        diag = ax <= ay  # vertical-dominant or tie -> N/S/diagonal band
+        horiz = ay <= ax
+        octant = np.where(
+            horiz & ~diag, np.where(dx > 0, 0, 4),          # E / W
+            np.where(
+                diag & ~horiz, np.where(dy > 0, 2, 6),      # N / S
+                np.where(                                    # exact diagonal
+                    dy > 0, np.where(dx > 0, 1, 3),          # NE / NW
+                    np.where(dx > 0, 7, 5),                  # SE / SW
+                ),
+            ),
+        )
+        part = pd.DataFrame({"octant": octant.astype(np.int64)})
+        out = part.groupby("octant", as_index=False).agg(partial=("octant", "size"))
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(ev, "user_id", shard)
+    out = bounded_key_sum(parts, ["octant"], ["partial"],
+                          driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+                          out_names=["n"])
+    return out.map_batches(
+        lambda t: pa.table({"octant": pc.cast(t["octant"], pa.int64()),
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_BEARING_HIST = """
+WITH s AS (
+  SELECT user_id,
+         (event_id * 104729) % 36000 AS x,
+         (event_id * 7919) % 18000 AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+legs AS (
+  SELECT x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+)
+SELECT CASE
+         WHEN ABS(dy) < ABS(dx) AND dx > 0 THEN 0
+         WHEN ABS(dy) < ABS(dx) THEN 4
+         WHEN ABS(dx) < ABS(dy) AND dy > 0 THEN 2
+         WHEN ABS(dx) < ABS(dy) THEN 6
+         WHEN dy > 0 AND dx > 0 THEN 1
+         WHEN dy > 0 THEN 3
+         WHEN dx > 0 THEN 7
+         ELSE 5
+       END AS octant,
+       COUNT(*) AS n
+FROM legs
+WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
+GROUP BY 1 ORDER BY 1
+"""

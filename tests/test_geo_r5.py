@@ -699,3 +699,69 @@ class TestMoransI:
         checker = ((yy + xx) % 2).astype(np.int64)
         stripes = (xx // 8 % 2).astype(np.int64)
         assert moran(checker) < 0 < moran(stripes)
+
+
+class TestTileEntropy:
+    def test_scalar_reference(self, ray_session):
+        from collections import Counter
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            TE_LEVEL,
+            TE_SCALE,
+            q_tile_entropy,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "event_type"]
+        ).to_pandas()
+        eid = t["event_id"].to_numpy(np.int64)
+        ntx = 1 << TE_LEVEL
+        tile = (
+            ((eid * 7919) % 18000) // (18000 // (ntx >> 1))
+        ) * ntx + ((eid * 104729) % 36000) // (36000 // ntx)
+        c: Counter = Counter(zip(tile.tolist(), t["event_type"]))
+        per_tile: dict[int, list[int]] = {}
+        for (tl, _), v in c.items():
+            per_tile.setdefault(tl, []).append(v)
+        rows = []
+        for tl in sorted(per_tile):
+            cs = per_tile[tl]
+            n = sum(cs)
+            rows.append(
+                (tl, n, len(cs), ((n * n - sum(x * x for x in cs)) * TE_SCALE) // (n * n))
+            )
+        ref = pd.DataFrame(rows, columns=["tile", "n", "n_types", "gini_fp"]).astype(np.int64)
+        got = canon(q_tile_entropy(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+        assert (got["gini_fp"] < TE_SCALE).all() and (got["gini_fp"] >= 0).all()
+
+
+class TestBearingHist:
+    def test_octant_kernel_all_directions(self):
+        """Hand vectors covering all 8 octants plus ties map to the
+        documented octants (E NE N NW W SW S SE = 0..7)."""
+        # explicit cases: (dx, dy) -> octant
+        cases = [
+            (5, 1, 0), (1, 5, 2), (-5, 1, 4), (-1, -5, 6),
+            (5, 5, 1), (-5, 5, 3), (-5, -5, 5), (5, -5, 7),
+            (5, -1, 0), (-5, -1, 4), (-1, 5, 2), (1, -5, 6),
+        ]
+        for dx, dy, want in cases:
+            ax, ay = abs(dx), abs(dy)
+            if ay < ax:
+                got = 0 if dx > 0 else 4
+            elif ax < ay:
+                got = 2 if dy > 0 else 6
+            elif dy > 0:
+                got = 1 if dx > 0 else 3
+            else:
+                got = 7 if dx > 0 else 5
+            assert got == want, (dx, dy, got, want)
+
+    def test_totals_match_legs(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import q_bearing_hist, q_ping_speed
+
+        hist = q_bearing_hist(SF).to_pandas()
+        legs = int(q_ping_speed(SF).to_pandas()["n_legs"].sum())
+        assert int(hist["n"].sum()) == legs  # lattice has no zero legs
+        assert set(hist["octant"]) <= set(range(8))
