@@ -91,7 +91,7 @@ _GATE_ORDER = [
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
     "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
-    "bearing_hist",
+    "bearing_hist", "local_moran", "nn_distance",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -391,6 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": gq.q_morans_i,
         # per-tile Gini-Simpson diversity of the event-type mix
         "tile_entropy": gq.q_tile_entropy,
+        # LISA hot/cold-spot map (exact local-Moran numerator per cell)
+        "local_moran": gq.q_local_moran,
+        # Clark-Evans nearest-neighbor distance sums per tile
+        "nn_distance": gq.q_nn_distance,
         # exact integer octant histogram of movement directions
         "bearing_hist": gq.q_bearing_hist,
         # per-user geofence enter/exit transition stream
@@ -502,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_erode": gq.sql_cell_erode(),
         "morans_i": gq.sql_morans_i(),
         "tile_entropy": gq.SQL_TILE_ENTROPY,
+        "local_moran": gq.sql_local_moran(),
+        "nn_distance": gq.sql_nn_distance(),
         "bearing_hist": gq.SQL_BEARING_HIST,
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "morans_i",
     "tile_entropy",
     "bearing_hist",
+    "local_moran",
+    "nn_distance",
 ]
 
 

@@ -3273,3 +3273,182 @@ FROM legs
 WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Local Moran's I numerator map (LISA hot/cold-spot raster)
+# --------------------------------------------------------------------------
+# Anselin's Local Indicator of Spatial Association, the per-cell
+# companion of q_morans_i: I_i ∝ (x_i - m) * sum_{j in rook(i)}
+# (x_j - m). Cleared of the mean by the same N-scaling (m = S/N):
+#
+#   li_raw(i) = (N*x_i - S) * ( N * sum_{nonzero rook nbrs} x_j
+#                               - S * deg(i) )
+#
+# — zero neighbors enter ONLY through the -S*deg(i) closed form, so
+# the computation touches just the nonzero cell table. Positive
+# li_raw = cell agrees with its neighborhood (hot-hot or cold-cold),
+# negative = spatial outlier. Output one row per NONZERO cell
+# (standardization by the global variance is a constant factor,
+# q_morans_i's den_raw — left unapplied so the map stays integral).
+# Same grid/adjacency contract as q_morans_i (lon wraps, lat clamps);
+# Python big ints in the grid-bounded finalize.
+
+def q_local_moran(sf_dir: str):
+    """(cell_rm, x, li_raw): count and exact integer local-Moran
+    numerator for every nonzero cell."""
+    counts = _smooth_counts(sf_dir)
+    nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+    N = nx * ny
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        iy, ix = key // nx, key % nx
+        grid[iy, ix] = n
+        S = int(n.sum())
+        og = grid.astype(object)
+        nbr = np.roll(og, 1, axis=1) + np.roll(og, -1, axis=1)
+        nbr[1:] += og[:-1]
+        nbr[:-1] += og[1:]
+        deg = np.full((ny, nx), 4, dtype=np.int64)
+        deg[0, :] -= 1
+        deg[-1, :] -= 1
+        li = (og[iy, ix] * N - S) * (nbr[iy, ix] * N - S * deg[iy, ix])
+        return pa.table(
+            {
+                "cell_rm": key,
+                "x": n,
+                "li_raw": pa.array([int(v) for v in li], pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def sql_local_moran() -> str:
+    nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+    N = nx * ny
+    return f"""
+WITH c AS (
+  SELECT iy, ix, CAST(COUNT(*) AS HUGEINT) AS x
+  FROM ({_sql_fine_cells(MORAN_LEVEL).replace("SELECT DISTINCT", "SELECT")})
+  GROUP BY 1, 2
+),
+s AS (SELECT CAST(SUM(x) AS HUGEINT) AS S FROM c),
+o(dy, dx) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)),
+nz AS (
+  SELECT a.iy, a.ix,
+         CAST(COALESCE(SUM(b.x), 0) AS HUGEINT) AS nbr
+  FROM c a
+  CROSS JOIN o
+  LEFT JOIN c b ON b.iy = a.iy + o.dy
+               AND b.ix = (a.ix + o.dx + {nx}) % {nx}
+               AND a.iy + o.dy >= 0 AND a.iy + o.dy < {ny}
+  GROUP BY 1, 2
+)
+SELECT CAST(c.iy * {nx} + c.ix AS BIGINT) AS cell_rm,
+       CAST(c.x AS BIGINT) AS x,
+       CAST((c.x * {N} - s.S)
+            * (nz.nbr * {N}
+               - s.S * (4 - CASE WHEN c.iy = 0 THEN 1 ELSE 0 END
+                          - CASE WHEN c.iy = {ny - 1} THEN 1 ELSE 0 END))
+            AS BIGINT) AS li_raw
+FROM c JOIN nz ON nz.iy = c.iy AND nz.ix = c.ix
+CROSS JOIN s
+ORDER BY cell_rm
+"""
+
+
+# --------------------------------------------------------------------------
+# Nearest-neighbor distance sums per tile (Clark-Evans numerator)
+# --------------------------------------------------------------------------
+# The point-pattern clustering statistic (Clark & Evans 1954): the
+# mean distance from each point to its nearest neighbor, compared to
+# the expectation under CSR. Computed here as the exact integer
+# numerator per tile — nn_sum_fp = sum over points of
+# isqrt(d2min * 10^4) (fixed-point e2*10^2 lattice distance, exact
+# math.isqrt; the SQL side uses the ±1-corrected float-seeded isqrt
+# idiom of sql_shape_length — seed error ≪ 1 at d2*10^4 ≲ 1.6e13).
+# NN search is TILE-BOUNDED (each point's neighbor set is its tile,
+# the same partitioning contract as q_segment_crossings — a real
+# engine's grid-blocked NN with halo exchange would widen the
+# neighborhood; the tile-local definition keeps the oracle exact).
+# Tile-hash shuffle, O(L^2) vectorized min per tile, SX_MAX_TILE
+# occupancy guard shared with segment_crossings.
+
+def q_nn_distance(sf_dir: str):
+    """(tile, n_pts, nn_sum_fp) for tiles holding >= 2 points."""
+    import math
+
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def synth(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        ntx = 1 << SX_TILE_LEVEL
+        tile = (y // (18000 // (ntx >> 1))) * ntx + x // (36000 // ntx)
+        return pd.DataFrame({"tile": tile, "x": x, "y": y})
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile", kind="mergesort")
+        tile = g["tile"].to_numpy(np.int64)
+        x, y = g["x"].to_numpy(np.int64), g["y"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        lengths = np.diff(np.r_[starts, len(g)])
+        if lengths.size and int(lengths.max()) > SX_MAX_TILE:
+            raise ValueError(
+                f"tile occupancy {int(lengths.max())} > {SX_MAX_TILE}; "
+                "raise SX_TILE_LEVEL to keep NN search bounded"
+            )
+        rows = []
+        for s, ln in zip(starts, lengths):
+            if ln < 2:
+                continue
+            px, py = x[s:s + ln], y[s:s + ln]
+            d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+            np.fill_diagonal(d2, np.iinfo(np.int64).max)
+            mins = d2.min(axis=1)
+            nn_sum = sum(math.isqrt(int(m) * 10_000) for m in mins)
+            rows.append((int(tile[s]), int(ln), nn_sum))
+        return pd.DataFrame(
+            rows, columns=["tile", "n_pts", "nn_sum_fp"]
+        ).astype(np.int64)
+
+    pts = ev.map_batches(synth, batch_format="pandas")
+    return sharded_map_groups(pts, "tile", shard)
+
+
+def sql_nn_distance() -> str:
+    ntx = 1 << SX_TILE_LEVEL
+    r0 = "CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS HUGEINT)"
+    corr = (f"{r0} - CASE WHEN {r0} * {r0} > v THEN 1 ELSE 0 END"
+            f" + CASE WHEN ({r0} + 1) * ({r0} + 1) <= v THEN 1 ELSE 0 END")
+    return f"""
+WITH pt AS (
+  SELECT event_id AS pid,
+         (event_id * 104729) % 36000 AS x,
+         (event_id * 7919) % 18000 AS y,
+         (((event_id * 7919) % 18000) // {18000 // (ntx >> 1)}) * {ntx}
+           + ((event_id * 104729) % 36000) // {36000 // ntx} AS tile
+  FROM events
+),
+nn AS (
+  SELECT a.tile, a.pid,
+         CAST(MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+              AS HUGEINT) * 10000 AS v
+  FROM pt a JOIN pt b ON a.tile = b.tile AND a.pid <> b.pid
+  GROUP BY 1, 2
+)
+SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM({corr}) AS BIGINT) AS nn_sum_fp
+FROM nn GROUP BY tile ORDER BY tile
+"""

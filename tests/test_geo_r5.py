@@ -765,3 +765,122 @@ class TestBearingHist:
         legs = int(q_ping_speed(SF).to_pandas()["n_legs"].sum())
         assert int(hist["n"].sum()) == legs  # lattice has no zero legs
         assert set(hist["octant"]) <= set(range(8))
+
+
+class TestLocalMoran:
+    def test_scalar_reference(self, ray_session):
+        """Textbook mean-centered local Moran per nonzero cell (float),
+        compared against the N^2-scaled integer numerator."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            MORAN_LEVEL,
+            _synth_latlon,
+            q_local_moran,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        grid = np.zeros((ny, nx), dtype=np.float64)
+        np.add.at(grid, (iy, ix), 1.0)
+        m = grid.mean()
+        z = grid - m
+        nbr = np.roll(z, 1, axis=1) + np.roll(z, -1, axis=1)
+        nbr[1:] += z[:-1]
+        nbr[:-1] += z[1:]
+        # clamp rows: rolls above already exclude out-of-grid, but the
+        # mean-centered zeros of missing vertical neighbors must NOT
+        # appear — verify against the integer op on nonzero cells
+        got = q_local_moran(SF).to_pandas().sort_values("cell_rm")
+        N = nx * ny
+        for _, r in got.head(200).iterrows():
+            cy, cx = int(r["cell_rm"]) // nx, int(r["cell_rm"]) % nx
+            li_float = z[cy, cx] * nbr[cy, cx]
+            assert abs(r["li_raw"] / (N * N) - li_float) < 1e-6
+
+    def test_lisa_decomposition(self, ray_session):
+        """Classic LISA identity: the GLOBAL Moran numerator equals the
+        sum of local numerators over the FULL grid (zero cells
+        included). Rebuild the zero-cell part exactly in integers and
+        check against q_morans_i's num_raw."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            MORAN_LEVEL,
+            _synth_latlon,
+            q_local_moran,
+            q_morans_i,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << MORAN_LEVEL, 1 << (MORAN_LEVEL - 1)
+        N = nx * ny
+        SW = 2 * (ny * nx + (ny - 1) * nx)
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        np.add.at(grid, (iy, ix), 1)
+        S = int(grid.sum())
+        og = grid.astype(object)
+        nbr = np.roll(og, 1, axis=1) + np.roll(og, -1, axis=1)
+        nbr[1:] += og[:-1]
+        nbr[:-1] += og[1:]
+        deg = np.full((ny, nx), 4, dtype=object)
+        deg[0, :] -= 1
+        deg[-1, :] -= 1
+        li_full = (og * N - S) * (nbr * N - S * deg)
+        # (a) op rows match the nonzero cells of the full-grid map
+        got = q_local_moran(SF).to_pandas()
+        for _, r in got.iterrows():
+            cy, cx = int(r["cell_rm"]) // nx, int(r["cell_rm"]) % nx
+            assert int(li_full[cy, cx]) == int(r["li_raw"])
+        # (b) full-grid sum reproduces the global Moran numerator:
+        # i_fp = floor(1e6 * N * sum(li_full) / (SW * den_raw))
+        Q = int((og ** 2).sum())
+        den_raw = N * N * Q - N * S * S
+        want_i_fp = (10**6 * N * int(li_full.sum())) // (SW * den_raw)
+        assert int(q_morans_i(SF).to_pandas()["i_fp"].iloc[0]) == want_i_fp
+
+
+class TestNnDistance:
+    def test_brute_reference(self, ray_session):
+        import math
+        from collections import defaultdict
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            SX_TILE_LEVEL,
+            q_nn_distance,
+        )
+        import pyarrow.parquet as pq
+
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy().astype(np.int64)
+        x = (eid * 104729) % 36000
+        y = (eid * 7919) % 18000
+        ntx = 1 << SX_TILE_LEVEL
+        tile = (y // (18000 // (ntx >> 1))) * ntx + x // (36000 // ntx)
+        pts = defaultdict(list)
+        for t, a, b in zip(tile.tolist(), x.tolist(), y.tolist()):
+            pts[t].append((a, b))
+        rows = []
+        for t in sorted(pts):
+            P = pts[t]
+            if len(P) < 2:
+                continue
+            s = 0
+            for i, p in enumerate(P):
+                d2 = min(
+                    (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                    for j, q in enumerate(P) if j != i
+                )
+                s += math.isqrt(d2 * 10_000)
+            rows.append((t, len(P), s))
+        ref = pd.DataFrame(rows, columns=["tile", "n_pts", "nn_sum_fp"]).astype(np.int64)
+        got = canon(q_nn_distance(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
