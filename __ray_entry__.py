@@ -91,7 +91,8 @@ _GATE_ORDER = [
     "user_envelope", "interarrival_hist", "knn_graph", "trajectory_dtw",
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
     "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
-    "bearing_hist", "local_moran", "nn_distance",
+    "bearing_hist", "local_moran", "nn_distance", "cell_trend",
+    "mutual_knn",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -395,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": gq.q_local_moran,
         # Clark-Evans nearest-neighbor distance sums per tile
         "nn_distance": gq.q_nn_distance,
+        # per-cell daily-count trend (emerging hot-spot primitive)
+        "cell_trend": gq.q_cell_trend,
+        # mutual top-K cosine neighbor pairs (clustering-graph edges)
+        "mutual_knn": sq.q_mutual_knn,
         # exact integer octant histogram of movement directions
         "bearing_hist": gq.q_bearing_hist,
         # per-user geofence enter/exit transition stream
@@ -508,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_entropy": gq.SQL_TILE_ENTROPY,
         "local_moran": gq.sql_local_moran(),
         "nn_distance": gq.sql_nn_distance(),
+        "cell_trend": gq.sql_cell_trend(),
+        "mutual_knn": sq.SQL_MUTUAL_KNN,
         "bearing_hist": gq.SQL_BEARING_HIST,
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),

@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "bearing_hist",
     "local_moran",
     "nn_distance",
+    "cell_trend",
+    "mutual_knn",
 ]
 
 

@@ -3452,3 +3452,109 @@ SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_pts,
        CAST(SUM({corr}) AS BIGINT) AS nn_sum_fp
 FROM nn GROUP BY tile ORDER BY tile
 """
+
+
+# --------------------------------------------------------------------------
+# Per-cell temporal trend (emerging hot-spot analysis primitive)
+# --------------------------------------------------------------------------
+# The space-time-cube trend step (ArcGIS "emerging hot spots", lite):
+# for each grid cell, the least-squares slope of its DAILY event
+# counts over the fixed TREND_DAYS-day window —
+#
+#   slope = (T * sum_t(t * x_t) - (sum t) * S_cell) / (T * sum t^2 -
+#           (sum t)^2)
+#
+# Days with zero events enter only through the closed-form constants
+# (their x_t = 0 kills their product terms), so only nonzero
+# (cell, day) rows are ever touched; the denominator is a window
+# constant. Exact fixed point: slope_fp = floor(num * 10^6 / den)
+# with Python floor on the engine side and the canonical-residue
+# floor-division identity in SQL (num may be negative — the
+# q_morans_i fix). One (cell, day) shuffle with map-side combine,
+# then a grid-bounded per-cell finalize.
+
+TREND_DAYS = 30
+TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+TREND_SCALE = 10**6
+TREND_LEVEL = 6  # 64 x 32 cells — dense enough for per-day series
+
+
+def q_cell_trend(sf_dir: str):
+    """(cell_rm, n_events, n_days, slope_fp): total count, distinct
+    active days, and exact fixed-point daily-count trend per cell."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    nx, ny = 1 << TREND_LEVEL, 1 << (TREND_LEVEL - 1)
+    T = TREND_DAYS
+    st = T * (T - 1) // 2                      # sum of t over 0..T-1
+    st2 = (T - 1) * T * (2 * T - 1) // 6       # sum of t^2
+    den = T * st2 - st * st
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        lat = ((eid * 7919) % 18000) / 100.0 - 90.0
+        lon = ((eid * 104729) % 36000) / 100.0 - 180.0
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        tu = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day = (tu - TREND_EPOCH_US) // 86_400_000_000
+        part = pd.DataFrame(
+            {"cell_rm": iy * nx + ix, "day": day, "c": np.ones(len(b), np.int64)}
+        )
+        return part.groupby(["cell_rm", "day"], sort=False, as_index=False).sum()
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell_rm", "day"], sort=False, as_index=False)["c"].sum()
+        rows = []
+        for cell, gc in g.groupby("cell_rm", sort=False):
+            s = int(gc["c"].sum())
+            stx = sum(int(d) * int(c) for d, c in zip(gc["day"], gc["c"]))
+            num = (T * stx - st * s) * TREND_SCALE
+            rows.append((int(cell), s, len(gc), num // den))
+        return pd.DataFrame(
+            rows, columns=["cell_rm", "n_events", "n_days", "slope_fp"]
+        ).astype(np.int64)
+
+    return sharded_map_groups(ev, "cell_rm", finalize, local_pre=pre)
+
+
+def sql_cell_trend() -> str:
+    nx, ny = 1 << TREND_LEVEL, 1 << (TREND_LEVEL - 1)
+    T = TREND_DAYS
+    st = T * (T - 1) // 2
+    st2 = (T - 1) * T * (2 * T - 1) // 6
+    den = T * st2 - st * st
+    return f"""
+WITH cd AS (
+  SELECT LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * {ny}) AS BIGINT), {ny - 1})
+           * {nx}
+         + LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * {nx}) AS BIGINT), {nx - 1})
+           AS cell_rm,
+         day, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (
+    SELECT {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon,
+           (epoch_us(ts) - {TREND_EPOCH_US}) // 86400000000 AS day
+    FROM events
+  )
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT cell_rm, CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(day * c) AS HUGEINT) AS stx
+  FROM cd GROUP BY cell_rm
+)
+SELECT cell_rm, CAST(s AS BIGINT) AS n_events, n_days,
+       CAST((num - (((num % {den}) + {den}) % {den})) // {den} AS BIGINT)
+         AS slope_fp
+FROM (
+  SELECT cell_rm, s, n_days,
+         ({T} * stx - {st} * s) * {TREND_SCALE} AS num
+  FROM agg
+)
+ORDER BY cell_rm
+"""

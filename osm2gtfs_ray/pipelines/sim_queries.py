@@ -1557,3 +1557,63 @@ SELECT CAST(tp + fp AS BIGINT) AS n_pred, CAST(tp + fn AS BIGINT) AS n_gold,
        CAST(tp * 1000000 // GREATEST(tp + fn, 1) AS BIGINT) AS recall_e6
 FROM conf
 """
+
+
+# --------------------------------------------------------------------------
+# Mutual kNN pairs (the clustering-graph edge set)
+# --------------------------------------------------------------------------
+# Edges where BOTH endpoints list each other in their top-K cosine
+# neighbors — the symmetric graph mutual-kNN clustering and
+# outlier-robust dedup build on (a one-sided kNN edge to a hub is not
+# evidence of similarity; a mutual one is). Composes q_knn_graph:
+# normalize each directed edge to (lo, hi), one pair-key shuffle,
+# keep pairs seen from both sides. Output keeps the e6 similarity
+# (identical for both directions by symmetry of cosine).
+
+def q_mutual_knn(sf_dir: str):
+    """(a, b, sim_e6): unordered pairs that are mutual top-K cosine
+    neighbors."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    edges = q_knn_graph(sf_dir)
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(b["vec_id"].to_numpy(np.int64), b["nbr_id"].to_numpy(np.int64))
+        hi = np.maximum(b["vec_id"].to_numpy(np.int64), b["nbr_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"a": lo, "b": hi, "sim_e6": b["sim_e6"].to_numpy(np.int64)}
+        )
+
+    def keep_mutual(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).agg(
+            sim_e6=("sim_e6", "max"), n=("sim_e6", "size")
+        )
+        out = out[out["n"] == 2].drop(columns="n")
+        return out.astype(np.int64)
+
+    return sharded_map_groups(edges, ["a", "b"], keep_mutual, local_pre=norm)
+
+
+SQL_MUTUAL_KNN = f"""
+WITH knn AS (
+  SELECT vec_id, nbr_id, sim_e6 FROM (
+    SELECT a.vec_id, b.vec_id AS nbr_id,
+           CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))
+                      * 1000000) AS BIGINT) AS sim_e6,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[]))
+                            * 1000000) DESC, b.vec_id
+           ) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  ) WHERE rnk <= {KNN_GRAPH_K}
+)
+SELECT x.vec_id AS a, x.nbr_id AS b, x.sim_e6
+FROM knn x JOIN knn y ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id
+WHERE x.vec_id < x.nbr_id
+ORDER BY a, b
+"""

@@ -884,3 +884,65 @@ class TestNnDistance:
         ref = pd.DataFrame(rows, columns=["tile", "n_pts", "nn_sum_fp"]).astype(np.int64)
         got = canon(q_nn_distance(SF).to_pandas()).astype(np.int64)
         assert canon(ref).equals(got)
+
+
+class TestCellTrend:
+    def test_scalar_reference(self, ray_session):
+        from collections import defaultdict
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            TREND_DAYS,
+            TREND_EPOCH_US,
+            TREND_LEVEL,
+            TREND_SCALE,
+            _synth_latlon,
+            q_cell_trend,
+        )
+        import pyarrow.parquet as pq
+
+        nx, ny = 1 << TREND_LEVEL, 1 << (TREND_LEVEL - 1)
+        t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"])
+        eid = t["event_id"].to_numpy()
+        lat, lon = _synth_latlon(eid)
+        ix = np.minimum(((lon + 180.0) / 360.0 * nx).astype(np.int64), nx - 1)
+        iy = np.minimum(((lat + 90.0) / 180.0 * ny).astype(np.int64), ny - 1)
+        day = (
+            t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - TREND_EPOCH_US
+        ) // 86_400_000_000
+        cd = defaultdict(int)
+        for c, d in zip((iy * nx + ix).tolist(), day.tolist()):
+            cd[(c, d)] += 1
+        T = TREND_DAYS
+        st, st2 = T * (T - 1) // 2, (T - 1) * T * (2 * T - 1) // 6
+        den = T * st2 - st * st
+        agg = defaultdict(lambda: [0, 0, 0])  # s, n_days, stx
+        for (c, d), n in cd.items():
+            agg[c][0] += n
+            agg[c][1] += 1
+            agg[c][2] += d * n
+        rows = [
+            (c, s, nd, ((T * stx - st * s) * TREND_SCALE) // den)
+            for c, (s, nd, stx) in sorted(agg.items())
+        ]
+        ref = pd.DataFrame(
+            rows, columns=["cell_rm", "n_events", "n_days", "slope_fp"]
+        ).astype(np.int64)
+        got = canon(q_cell_trend(SF).to_pandas()).astype(np.int64)
+        assert canon(ref).equals(got)
+        assert (got["slope_fp"] < 0).any() and (got["slope_fp"] > 0).any()
+
+
+class TestMutualKnn:
+    def test_subset_and_symmetry(self, ray_session):
+        """Mutual pairs are a subset of the kNN edge set in BOTH
+        directions, and brute mutual reconstruction matches."""
+        from osm2gtfs_ray.pipelines.sim_queries import q_knn_graph, q_mutual_knn
+
+        knn = q_knn_graph(SF).to_pandas()
+        directed = set(zip(knn["vec_id"], knn["nbr_id"]))
+        got = q_mutual_knn(SF).to_pandas()
+        assert len(got) > 0
+        for a, b in zip(got["a"], got["b"]):
+            assert a < b and (a, b) in directed and (b, a) in directed
+        want = {(min(a, b), max(a, b)) for a, b in directed if (b, a) in directed}
+        assert set(zip(got["a"], got["b"])) == want
