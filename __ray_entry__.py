@@ -92,7 +92,7 @@ _GATE_ORDER = [
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
     "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
     "bearing_hist", "local_moran", "nn_distance", "cell_trend",
-    "mutual_knn",
+    "mutual_knn", "type_transitions",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_trend": gq.q_cell_trend,
         # mutual top-K cosine neighbor pairs (clustering-graph edges)
         "mutual_knn": sq.q_mutual_knn,
+        # first-order Markov transition counts of event types
+        "type_transitions": aq.q_type_transitions,
         # exact integer octant histogram of movement directions
         "bearing_hist": gq.q_bearing_hist,
         # per-user geofence enter/exit transition stream
@@ -515,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_distance": gq.sql_nn_distance(),
         "cell_trend": gq.sql_cell_trend(),
         "mutual_knn": sq.SQL_MUTUAL_KNN,
+        "type_transitions": aq.SQL_TYPE_TRANSITIONS,
         "bearing_hist": gq.SQL_BEARING_HIST,
         "geofence_transitions": gq.sql_geofence_transitions(),
         "ping_speed": gq.sql_ping_speed(),

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "nn_distance",
     "cell_trend",
     "mutual_knn",
+    "type_transitions",
 ]
 
 

@@ -1518,3 +1518,66 @@ FROM (
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# --------------------------------------------------------------------------
+# The behavior-model counterpart of q_event_sequences: how often does
+# a user's event of type A immediately precede one of type B — the
+# transition-count matrix that seeds Markov session models and
+# next-action features (and the ordered counterpart of q_type_lift's
+# unordered co-occurrence). Same one-user-hash-shuffle LAG machinery
+# as q_ping_speed; the (from_type, to_type) merge is bounded by the
+# type-vocabulary square.
+
+def q_type_transitions(sf_dir: str):
+    """(from_type, to_type, n): count of consecutive same-user event
+    pairs, ordered by (ts, event_id)."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum, sharded_map_groups
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "event_id", "ts"])
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy()
+        legs = np.r_[False, uid[1:] == uid[:-1]]
+        part = pd.DataFrame(
+            {"from_type": np.r_[[""], typ[:-1]][legs], "to_type": typ[legs]}
+        )
+        out = part.groupby(["from_type", "to_type"], sort=False,
+                           as_index=False).agg(partial=("to_type", "size"))
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    parts = sharded_map_groups(ev, "user_id", shard)
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    out = bounded_key_sum(parts, ["from_type", "to_type"], ["partial"],
+                          driver=n_rows <= 200_000, out_names=["n"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "from_type": t["from_type"],
+            "to_type": t["to_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TYPE_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

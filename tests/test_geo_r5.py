@@ -946,3 +946,30 @@ class TestMutualKnn:
             assert a < b and (a, b) in directed and (b, a) in directed
         want = {(min(a, b), max(a, b)) for a, b in directed if (b, a) in directed}
         assert set(zip(got["a"], got["b"])) == want
+
+
+class TestTypeTransitions:
+    def test_scalar_reference(self, ray_session):
+        from collections import Counter
+        from osm2gtfs_ray.pipelines.analytics_queries import q_type_transitions
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_type", "event_id", "ts"],
+        ).to_pandas()
+        t = t.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c: Counter = Counter()
+        for _, g in t.groupby("user_id"):
+            types = g["event_type"].tolist()
+            for a, b in zip(types, types[1:]):
+                c[(a, b)] += 1
+        ref = pd.DataFrame(
+            [(a, b, n) for (a, b), n in sorted(c.items())],
+            columns=["from_type", "to_type", "n"],
+        )
+        got = canon(q_type_transitions(SF).to_pandas())
+        ref = canon(ref)
+        assert ref["from_type"].tolist() == got["from_type"].tolist()
+        assert ref["to_type"].tolist() == got["to_type"].tolist()
+        assert ref["n"].tolist() == got["n"].astype(int).tolist()
