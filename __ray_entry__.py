@@ -92,7 +92,7 @@ _GATE_ORDER = [
     "dedup_eval", "zorder_scan", "event_sequences", "hull_points",
     "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
     "bearing_hist", "local_moran", "nn_distance", "cell_trend",
-    "mutual_knn", "type_transitions",
+    "mutual_knn", "type_transitions", "shape_densify",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -398,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_distance": gq.q_nn_distance,
         # per-cell daily-count trend (emerging hot-spot primitive)
         "cell_trend": gq.q_cell_trend,
+        # fixed-interval polyline densification (inverse of DP simplify)
+        "shape_densify": gq.q_shape_densify,
         # mutual top-K cosine neighbor pairs (clustering-graph edges)
         "mutual_knn": sq.q_mutual_knn,
         # first-order Markov transition counts of event types
@@ -516,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "local_moran": gq.sql_local_moran(),
         "nn_distance": gq.sql_nn_distance(),
         "cell_trend": gq.sql_cell_trend(),
+        "shape_densify": gq.sql_shape_densify(),
         "mutual_knn": sq.SQL_MUTUAL_KNN,
         "type_transitions": aq.SQL_TYPE_TRANSITIONS,
         "bearing_hist": gq.SQL_BEARING_HIST,

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "cell_trend",
     "mutual_knn",
     "type_transitions",
+    "shape_densify",
 ]
 
 

@@ -3558,3 +3558,114 @@ FROM (
 )
 ORDER BY cell_rm
 """
+
+
+# --------------------------------------------------------------------------
+# Polyline densification at a fixed interval (inverse of DP simplify)
+# --------------------------------------------------------------------------
+# The shape-point emitter's refinement step (reference: shape builders
+# emit per-vertex GTFS shape rows; real feeds densify long segments so
+# map renderers and stop-snapping see bounded gaps): every consecutive
+# segment is split into m = 1 + seg_len // DENSIFY_D equal parametric
+# parts and the interior points are emitted alongside the segment
+# start. Exact integers end to end: seg_len is the corrected isqrt
+# (sql_shape_length idiom) and each interpolated coordinate is
+# x + floor(dx * j / m) — numpy's int64 // floors, and the SQL side
+# applies the canonical-residue floor identity because dx may be
+# negative (the q_morans_i rule). Per-shape final vertices are not
+# re-emitted (each row belongs to the segment it subdivides). One
+# shape-hash shuffle; the expansion factor is bounded by
+# max_seg/DENSIFY_D.
+
+DENSIFY_D = 2000  # e4 units (0.2 deg) between interpolated points
+
+
+def q_shape_densify(sf_dir: str):
+    """(shape_id, seq, j, x_e4, y_e4): segment-start (j=0) plus
+    interior points j=1..m-1 for every consecutive shape segment."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        sid, seq, x, y = synth_shape_points(t["event_id"].to_numpy())
+        return pa.table({"shape_id": sid, "seq": seq, "x_e4": x, "y_e4": y})
+
+    pts = ev.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shape_id", "seq"], kind="mergesort")
+        sid = g["shape_id"].to_numpy(np.int64)
+        seq = g["seq"].to_numpy(np.int64)
+        x = g["x_e4"].to_numpy(np.int64)
+        y = g["y_e4"].to_numpy(np.int64)
+        m = (sid[1:] == sid[:-1]) & (seq[1:] == seq[:-1] + 1)
+        i = np.flatnonzero(m)
+        dx, dy = x[i + 1] - x[i], y[i + 1] - y[i]
+        d2 = dx * dx + dy * dy
+        r = np.floor(np.sqrt(d2.astype(np.float64))).astype(np.int64)
+        r = r - (r * r > d2) + ((r + 1) * (r + 1) <= d2)
+        parts = 1 + r // DENSIFY_D
+        total = int(parts.sum())
+        rep = np.repeat(np.arange(len(i)), parts)
+        j = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(parts) - parts, parts
+        )
+        mm = parts[rep]
+        out = pd.DataFrame(
+            {
+                "shape_id": sid[i][rep],
+                "seq": seq[i][rep],
+                "j": j,
+                "x_e4": x[i][rep] + (dx[rep] * j) // mm,  # int64 //: floor
+                "y_e4": y[i][rep] + (dy[rep] * j) // mm,
+            }
+        )
+        return out.astype(np.int64)
+
+    return sharded_map_groups(pts, "shape_id", densify)
+
+
+def sql_shape_densify() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    base_y = _s_uint("sidu", _S_SLAT, 1_200_000)
+    base_x = _s_uint("sidu", _S_SLON, 3_400_000)
+    wy = _s_uint("eid", _S_WLAT, _WANDER)
+    wx = _s_uint("eid", _S_WLON, _WANDER)
+    d2 = ("(CAST(b.x_e4 - a.x_e4 AS BIGINT) * (b.x_e4 - a.x_e4)"
+          " + CAST(b.y_e4 - a.y_e4 AS BIGINT) * (b.y_e4 - a.y_e4))")
+    r0 = f"CAST(FLOOR(SQRT(CAST({d2} AS DOUBLE))) AS BIGINT)"
+    rlen = (f"{r0} - CASE WHEN {r0} * {r0} > {d2} THEN 1 ELSE 0 END"
+            f" + CASE WHEN ({r0} + 1) * ({r0} + 1) <= {d2} THEN 1 ELSE 0 END")
+    fdx = "(dx * j - (((dx * j) % m + m) % m)) // m"
+    fdy = "(dy * j - (((dy * j) % m + m) % m)) // m"
+    return f"""
+WITH raw AS (
+  SELECT CAST(event_id AS UBIGINT) AS eid,
+         CAST(CAST(event_id % {N_SHAPES} AS BIGINT) AS UBIGINT) AS sidu,
+         CAST(event_id % {N_SHAPES} AS BIGINT) AS shape_id,
+         CAST(event_id // {N_SHAPES} AS BIGINT) AS seq
+  FROM events WHERE event_id // {N_SHAPES} < {SHAPE_PTS}
+),
+pts AS MATERIALIZED (
+  SELECT shape_id, seq,
+         ({base_x}) - 1700000 + ({wx}) - 5000 AS x_e4,
+         ({base_y}) - 600000 + ({wy}) - 5000 AS y_e4
+  FROM raw
+),
+seg AS (
+  SELECT a.shape_id, a.seq, a.x_e4, a.y_e4,
+         CAST(b.x_e4 - a.x_e4 AS BIGINT) AS dx,
+         CAST(b.y_e4 - a.y_e4 AS BIGINT) AS dy,
+         1 + ({rlen}) // {DENSIFY_D} AS m
+  FROM pts a JOIN pts b ON b.shape_id = a.shape_id AND b.seq = a.seq + 1
+)
+SELECT shape_id, seq, CAST(j AS BIGINT) AS j,
+       CAST(x_e4 + {fdx} AS BIGINT) AS x_e4,
+       CAST(y_e4 + {fdy} AS BIGINT) AS y_e4
+FROM (SELECT *, unnest(generate_series(0, m - 1)) AS j FROM seg)
+ORDER BY shape_id, seq, j
+"""

