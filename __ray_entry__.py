@@ -95,6 +95,7 @@ _GATE_ORDER = [
     "mutual_knn", "type_transitions", "shape_densify",
     # -- tier 1d: added in r5 continuation, never driver-checked
     "ripley_k", "envelope_overlaps", "quadkey_counts", "raster_lines",
+    "lcss_similarity", "hausdorff_pairs",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -152,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm2gtfs_ray.pipelines import web_queries as wq
     from osm2gtfs_ray.pipelines import graph_queries as grq
     from osm2gtfs_ray.pipelines import spatstat_queries as sp
+    from osm2gtfs_ray.pipelines import trajsim_queries as ts
 
     q_spatial_join_rows = fo.q_spatial_join_rows
     q_tile_assignments = fo.q_tile_assignments
@@ -261,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_events": gq.q_nearest_events,
         # spatial statistics / PBSM joins / tiling (spatstat_queries)
         "ripley_k": sp.q_ripley_k,
+        "lcss_similarity": ts.q_lcss_similarity,
+        "hausdorff_pairs": ts.q_hausdorff_pairs,
         "envelope_overlaps": sp.q_envelope_overlaps,
         "quadkey_counts": sp.q_quadkey_counts,
         "raster_lines": sp.q_raster_lines,
@@ -490,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
     from osm2gtfs_ray.pipelines import web_queries as wq
     from osm2gtfs_ray.pipelines import graph_queries as grq
     from osm2gtfs_ray.pipelines import spatstat_queries as sp
+    from osm2gtfs_ray.pipelines import trajsim_queries as ts
 
     return {
         "media_decode": mq.sql_media_decode(),
@@ -519,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": gq.sql_stay_points(),
         "radius_gyration": gq.sql_radius_gyration(),
         "ripley_k": sp.sql_ripley_k(),
+        "lcss_similarity": ts.sql_lcss_similarity(),
+        "hausdorff_pairs": ts.sql_hausdorff_pairs(),
         "envelope_overlaps": sp.sql_envelope_overlaps(),
         "quadkey_counts": sp.sql_quadkey_counts(),
         "raster_lines": sp.sql_raster_lines(),

@@ -1,0 +1,247 @@
+"""Trajectory-similarity operators beyond DTW, with SQL oracles.
+
+Two classic trajectory measures complementing q_trajectory_dtw
+(geo_queries.py) — same deterministic setup so all three are directly
+comparable: trajectories are each user's first TRAJ_K events ordered
+by (ts, event_id) on the integer e2 lattice (x = eid*104729 % 36000,
+y = eid*7919 % 18000), ground distance Chebyshev (exact int), pairs
+the arithmetic (2m, 2m+1) rule. Reference analogue: the stop-sequence
+comparison the reference's itinerary builder performs when matching
+schedule stop lists to OSM stop sequences (osm2gtfs route matching).
+
+- LCSS (longest common subsequence with spatial tolerance eps;
+  Vlachos et al., ICDE 2002): the noise-robust alternative to DTW.
+  Exactness: the row recurrence c[i][j] = prev[j-1]+1 on a match else
+  max(prev[j], c[i][j-1]) factors into a RUNNING MAX per row — on a
+  match, prev[j-1]+1 dominates both alternatives (adjacent LCS cells
+  differ by <= 1), so c[i][j] = max_{t<=j} b[t] with b[t] =
+  prev[t-1]+1 if match(i,t) else prev[t]. Engine: one
+  np.maximum.accumulate per row; oracle: MAX() OVER (ORDER BY j)
+  unrolled to TRAJ_K CTEs — the q_trajectory_dtw min-plus-scan
+  discipline applied to the max-recurrence.
+- Discrete Hausdorff distance (directed both ways + symmetric): the
+  set-similarity measure (no ordering) behind shape-conflation QA.
+  max-of-min over the pair distance matrix; trivially exact.
+
+Scale shape (both): per-user top-K capping inside one user-hash
+shuffle, then ONE pair-key shuffle and an O(K^2) vectorized kernel
+per pair — the corpus never fans out; K bounds group memory. At
+100 TB the pair list comes from a candidate generator (co_travelers
+buckets) instead of the arithmetic rule, same two-shuffle plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from osm2gtfs_ray.sources.tables import read_table
+
+TRAJ_K = 12
+LCSS_EPS = 3000          # Chebyshev match tolerance, e2 units (30 deg/100)
+LCSS_SCALE = 10**6       # similarity fixed point
+
+
+def _topk_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """First TRAJ_K points per user by (ts, event_id) -> pair/role rows
+    (identical rule to q_trajectory_dtw's capping stage)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].to_numpy(np.int64)
+    n = len(g)
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    lengths = np.diff(np.r_[starts, n])
+    seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths) + 1
+    m = seq <= TRAJ_K
+    eid = g["event_id"].to_numpy(np.int64)[m]
+    return pd.DataFrame(
+        {
+            "pair": uid[m] // 2,
+            "role": uid[m] % 2,
+            "seq": seq[m],
+            "x": (eid * 104729) % 36000,
+            "y": (eid * 7919) % 18000,
+        }
+    )
+
+
+def _pair_matrices(gp: pd.DataFrame):
+    """(pair_id group) -> Chebyshev distance matrix + lengths, or None."""
+    a = gp[gp["role"] == 0]
+    b = gp[gp["role"] == 1]
+    if len(a) == 0 or len(b) == 0:
+        return None
+    ax, ay = a["x"].to_numpy(np.int64), a["y"].to_numpy(np.int64)
+    bx, by = b["x"].to_numpy(np.int64), b["y"].to_numpy(np.int64)
+    d = np.maximum(
+        np.abs(ax[:, None] - bx[None, :]), np.abs(ay[:, None] - by[None, :])
+    )
+    return d
+
+
+def _pts_pairs_sql() -> str:
+    """Shared CTE prefix: capped points, pair list, distance table."""
+    return f"""
+pts AS (
+  SELECT user_id, seq, x, y FROM (
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS seq,
+           (event_id * 104729) % 36000 AS x,
+           (event_id * 7919) % 18000 AS y
+    FROM events
+  ) WHERE seq <= {TRAJ_K}
+),
+n AS (SELECT user_id, MAX(seq) AS n FROM pts GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.n AS na, b.n AS nb
+  FROM n a JOIN n b ON b.user_id = a.user_id + 1
+  WHERE a.user_id % 2 = 0
+),
+d AS (
+  SELECT p.ua, pa.seq AS i, pb.seq AS j,
+         GREATEST(ABS(pa.x - pb.x), ABS(pa.y - pb.y)) AS d
+  FROM pairs p
+  JOIN pts pa ON pa.user_id = p.ua
+  JOIN pts pb ON pb.user_id = p.ub
+)"""
+
+
+# --------------------------------------------------------------------------
+# LCSS with spatial tolerance
+# --------------------------------------------------------------------------
+
+
+def q_lcss_similarity(sf_dir: str):
+    """(user_a, user_b, n_a, n_b, lcss, sim_fp): spatial-tolerance
+    LCSS length between users (2m, 2m+1) and lcss*1e6//min(n_a,n_b)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def lcss_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "role", "seq"], kind="mergesort")
+        rows = []
+        for pair_id, gp in g.groupby("pair", sort=False):
+            d = _pair_matrices(gp)
+            if d is None:
+                continue
+            m = d <= LCSS_EPS
+            na, nb = d.shape
+            c = np.zeros(nb, dtype=np.int64)
+            for i in range(na):
+                b = np.where(m[i], np.r_[0, c[:-1]] + 1, c)
+                c = np.maximum.accumulate(b)
+            lcss = int(c[-1])
+            rows.append(
+                (
+                    int(pair_id) * 2, int(pair_id) * 2 + 1,
+                    na, nb, lcss,
+                    lcss * LCSS_SCALE // min(na, nb),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["user_a", "user_b", "n_a", "n_b", "lcss", "sim_fp"],
+        ).astype(np.int64)
+
+    pts = sharded_map_groups(ev, "user_id", _topk_shard)
+    return sharded_map_groups(pts, "pair", lcss_shard).sort("user_a")
+
+
+def sql_lcss_similarity() -> str:
+    # Row CTEs: c_i[j] = running max of b[j]; b[j] = prev[j-1]+1 on a
+    # match (LAG of prior row, 0 at j=1) else prev[j]. Row 1 uses the
+    # implicit zero row 0.
+    rows = [f"""
+r1 AS (
+  SELECT ua, j, MAX(CASE WHEN d <= {LCSS_EPS} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY ua ORDER BY j ROWS UNBOUNDED PRECEDING) AS c
+  FROM d WHERE i = 1
+)"""]
+    for i in range(2, TRAJ_K + 1):
+        rows.append(f"""
+r{i} AS (
+  SELECT ua, j, MAX(b) OVER (
+           PARTITION BY ua ORDER BY j ROWS UNBOUNDED PRECEDING
+         ) AS c
+  FROM (
+    SELECT dd.ua, dd.j,
+           CASE WHEN dd.d <= {LCSS_EPS}
+                THEN COALESCE(LAG(p.c) OVER (
+                       PARTITION BY dd.ua ORDER BY dd.j), 0) + 1
+                ELSE p.c END AS b
+    FROM d dd JOIN r{i - 1} p ON p.ua = dd.ua AND p.j = dd.j
+    WHERE dd.i = {i}
+  )
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT p.ua AS user_a, p.ub AS user_b, p.na AS n_a, p.nb AS n_b, "
+        f"r.c AS lcss FROM pairs p JOIN r{i} r ON r.ua = p.ua AND r.j = p.nb "
+        f"WHERE p.na = {i}"
+        for i in range(1, TRAJ_K + 1)
+    )
+    return f"""
+WITH {_pts_pairs_sql().lstrip()},{",".join(rows)}
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(lcss AS BIGINT) AS lcss,
+       CAST((lcss * {LCSS_SCALE}) // LEAST(n_a, n_b) AS BIGINT) AS sim_fp
+FROM ({finals})
+ORDER BY user_a
+"""
+
+
+# --------------------------------------------------------------------------
+# Discrete Hausdorff distance (directed + symmetric)
+# --------------------------------------------------------------------------
+
+
+def q_hausdorff_pairs(sf_dir: str):
+    """(user_a, user_b, h_ab, h_ba, hausdorff): directed Chebyshev
+    Hausdorff distances between the capped point sets of users
+    (2m, 2m+1), and their max (the symmetric distance)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def haus_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "role", "seq"], kind="mergesort")
+        rows = []
+        for pair_id, gp in g.groupby("pair", sort=False):
+            d = _pair_matrices(gp)
+            if d is None:
+                continue
+            h_ab = int(d.min(axis=1).max())
+            h_ba = int(d.min(axis=0).max())
+            rows.append(
+                (
+                    int(pair_id) * 2, int(pair_id) * 2 + 1,
+                    h_ab, h_ba, max(h_ab, h_ba),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["user_a", "user_b", "h_ab", "h_ba", "hausdorff"]
+        ).astype(np.int64)
+
+    pts = sharded_map_groups(ev, "user_id", _topk_shard)
+    return sharded_map_groups(pts, "pair", haus_shard).sort("user_a")
+
+
+def sql_hausdorff_pairs() -> str:
+    return f"""
+WITH {_pts_pairs_sql().lstrip()},
+mins_a AS (SELECT ua, i, MIN(d) AS md FROM d GROUP BY ua, i),
+mins_b AS (SELECT ua, j, MIN(d) AS md FROM d GROUP BY ua, j),
+h AS (
+  SELECT a.ua, a.h_ab, b.h_ba
+  FROM (SELECT ua, MAX(md) AS h_ab FROM mins_a GROUP BY ua) a
+  JOIN (SELECT ua, MAX(md) AS h_ba FROM mins_b GROUP BY ua) b
+    ON b.ua = a.ua
+)
+SELECT CAST(p.ua AS BIGINT) AS user_a, CAST(p.ub AS BIGINT) AS user_b,
+       CAST(h.h_ab AS BIGINT) AS h_ab, CAST(h.h_ba AS BIGINT) AS h_ba,
+       CAST(GREATEST(h.h_ab, h.h_ba) AS BIGINT) AS hausdorff
+FROM pairs p JOIN h ON h.ua = p.ua
+ORDER BY user_a
+"""
