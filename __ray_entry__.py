@@ -95,7 +95,7 @@ _GATE_ORDER = [
     "mutual_knn", "type_transitions", "shape_densify",
     # -- tier 1d: added in r5 continuation, never driver-checked
     "ripley_k", "envelope_overlaps", "quadkey_counts", "raster_lines",
-    "lcss_similarity", "hausdorff_pairs",
+    "lcss_similarity", "hausdorff_pairs", "kde_density", "raster_regions",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_events": gq.q_nearest_events,
         # spatial statistics / PBSM joins / tiling (spatstat_queries)
         "ripley_k": sp.q_ripley_k,
+        "kde_density": sp.q_kde_density,
+        "raster_regions": sp.q_raster_regions,
         "lcss_similarity": ts.q_lcss_similarity,
         "hausdorff_pairs": ts.q_hausdorff_pairs,
         "envelope_overlaps": sp.q_envelope_overlaps,
@@ -524,6 +526,8 @@ def oracle_sql() -> dict[str, str]:
         "stay_points": gq.sql_stay_points(),
         "radius_gyration": gq.sql_radius_gyration(),
         "ripley_k": sp.sql_ripley_k(),
+        "kde_density": sp.sql_kde_density(),
+        "raster_regions": sp.sql_raster_regions(),
         "lcss_similarity": ts.sql_lcss_similarity(),
         "hausdorff_pairs": ts.sql_hausdorff_pairs(),
         "envelope_overlaps": sp.sql_envelope_overlaps(),

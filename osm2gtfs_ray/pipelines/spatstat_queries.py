@@ -452,6 +452,13 @@ FROM t GROUP BY 1 ORDER BY quadkey
 
 RAST_RES = 500  # e4 units per cell (0.05 deg)
 
+# Shared e2-lattice grid for the KDE / region operators below: the
+# (event_id * prime) % extent scatter used by quadkey/user_envelope,
+# bucketed at GRID_RES into a bounded GRID_NX x GRID_NY raster.
+GRID_RES = 500
+GRID_NX = 36000 // GRID_RES   # 72
+GRID_NY = 18000 // GRID_RES   # 36
+
 
 def q_raster_lines(sf_dir: str):
     """(cell_x, cell_y, n_hits): DDA-rasterized shape segment hits
@@ -560,4 +567,233 @@ hits AS (
 SELECT CAST(cell_x AS BIGINT) AS cell_x, CAST(cell_y AS BIGINT) AS cell_y,
        CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM hits GROUP BY 1, 2 ORDER BY cell_x, cell_y
+"""
+
+
+# --------------------------------------------------------------------------
+# Discrete KDE: triangular-kernel density surface over the event grid
+# --------------------------------------------------------------------------
+# The heatmap/kernel-density primitive (hotspot mapping, the weighted
+# generalization of q_cell_smooth's 3x3 box sum): every occupied cell
+# scatters its count to the (2*KDE_R+1)^2 neighborhood with integer
+# triangular weights w = KDE_R + 1 - chebyshev(offset), border-clipped
+# (no wrap). Distributed plan: per-batch cell partials (map-side
+# combine), 25-offset weighted emission over the BOUNDED cell partial
+# table, then a bounded-key sum — the corpus is touched exactly once
+# and the shuffle moves <= grid-size rows per block.
+
+KDE_R = 2  # kernel radius in cells; weights KDE_R+1 .. 1
+
+
+def q_kde_density(sf_dir: str):
+    """(cell_x, cell_y, kde): integer triangular-kernel density — sum
+    over events within Chebyshev ring KDE_R of (KDE_R+1 - ring)."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((eid * 104729) % 36000) // GRID_RES
+        cy = ((eid * 7919) % 18000) // GRID_RES
+        g = (
+            pa.table({"cell": cy * GRID_NX + cx})
+            .group_by("cell")
+            .aggregate([([], "count_all")])
+        )
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        n = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bx, by = cell % GRID_NX, cell // GRID_NX
+        ks, ws = [], []
+        for dx in range(-KDE_R, KDE_R + 1):
+            for dy in range(-KDE_R, KDE_R + 1):
+                gx, gy = bx + dx, by + dy
+                m = (gx >= 0) & (gx < GRID_NX) & (gy >= 0) & (gy < GRID_NY)
+                ks.append(gy[m] * GRID_NX + gx[m])
+                ws.append(n[m] * (KDE_R + 1 - max(abs(dx), abs(dy))))
+        out = (
+            pa.table({"cell": np.concatenate(ks), "w": np.concatenate(ws)})
+            .group_by("cell")
+            .aggregate([("w", "sum")])
+        )
+        return out.rename_columns(["cell", "partial"])
+
+    agg = bounded_key_sum(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "cell", ["partial"],
+        driver=_events_n(sf_dir) <= _GRID_DRIVER_ROWS,
+        out_names=["kde"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cell = (
+            pc.cast(t["cell"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "cell_x": cell % GRID_NX,
+                "cell_y": cell // GRID_NX,
+                "kde": pc.cast(t["kde"], pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["cell_x", "cell_y"])
+    )
+
+
+def sql_kde_density() -> str:
+    return f"""
+WITH cnt AS (
+  SELECT ((event_id * 104729) % 36000) // {GRID_RES} AS cx,
+         ((event_id * 7919) % 18000) // {GRID_RES} AS cy,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+hits AS (
+  SELECT c.cx + o1.dx AS cell_x, c.cy + o2.dy AS cell_y,
+         c.n * ({KDE_R + 1} - GREATEST(ABS(o1.dx), ABS(o2.dy))) AS w
+  FROM cnt c
+  CROSS JOIN generate_series(-{KDE_R}, {KDE_R}) o1(dx)
+  CROSS JOIN generate_series(-{KDE_R}, {KDE_R}) o2(dy)
+  WHERE c.cx + o1.dx BETWEEN 0 AND {GRID_NX - 1}
+    AND c.cy + o2.dy BETWEEN 0 AND {GRID_NY - 1}
+)
+SELECT CAST(cell_x AS BIGINT) AS cell_x, CAST(cell_y AS BIGINT) AS cell_y,
+       CAST(SUM(w) AS BIGINT) AS kde
+FROM hits GROUP BY 1, 2 ORDER BY cell_x, cell_y
+"""
+
+
+# --------------------------------------------------------------------------
+# Raster regions: connected components of a percolation mask
+# --------------------------------------------------------------------------
+# The raster region-labeling primitive (GIS "clump"/zonal statistics):
+# a deterministic site-percolation mask over the bounded grid (cell
+# occupied iff splitmix(cid) % 100 < RR_P; RR_P below the 2D site
+# percolation threshold ~59.3 so regions stay small), 4-connected
+# components labeled by MIN cell id, then zonal event counts per
+# region. The mask and its labeling are pure functions of GRID
+# CONSTANTS (zero data touched; recomputed identically on any node at
+# ~microsecond cost), so the label table rides into map_batches as a
+# broadcast constant; the data-side work — event -> cell -> region ->
+# count — is one pass of bounded-key partials plus a bounded-key sum.
+# The SQL oracle re-derives mask, components (recursive min-label
+# closure, the _sql_components_over discipline) and zonal counts from
+# scratch.
+
+RR_P = 45        # occupancy percentage (subcritical: pc ~ 59.3)
+_RR_STREAM = 330
+
+
+def _region_labels() -> np.ndarray:
+    """label[cid] = min cell id of cid's 4-connected occupied region,
+    -1 for unoccupied cells. Pure function of grid constants."""
+    from osm2gtfs_ray.sources.pages import _uint
+
+    cid = np.arange(GRID_NX * GRID_NY, dtype=np.int64)
+    occ = (_uint(cid.astype(np.uint64), _RR_STREAM, 42, 100) < RR_P).reshape(
+        GRID_NY, GRID_NX
+    )
+    lbl = np.where(occ, cid.reshape(GRID_NY, GRID_NX), np.int64(2**62))
+    while True:
+        nxt = lbl.copy()
+        nxt[1:] = np.minimum(nxt[1:], lbl[:-1])
+        nxt[:-1] = np.minimum(nxt[:-1], lbl[1:])
+        nxt[:, 1:] = np.minimum(nxt[:, 1:], lbl[:, :-1])
+        nxt[:, :-1] = np.minimum(nxt[:, :-1], lbl[:, 1:])
+        nxt = np.where(occ, nxt, np.int64(2**62))
+        if (nxt == lbl).all():
+            break
+        lbl = nxt
+    return np.where(occ, lbl, np.int64(-1)).ravel()
+
+
+def q_raster_regions(sf_dir: str):
+    """(region, n_cells, n_events): 4-connected percolation regions
+    (labeled by min cell id) with cell and zonal event counts; regions
+    with zero events included."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS
+
+    labels = _region_labels()
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((eid * 104729) % 36000) // GRID_RES
+        cy = ((eid * 7919) % 18000) // GRID_RES
+        reg = labels[cy * GRID_NX + cx]
+        g = (
+            pa.table({"region": reg[reg >= 0]})
+            .group_by("region")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["region", "partial"])
+
+    agg = bounded_key_sum(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "region", ["partial"],
+        driver=_events_n(sf_dir) <= _GRID_DRIVER_ROWS,
+        out_names=["n_events"],
+    )
+
+    occ = labels[labels >= 0]
+    regs, n_cells = np.unique(occ, return_counts=True)
+    sizes = pd.DataFrame(
+        {"region": regs, "n_cells": n_cells.astype(np.int64)}
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = sizes.merge(df, on="region", how="left")
+        out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+        return out
+
+    return (
+        agg.repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .sort("region")
+    )
+
+
+def sql_raster_regions() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    occ_pred = _s_uint("CAST(i AS UBIGINT)", _RR_STREAM, 100)
+    nc = GRID_NX * GRID_NY
+    return f"""
+WITH RECURSIVE
+occ AS (
+  SELECT i AS cid FROM generate_series(0, {nc - 1}) t(i)
+  WHERE ({occ_pred}) < {RR_P}
+),
+adj AS (
+  SELECT a.cid AS a, b.cid AS b FROM occ a JOIN occ b
+    ON (b.cid = a.cid + 1 AND a.cid % {GRID_NX} < {GRID_NX - 1})
+    OR (b.cid = a.cid - 1 AND a.cid % {GRID_NX} > 0)
+    OR b.cid = a.cid + {GRID_NX} OR b.cid = a.cid - {GRID_NX}
+),
+reach(node, m) AS (
+  SELECT cid, cid FROM occ
+  UNION
+  SELECT r.node, a.b FROM reach r JOIN adj a ON a.a = r.m
+),
+comp AS (SELECT node, MIN(m) AS region FROM reach GROUP BY node),
+sizes AS (SELECT region, COUNT(*) AS n_cells FROM comp GROUP BY region),
+ev AS (
+  SELECT (((event_id * 7919) % 18000) // {GRID_RES}) * {GRID_NX}
+         + ((event_id * 104729) % 36000) // {GRID_RES} AS cid
+  FROM events
+),
+evc AS (
+  SELECT c.region, COUNT(*) AS n_events
+  FROM ev JOIN comp c ON c.node = ev.cid GROUP BY c.region
+)
+SELECT CAST(s.region AS BIGINT) AS region,
+       CAST(s.n_cells AS BIGINT) AS n_cells,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events
+FROM sizes s LEFT JOIN evc e ON e.region = s.region
+ORDER BY region
 """

@@ -196,3 +196,126 @@ class TestRasterLines:
         got = q_raster_lines(SF).to_pandas()
         assert (got["n_hits"] >= 1).all()
         assert len(got) > 100
+
+
+class TestKdeDensity:
+    def test_matches_bruteforce_scatter(self, ray_session):
+        """Per-event scatter reference (engine aggregates counts first
+        and scatters cells — different evaluation order, same sums)."""
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            GRID_NX,
+            GRID_NY,
+            GRID_RES,
+            KDE_R,
+            q_kde_density,
+        )
+
+        ref: Counter = Counter()
+        for e in _event_ids():
+            cx = ((e * 104729) % 36000) // GRID_RES
+            cy = ((e * 7919) % 18000) // GRID_RES
+            for dx in range(-KDE_R, KDE_R + 1):
+                for dy in range(-KDE_R, KDE_R + 1):
+                    gx, gy = cx + dx, cy + dy
+                    if 0 <= gx < GRID_NX and 0 <= gy < GRID_NY:
+                        ref[(gx, gy)] += KDE_R + 1 - max(abs(dx), abs(dy))
+        got = q_kde_density(SF).to_pandas()
+        gd = {
+            (int(a), int(b)): int(k)
+            for a, b, k in zip(got["cell_x"], got["cell_y"], got["kde"])
+        }
+        assert gd == dict(ref)
+
+    def test_mass_conservation_interior(self, ray_session):
+        """Total kde mass = n_events * kernel mass, minus border loss
+        only (kernel mass = sum of triangular weights = 1+8*2+16*1?
+        computed directly)."""
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            KDE_R,
+            q_kde_density,
+        )
+
+        kernel_mass = sum(
+            KDE_R + 1 - max(abs(dx), abs(dy))
+            for dx in range(-KDE_R, KDE_R + 1)
+            for dy in range(-KDE_R, KDE_R + 1)
+        )
+        got = q_kde_density(SF).to_pandas()
+        n = len(_event_ids())
+        assert int(got["kde"].sum()) <= n * kernel_mass
+        assert int(got["kde"].sum()) > n * kernel_mass * 9 // 10
+
+
+class TestRasterRegions:
+    def test_labels_match_bfs_flood_fill(self, ray_session):
+        """Independent BFS flood fill over the same percolation mask
+        (the engine uses vectorized min-propagation)."""
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            _RR_STREAM,
+            GRID_NX,
+            GRID_NY,
+            GRID_RES,
+            RR_P,
+            q_raster_regions,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        nc = GRID_NX * GRID_NY
+        occ = _uint(
+            np.arange(nc, dtype=np.uint64), _RR_STREAM, 42, 100
+        ) < RR_P
+        seen = np.full(nc, False)
+        region_of = {}
+        sizes: Counter = Counter()
+        for start in range(nc):
+            if not occ[start] or seen[start]:
+                continue
+            stack, comp = [start], []
+            seen[start] = True
+            while stack:
+                c = stack.pop()
+                comp.append(c)
+                x, y = c % GRID_NX, c // GRID_NX
+                for nb in (
+                    (c - 1 if x > 0 else -1),
+                    (c + 1 if x < GRID_NX - 1 else -1),
+                    (c - GRID_NX if y > 0 else -1),
+                    (c + GRID_NX if y < GRID_NY - 1 else -1),
+                ):
+                    if nb >= 0 and occ[nb] and not seen[nb]:
+                        seen[nb] = True
+                        stack.append(nb)
+            lbl = min(comp)
+            sizes[lbl] = len(comp)
+            for c in comp:
+                region_of[c] = lbl
+        ev_counts: Counter = Counter()
+        for e in _event_ids():
+            cid = (((e * 7919) % 18000) // GRID_RES) * GRID_NX + (
+                (e * 104729) % 36000
+            ) // GRID_RES
+            if cid in region_of:
+                ev_counts[region_of[cid]] += 1
+        got = q_raster_regions(SF).to_pandas()
+        assert len(got) == len(sizes)
+        for _, r in got.iterrows():
+            reg = int(r["region"])
+            assert int(r["n_cells"]) == sizes[reg]
+            assert int(r["n_events"]) == ev_counts.get(reg, 0)
+
+    def test_region_invariants(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            GRID_NX,
+            GRID_NY,
+            RR_P,
+            q_raster_regions,
+        )
+
+        got = q_raster_regions(SF).to_pandas()
+        # labels are distinct min cell-ids; totals match the mask
+        assert got["region"].is_unique
+        assert (got["n_cells"] >= 1).all()
+        total_cells = int(got["n_cells"].sum())
+        # occupancy within a loose band of the nominal RR_P percent
+        nc = GRID_NX * GRID_NY
+        assert abs(total_cells - nc * RR_P // 100) < nc // 10
