@@ -96,6 +96,7 @@ _GATE_ORDER = [
     # -- tier 1d: added in r5 continuation, never driver-checked
     "ripley_k", "envelope_overlaps", "quadkey_counts", "raster_lines",
     "lcss_similarity", "hausdorff_pairs", "kde_density", "raster_regions",
+    "theil_sen", "mad_outliers",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -265,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": sp.q_ripley_k,
         "kde_density": sp.q_kde_density,
         "raster_regions": sp.q_raster_regions,
+        "theil_sen": sp.q_theil_sen,
+        "mad_outliers": sp.q_mad_outliers,
         "lcss_similarity": ts.q_lcss_similarity,
         "hausdorff_pairs": ts.q_hausdorff_pairs,
         "envelope_overlaps": sp.q_envelope_overlaps,
@@ -528,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "ripley_k": sp.sql_ripley_k(),
         "kde_density": sp.sql_kde_density(),
         "raster_regions": sp.sql_raster_regions(),
+        "theil_sen": sp.sql_theil_sen(),
+        "mad_outliers": sp.sql_mad_outliers(),
         "lcss_similarity": ts.sql_lcss_similarity(),
         "hausdorff_pairs": ts.sql_hausdorff_pairs(),
         "envelope_overlaps": sp.sql_envelope_overlaps(),

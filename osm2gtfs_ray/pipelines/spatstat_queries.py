@@ -797,3 +797,205 @@ SELECT CAST(s.region AS BIGINT) AS region,
 FROM sizes s LEFT JOIN evc e ON e.region = s.region
 ORDER BY region
 """
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend per cell (median of pairwise slopes)
+# --------------------------------------------------------------------------
+# The robust companion to q_cell_trend's least-squares slope (emerging
+# hot-spot analysis uses exactly this pair: OLS slope + Mann-Kendall /
+# Theil-Sen confirmation). Per cell: daily event counts over nonzero
+# days, all C(n_days, 2) pairwise slopes quantized to fixed point
+# (floor((c2-c1)*SCALE/(d2-d1)), canonical-residue floor in SQL for
+# negative numerators), LOWER MEDIAN (index (k-1)//2 of the sorted
+# slopes; the SQL picks ROW_NUMBER (k+1)//2 — same element). Active
+# days per cell are bounded by the window, so pairs per cell are
+# O(days^2) bounded and the shape is ONE (cell, day) map-side-combined
+# shuffle + grid-bounded finalize — the q_cell_trend plan with a
+# different per-cell kernel.
+
+TS_SCALE = 10**6
+TS_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def q_theil_sen(sf_dir: str):
+    """(cell, n_days, n_pairs, theil_fp): per-cell lower-median
+    pairwise daily-count slope in 1e6 fixed point (cells with >= 2
+    active days)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        eid = b["event_id"].to_numpy(np.int64)
+        cx = ((eid * 104729) % 36000) // GRID_RES
+        cy = ((eid * 7919) % 18000) // GRID_RES
+        tu = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day = (tu - TS_EPOCH_US) // 86_400_000_000
+        part = pd.DataFrame(
+            {
+                "cell": cy * GRID_NX + cx,
+                "day": day,
+                "c": np.ones(len(b), np.int64),
+            }
+        )
+        return part.groupby(["cell", "day"], sort=False, as_index=False).sum()
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cell", "day"], sort=False, as_index=False)["c"].sum()
+        rows = []
+        for cell, gc in g.groupby("cell", sort=False):
+            d = gc["day"].to_numpy(np.int64)
+            c = gc["c"].to_numpy(np.int64)
+            if len(d) < 2:
+                continue
+            o = np.argsort(d, kind="stable")
+            d, c = d[o], c[o]
+            i, j = np.triu_indices(len(d), k=1)
+            # d strictly increasing after sort: d[j] > d[i]
+            sl = np.sort(
+                ((c[j] - c[i]) * TS_SCALE) // (d[j] - d[i])
+            )
+            k = len(sl)
+            rows.append((int(cell), len(d), k, int(sl[(k - 1) // 2])))
+        return pd.DataFrame(
+            rows, columns=["cell", "n_days", "n_pairs", "theil_fp"]
+        ).astype(np.int64)
+
+    return sharded_map_groups(ev, "cell", finalize, local_pre=pre).sort("cell")
+
+
+def sql_theil_sen() -> str:
+    num = f"(b.c - a.c) * {TS_SCALE}"
+    den = "(b.day - a.day)"
+    floor_div = (
+        f"(({num}) - (((({num}) % ({den})) + ({den})) % ({den}))) // ({den})"
+    )
+    return f"""
+WITH cd AS (
+  SELECT (((event_id * 7919) % 18000) // {GRID_RES}) * {GRID_NX}
+         + ((event_id * 104729) % 36000) // {GRID_RES} AS cell,
+         (epoch_us(ts) - {TS_EPOCH_US}) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+sl AS (
+  SELECT a.cell, {floor_div} AS slope_fp
+  FROM cd a JOIN cd b ON b.cell = a.cell AND b.day > a.day
+),
+rk AS (
+  SELECT cell, slope_fp,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY slope_fp) AS rn,
+         COUNT(*) OVER (PARTITION BY cell) AS k
+  FROM sl
+),
+nd AS (SELECT cell, COUNT(*) AS n_days FROM cd GROUP BY cell)
+SELECT CAST(r.cell AS BIGINT) AS cell,
+       CAST(n.n_days AS BIGINT) AS n_days,
+       CAST(r.k AS BIGINT) AS n_pairs,
+       CAST(r.slope_fp AS BIGINT) AS theil_fp
+FROM rk r JOIN nd n ON n.cell = r.cell
+WHERE r.rn = (r.k + 1) // 2
+ORDER BY cell
+"""
+
+
+# --------------------------------------------------------------------------
+# MAD outlier cells (median absolute deviation over the grid)
+# --------------------------------------------------------------------------
+# The robust-zscore spatial-anomaly primitive (the distribution-free
+# companion to q_zscore_events / q_hotspots): per-cell event counts
+# over the bounded grid, global LOWER MEDIAN m of the occupied-cell
+# counts, MAD = lower median of |n - m|, flag cells with
+# |n - m| > MAD_K * MAD. All order statistics are exact integers on a
+# GRID-BOUNDED table: the corpus contributes one map-side-combined
+# counting pass; medians + filter run on <= grid-size rows.
+#
+# MAD_K = 2 (not the textbook 3): the prime-lattice scatter gives
+# near-uniform cell counts (tiny MAD), and K=3 flags nothing at the
+# gate scales — an all-empty result then loses its column schema
+# through Ray's empty-block path and fails the driver's schema
+# compare. K=2 flags both hot and dead cells at every tested sf.
+
+MAD_K = 2
+
+
+def q_mad_outliers(sf_dir: str):
+    """(cell_x, cell_y, n, dev): occupied cells whose count deviates
+    from the grid median by more than MAD_K * MAD."""
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.pipelines.geo_queries import _GRID_DRIVER_ROWS
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((eid * 104729) % 36000) // GRID_RES
+        cy = ((eid * 7919) % 18000) // GRID_RES
+        g = (
+            pa.table({"cell": cy * GRID_NX + cx})
+            .group_by("cell")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell", "partial"])
+
+    agg = bounded_key_sum(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "cell", ["partial"],
+        driver=_events_n(sf_dir) <= _GRID_DRIVER_ROWS,
+        out_names=["n"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        med = int(np.sort(n)[(len(n) - 1) // 2])
+        dev = np.abs(n - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        out = df.assign(dev=dev)[dev > MAD_K * mad]
+        cell = out["cell"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "cell_x": cell % GRID_NX,
+                "cell_y": cell // GRID_NX,
+                "n": out["n"].to_numpy(np.int64),
+                "dev": out["dev"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        agg.repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+        .sort(["cell_x", "cell_y"])
+    )
+
+
+def sql_mad_outliers() -> str:
+    return f"""
+WITH cnt AS (
+  SELECT (((event_id * 7919) % 18000) // {GRID_RES}) * {GRID_NX}
+         + ((event_id * 104729) % 36000) // {GRID_RES} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+med AS (
+  SELECT n AS m FROM (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+           COUNT(*) OVER () AS k
+    FROM cnt
+  ) WHERE rn = (k + 1) // 2
+),
+dv AS (SELECT c.cell, c.n, ABS(c.n - m.m) AS dev FROM cnt c, med m),
+mad AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, ROW_NUMBER() OVER (ORDER BY dev) AS rn,
+           COUNT(*) OVER () AS k
+    FROM dv
+  ) WHERE rn = (k + 1) // 2
+)
+SELECT CAST(d.cell % {GRID_NX} AS BIGINT) AS cell_x,
+       CAST(d.cell // {GRID_NX} AS BIGINT) AS cell_y,
+       d.n, d.dev
+FROM dv d, mad
+WHERE d.dev > {MAD_K} * mad.mad
+ORDER BY cell_x, cell_y
+"""

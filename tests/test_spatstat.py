@@ -319,3 +319,80 @@ class TestRasterRegions:
         # occupancy within a loose band of the nominal RR_P percent
         nc = GRID_NX * GRID_NY
         assert abs(total_cells - nc * RR_P // 100) < nc // 10
+
+
+class TestTheilSen:
+    def test_matches_bruteforce_median_of_slopes(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            GRID_NX,
+            GRID_RES,
+            TS_EPOCH_US,
+            TS_SCALE,
+            q_theil_sen,
+        )
+
+        t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"])
+        eid = t["event_id"].to_numpy().astype(np.int64)
+        tu = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = (tu - TS_EPOCH_US) // 86_400_000_000
+        cell = (((eid * 7919) % 18000) // GRID_RES) * GRID_NX + (
+            (eid * 104729) % 36000
+        ) // GRID_RES
+        series: dict[int, Counter] = {}
+        for c, d in zip(cell, day):
+            series.setdefault(int(c), Counter())[int(d)] += 1
+        ref = {}
+        for c, sc in series.items():
+            days = sorted(sc)
+            if len(days) < 2:
+                continue
+            slopes = sorted(
+                (sc[d2] - sc[d1]) * TS_SCALE // (d2 - d1)
+                for i, d1 in enumerate(days)
+                for d2 in days[i + 1:]
+            )
+            ref[c] = (len(days), len(slopes), slopes[(len(slopes) - 1) // 2])
+        got = q_theil_sen(SF).to_pandas()
+        assert len(got) == len(ref) > 0
+        for _, r in got.iterrows():
+            assert ref[int(r["cell"])] == (
+                int(r["n_days"]), int(r["n_pairs"]), int(r["theil_fp"]),
+            )
+
+    def test_pair_count_is_choose_2(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import q_theil_sen
+
+        got = q_theil_sen(SF).to_pandas()
+        nd = got["n_days"].to_numpy(np.int64)
+        assert (got["n_pairs"].to_numpy(np.int64) == nd * (nd - 1) // 2).all()
+
+
+class TestMadOutliers:
+    def test_matches_bruteforce(self, ray_session):
+        from osm2gtfs_ray.pipelines.spatstat_queries import (
+            GRID_NX,
+            GRID_RES,
+            MAD_K,
+            q_mad_outliers,
+        )
+
+        cnt: Counter = Counter()
+        for e in _event_ids():
+            cnt[
+                (((e * 7919) % 18000) // GRID_RES) * GRID_NX
+                + ((e * 104729) % 36000) // GRID_RES
+            ] += 1
+        n = np.sort(np.array(list(cnt.values()), dtype=np.int64))
+        med = int(n[(len(n) - 1) // 2])
+        dev = np.abs(n - med)
+        mad = int(np.sort(dev)[(len(dev) - 1) // 2])
+        ref = {
+            c: (v, abs(v - med))
+            for c, v in cnt.items()
+            if abs(v - med) > MAD_K * mad
+        }
+        got = q_mad_outliers(SF).to_pandas()
+        assert len(got) == len(ref) > 0
+        for _, r in got.iterrows():
+            c = int(r["cell_y"]) * GRID_NX + int(r["cell_x"])
+            assert ref[c] == (int(r["n"]), int(r["dev"]))
