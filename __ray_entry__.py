@@ -97,6 +97,8 @@ _GATE_ORDER = [
     "ripley_k", "envelope_overlaps", "quadkey_counts", "raster_lines",
     "lcss_similarity", "hausdorff_pairs", "kde_density", "raster_regions",
     "theil_sen", "mad_outliers",
+    # -- tier 1e: added in r5 second window, never driver-checked
+    "frechet_pairs",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -270,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": sp.q_mad_outliers,
         "lcss_similarity": ts.q_lcss_similarity,
         "hausdorff_pairs": ts.q_hausdorff_pairs,
+        "frechet_pairs": ts.q_frechet_pairs,
         "envelope_overlaps": sp.q_envelope_overlaps,
         "quadkey_counts": sp.q_quadkey_counts,
         "raster_lines": sp.q_raster_lines,
@@ -535,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": sp.sql_mad_outliers(),
         "lcss_similarity": ts.sql_lcss_similarity(),
         "hausdorff_pairs": ts.sql_hausdorff_pairs(),
+        "frechet_pairs": ts.sql_frechet_pairs(),
         "envelope_overlaps": sp.sql_envelope_overlaps(),
         "quadkey_counts": sp.sql_quadkey_counts(),
         "raster_lines": sp.sql_raster_lines(),

@@ -175,6 +175,17 @@ BENCH_QUERIES = [
     "mutual_knn",
     "type_transitions",
     "shape_densify",
+    "ripley_k",
+    "envelope_overlaps",
+    "quadkey_counts",
+    "raster_lines",
+    "lcss_similarity",
+    "hausdorff_pairs",
+    "kde_density",
+    "raster_regions",
+    "theil_sen",
+    "mad_outliers",
+    "frechet_pairs",
 ]
 
 

@@ -245,3 +245,112 @@ SELECT CAST(p.ua AS BIGINT) AS user_a, CAST(p.ub AS BIGINT) AS user_b,
 FROM pairs p JOIN h ON h.ua = p.ua
 ORDER BY user_a
 """
+
+
+# --------------------------------------------------------------------------
+# Discrete Fréchet distance (Eiter & Mannila 1994)
+# --------------------------------------------------------------------------
+# The "dog-leash" coupling distance — the ordered counterpart of
+# Hausdorff and the bottleneck (max) counterpart of DTW (sum):
+# hausdorff <= frechet <= dtw holds pointwise on every pair, and the
+# pytest asserts that triangle across all three operators. DP:
+#   c[i][j] = max(d[i][j], min(c[i-1][j], c[i-1][j-1], c[i][j-1]))
+# with c[i][1] = max(c[i-1][1], d[i][1]) and row 1 a running max.
+#
+# Exactness/factorization: within a row let am[k] =
+# min(prev[k], prev[k-1]) (prev[0] = +inf). The first-order recurrence
+# c[j] = max(d[j], min(am[j], c[j-1])) expands — max distributes over
+# min — to the closed form
+#   c[j] = min_{k<=j} max(am[k], max_{t=k..j} d[t]),
+# so the engine computes each row as ONE O(K^2) numpy expression (a
+# masked running-max matrix against the am vector) and the oracle as a
+# range self-join + GROUP BY MIN per unrolled row CTE — the
+# q_trajectory_dtw unrolled-DP discipline applied to the max-min
+# recurrence. All integer, bit-exact.
+#
+# Scale shape: identical two-shuffle plan to DTW/LCSS (per-user top-K
+# cap in one user-hash shuffle, then ONE pair-key shuffle with an
+# O(K^2)-bounded kernel per pair).
+
+
+def q_frechet_pairs(sf_dir: str):
+    """(user_a, user_b, n_a, n_b, frechet): discrete Chebyshev Fréchet
+    distance between the capped trajectories of users (2m, 2m+1)."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def frechet_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "role", "seq"], kind="mergesort")
+        rows = []
+        for pair_id, gp in g.groupby("pair", sort=False):
+            d = _pair_matrices(gp)
+            if d is None:
+                continue
+            na, nb = d.shape
+            big = np.int64(2**62)
+            k_idx = np.arange(nb)
+            below = k_idx[:, None] > k_idx[None, :]      # k > j: invalid
+            c = np.maximum.accumulate(d[0])              # row 1: running max
+            for i in range(1, na):
+                am = np.minimum(c, np.r_[big, c[:-1]])   # prev[0] = +inf
+                run = np.where(below, np.int64(-1), d[i][None, :])
+                run = np.maximum.accumulate(run, axis=1)  # dmax[k..j]
+                v = np.maximum(am[:, None], run)
+                c = np.where(below, big, v).min(axis=0)
+            rows.append(
+                (int(pair_id) * 2, int(pair_id) * 2 + 1, na, nb, int(c[-1]))
+            )
+        return pd.DataFrame(
+            rows, columns=["user_a", "user_b", "n_a", "n_b", "frechet"]
+        ).astype(np.int64)
+
+    pts = sharded_map_groups(ev, "user_id", _topk_shard)
+    return sharded_map_groups(pts, "pair", frechet_shard).sort("user_a")
+
+
+def sql_frechet_pairs() -> str:
+    # Per row i >= 2: am_k from the prior row CTE, dmax[k..j] via a
+    # bounded range self-join on d (row i only), then MIN over k <= j
+    # of GREATEST(am[k], dmax[k..j]) grouped by j.
+    rows = [f"""
+r1 AS (
+  SELECT ua, j, MAX(d) OVER (PARTITION BY ua ORDER BY j
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM d WHERE i = 1
+)"""]
+    for i in range(2, TRAJ_K + 1):
+        rows.append(f"""
+r{i} AS (
+  SELECT dm.ua, dm.j, MIN(GREATEST(am.am, dm.mx)) AS c
+  FROM (
+    SELECT k.ua, k.j AS k, jj.j AS j, MAX(t.d) AS mx
+    FROM d k
+    JOIN d jj ON jj.ua = k.ua AND jj.i = {i} AND jj.j >= k.j
+    JOIN d t  ON t.ua = k.ua AND t.i = {i}
+            AND t.j BETWEEN k.j AND jj.j
+    WHERE k.i = {i}
+    GROUP BY k.ua, k.j, jj.j
+  ) dm
+  JOIN (
+    SELECT ua, j AS k,
+           LEAST(c, COALESCE(LAG(c) OVER (PARTITION BY ua ORDER BY j),
+                             c)) AS am
+    FROM r{i - 1}
+  ) am ON am.ua = dm.ua AND am.k = dm.k
+  GROUP BY dm.ua, dm.j
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT p.ua AS user_a, p.ub AS user_b, p.na AS n_a, p.nb AS n_b, "
+        f"r.c AS frechet FROM pairs p JOIN r{i} r ON r.ua = p.ua "
+        f"AND r.j = p.nb WHERE p.na = {i}"
+        for i in range(1, TRAJ_K + 1)
+    )
+    return f"""
+WITH {_pts_pairs_sql().lstrip()},{",".join(rows)}
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(frechet AS BIGINT) AS frechet
+FROM ({finals})
+ORDER BY user_a
+"""

@@ -106,3 +106,52 @@ class TestHausdorff:
         assert (got["hausdorff"] == np.maximum(got["h_ab"], got["h_ba"])).all()
         # directed Hausdorff to a non-identical set is > 0 on this data
         assert (got["hausdorff"] > 0).all()
+
+
+class TestFrechet:
+    def test_matches_textbook_dp(self, ray_session):
+        """Engine (max/min scan expansion) vs the classic cell-by-cell
+        three-predecessor DP — the closed-form identity is under test."""
+        from osm2gtfs_ray.pipelines.trajsim_queries import q_frechet_pairs
+
+        trajs = _brute_trajectories()
+        ref = {}
+        for ua, ub in _pairs(trajs):
+            d = _cheb_matrix(trajs, ua, ub)
+            na, nb = d.shape
+            big = np.int64(2**62)
+            c = np.full((na + 1, nb + 1), big, dtype=np.int64)
+            for i in range(1, na + 1):
+                for j in range(1, nb + 1):
+                    prev = (
+                        d[0][0]
+                        if (i, j) == (1, 1)
+                        else min(c[i - 1][j], c[i - 1][j - 1], c[i][j - 1])
+                    )
+                    c[i][j] = max(d[i - 1][j - 1], prev)
+            ref[(ua, ub)] = (na, nb, int(c[na][nb]))
+        got = q_frechet_pairs(SF).to_pandas()
+        assert len(got) == len(ref) > 0
+        for _, r in got.iterrows():
+            na, nb, fr = ref[(int(r["user_a"]), int(r["user_b"]))]
+            assert (int(r["n_a"]), int(r["n_b"]), int(r["frechet"])) == (
+                na, nb, fr,
+            )
+
+    def test_hausdorff_frechet_dtw_triangle(self, ray_session):
+        """hausdorff <= frechet <= dtw on every pair: the Fréchet
+        coupling is ordered (so it dominates the unordered Hausdorff)
+        and takes the max step (so the DTW sum dominates it)."""
+        from osm2gtfs_ray.pipelines.geo_queries import q_trajectory_dtw
+        from osm2gtfs_ray.pipelines.trajsim_queries import (
+            q_frechet_pairs,
+            q_hausdorff_pairs,
+        )
+
+        fr = q_frechet_pairs(SF).to_pandas().set_index("user_a")
+        ha = q_hausdorff_pairs(SF).to_pandas().set_index("user_a")
+        dt = q_trajectory_dtw(SF).to_pandas().set_index("user_a")
+        assert len(fr) == len(ha) == len(dt) > 0
+        j = fr.join(ha, rsuffix="_h").join(dt, rsuffix="_d")
+        assert (j["hausdorff"] <= j["frechet"]).all()
+        assert (j["frechet"] <= j["dtw"]).all()
