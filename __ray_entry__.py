@@ -98,7 +98,7 @@ _GATE_ORDER = [
     "lcss_similarity", "hausdorff_pairs", "kde_density", "raster_regions",
     "theil_sen", "mad_outliers",
     # -- tier 1e: added in r5 second window, never driver-checked
-    "frechet_pairs",
+    "frechet_pairs", "redirect_resolve",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental-recrawl snapshot diff (native full_outer hash
         # join / sharded union plan)
         "crawl_delta": wq.q_crawl_delta,
+        # redirect-chain resolution via pointer doubling (log rounds)
+        "redirect_resolve": wq.q_redirect_resolve,
         # vector-layer audit: integer shoelace area, winding, bbox
         "tile_geometry": gq.q_tile_geometry,
         # Douglas-Peucker shape simplification (exact integer DP,
@@ -521,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": tq.SQL_BM25_TOPK,
         "anchor_top_terms": grq.SQL_ANCHOR_TOP_TERMS,
         "crawl_delta": wq.SQL_CRAWL_DELTA,
+        "redirect_resolve": wq.SQL_REDIRECT_RESOLVE,
         "tile_geometry": gq.sql_tile_geometry(),
         "simplify_shapes": gq.sql_simplify_shapes(),
         "cell_smooth": gq.SQL_CELL_SMOOTH,

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "theil_sen",
     "mad_outliers",
     "frechet_pairs",
+    "redirect_resolve",
 ]
 
 

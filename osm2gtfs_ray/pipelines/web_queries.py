@@ -640,3 +640,86 @@ ORDER BY doc_id"""
 
 
 SQL_CRAWL_DELTA = f"WITH {_sql_crawl_delta()}"
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution: pointer doubling over a functional graph
+# ---------------------------------------------------------------------------
+
+# A deterministic fraction of pages are HTTP redirects; each redirect
+# points at a STRICTLY SMALLER doc_id (target = hash % id), so the
+# functional graph is acyclic by construction and every chain
+# terminates at a non-redirect page. Node 0 is always terminal (no
+# valid smaller target). The engine resolves every page to its final
+# landing page + exact hop count with pointer doubling (ops/jump.py,
+# O(log max_chain) rounds); the oracle follows the chains one hop at
+# a time with a recursive CTE over the SAME arithmetically re-derived
+# pointer table — any error in the doubling update, the self-join, or
+# the hop accounting breaks the value hash.
+_S_REDIR, _S_RTGT = 310, 311
+_REDIR_PCT = 35  # percent of pages (id > 0) that redirect
+
+
+def q_redirect_resolve(sf_dir: str):
+    """(node, terminal, hops) for every page: the canonical landing
+    page after following the synthesized redirect chain.
+
+    Pointer doubling (ops/jump.py): broadcast plan below 2M nodes,
+    Dataset self-join doubling above — both exact-integer, both
+    raising (never silently partial) if the chain budget is exhausted.
+
+    Reference semantics analogue: osm2gtfs's parent-station alias
+    walk (`osm2gtfs/core/elements.py`) follows one pointer per stop;
+    this is the same resolution at crawl scale in log rounds.
+    """
+    import pyarrow.parquet as pq
+
+    from osm2gtfs_ray.ops.jump import resolve_pointers
+    from osm2gtfs_ray.sources.pages import _uhash
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def ptr_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        redir = (ids > np.uint64(0)) & (
+            _uint(ids, _S_REDIR, SEED, 100) < _REDIR_PCT
+        )
+        tgt = (
+            _uhash(ids, _S_RTGT, SEED) % np.maximum(ids, np.uint64(1))
+        ).astype(np.int64)
+        node = ids.astype(np.int64)
+        return pa.table({"node": node, "ptr": np.where(redir, tgt, node)})
+
+    ptrs = docs.map_batches(ptr_batch, batch_format="pyarrow")
+    return resolve_pointers(ptrs, n)
+
+
+def _sql_redirect_resolve() -> str:
+    from osm2gtfs_ray.pipelines.graph_queries import _s_uint_mod
+
+    tgt = _s_uint_mod("did", _S_RTGT, "GREATEST(node, 1)")
+    return f"""
+WITH RECURSIVE
+ids AS (SELECT CAST(doc_id AS BIGINT) AS node,
+               CAST(doc_id AS UBIGINT) AS did
+        FROM documents),
+ptr AS (
+  SELECT node,
+         CASE WHEN node > 0 AND ({_s_uint('did', _S_REDIR, 100)}) < {_REDIR_PCT}
+              THEN CAST(({tgt}) AS BIGINT)
+              ELSE node END AS tgt
+  FROM ids),
+walk(node, cur, hops) AS (
+  SELECT node, tgt, CASE WHEN tgt = node THEN 0 ELSE 1 END FROM ptr
+  UNION ALL
+  SELECT w.node, p.tgt, w.hops + 1
+  FROM walk w JOIN ptr p ON w.cur = p.node
+  WHERE p.tgt <> p.node)
+SELECT w.node AS node, w.cur AS terminal, CAST(w.hops AS BIGINT) AS hops
+FROM walk w JOIN ptr p ON w.cur = p.node
+WHERE p.tgt = p.node
+ORDER BY node"""
+
+
+SQL_REDIRECT_RESOLVE = _sql_redirect_resolve()
