@@ -98,7 +98,8 @@ _GATE_ORDER = [
     "lcss_similarity", "hausdorff_pairs", "kde_density", "raster_regions",
     "theil_sen", "mad_outliers",
     # -- tier 1e: added in r5 second window, never driver-checked
-    "frechet_pairs", "redirect_resolve",
+    "frechet_pairs", "redirect_resolve", "idw_surface", "edr_similarity",
+    "gi_star",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -273,6 +274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lcss_similarity": ts.q_lcss_similarity,
         "hausdorff_pairs": ts.q_hausdorff_pairs,
         "frechet_pairs": ts.q_frechet_pairs,
+        # EDR edit-distance trajectory similarity (min-plus scan DP)
+        "edr_similarity": ts.q_edr_similarity,
+        # inverse-distance-weighted interpolation surface (exact int)
+        "idw_surface": gq.q_idw_surface,
+        # Getis-Ord Gi* hot/cold-spot numerators (LISA family)
+        "gi_star": gq.q_gi_star,
         "envelope_overlaps": sp.q_envelope_overlaps,
         "quadkey_counts": sp.q_quadkey_counts,
         "raster_lines": sp.q_raster_lines,
@@ -542,6 +549,9 @@ def oracle_sql() -> dict[str, str]:
         "lcss_similarity": ts.sql_lcss_similarity(),
         "hausdorff_pairs": ts.sql_hausdorff_pairs(),
         "frechet_pairs": ts.sql_frechet_pairs(),
+        "edr_similarity": ts.sql_edr_similarity(),
+        "idw_surface": gq.sql_idw_surface(),
+        "gi_star": gq.sql_gi_star(),
         "envelope_overlaps": sp.sql_envelope_overlaps(),
         "quadkey_counts": sp.sql_quadkey_counts(),
         "raster_lines": sp.sql_raster_lines(),

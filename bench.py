@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "mad_outliers",
     "frechet_pairs",
     "redirect_resolve",
+    "idw_surface",
+    "edr_similarity",
+    "gi_star",
 ]
 
 

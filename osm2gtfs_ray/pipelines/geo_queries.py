@@ -3669,3 +3669,262 @@ SELECT shape_id, seq, CAST(j AS BIGINT) AS j,
 FROM (SELECT *, unnest(generate_series(0, m - 1)) AS j FROM seg)
 ORDER BY shape_id, seq, j
 """
+
+
+# --------------------------------------------------------------------------
+# IDW interpolation surface (inverse-distance-weighted, exact integer)
+# --------------------------------------------------------------------------
+
+# Classic geostatistics gridding (Shepard 1968): a sparse set of
+# "station" points carries a measured value; every grid cell gets the
+# IDW estimate over the stations in its 3x3 cell neighborhood (the
+# bounded-support variant — global IDW is an all-pairs scan and never
+# ships at corpus scale). All arithmetic is exact integer: positions
+# on the e4 grid, weight = WSCALE // (d2 + EPS) (floor), estimate =
+# num * PSCALE // den computed in Python big-ints on the final
+# grid-bounded table (<= nx*ny rows), so no intermediate can wrap.
+# Lon wraps (minimal angular difference), lat clamps — the
+# q_cell_smooth neighborhood convention.
+IDW_LEVEL = 6                       # nx=64, ny=32
+IDW_CW = 3600000 // (1 << IDW_LEVEL)  # 56250 e4 units/cell, both axes
+IDW_EPS = 10**6                     # smoothing ~ (100 e4-units)^2
+IDW_WSCALE = 10**12                 # w <= 1e6 per point
+IDW_PSCALE = 10**6                  # fixed-point digits of the estimate
+_S_IDW_SEL, _S_IDW_VAL = 340, 341
+IDW_PCT = 5                         # ~5% of events are stations
+
+
+def q_idw_surface(sf_dir: str):
+    """(cell_rm, num, den, pred_fp) for every cell with >= 1 station
+    in its 3x3 neighborhood: the exact-integer IDW estimate.
+
+    One corpus pass emits 9 grid-bounded (cell, v*w, w) partials per
+    station; the merge is grid-bounded (bounded_key_sum), and the
+    final division runs in Python big-ints over <= nx*ny rows.
+
+    Reference semantics analogue: osm2gtfs interpolates missing stop
+    times between timed stops (`osm2gtfs/creators/trips_creator.py`
+    linear interpolation); IDW is the spatial-field form of the same
+    fill-from-neighbors estimate.
+    """
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+    from osm2gtfs_ray.sources.pages import _uint
+
+    nx, ny = 1 << IDW_LEVEL, 1 << (IDW_LEVEL - 1)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sel = _uint(ids, _S_IDW_SEL, 42, 100) < IDW_PCT
+        ids = ids[sel]
+        v = _uint(ids, _S_IDW_VAL, 42, 1000) + 1  # value in 1..1000
+        k = ids.astype(np.int64)
+        y = ((k * 7919) % 18000 - 9000) * 100    # e4 lat, exact int
+        x = ((k * 104729) % 36000 - 18000) * 100  # e4 lon, exact int
+        ix = (x + 1800000) // IDW_CW
+        iy = (y + 900000) // IDW_CW
+        ks, nums, dens = [], [], []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            jy = iy[ok] + dy
+            cy = jy * IDW_CW + IDW_CW // 2 - 900000
+            for dx in (-1, 0, 1):
+                jx = (ix[ok] + dx + nx) % nx
+                cx = jx * IDW_CW + IDW_CW // 2 - 1800000
+                dxd = ((cx - x[ok] + 5400000) % 3600000) - 1800000
+                dyd = cy - y[ok]
+                w = IDW_WSCALE // (dxd * dxd + dyd * dyd + IDW_EPS)
+                ks.append(jy * nx + jx)
+                nums.append(v[ok] * w)
+                dens.append(w)
+        return pa.table(
+            {
+                "cell_rm": np.concatenate(ks),
+                "num": np.concatenate(nums),
+                "den": np.concatenate(dens),
+            }
+        )
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+    agg = bounded_key_sum(
+        ev.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        "cell_rm", ["num", "den"],
+        driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        num = t["num"].to_numpy(zero_copy_only=False)
+        den = t["den"].to_numpy(zero_copy_only=False)
+        # grid-bounded stage (<= nx*ny rows): Python big-ints so
+        # num * PSCALE can never wrap regardless of station density
+        pred = np.fromiter(
+            ((int(n) * IDW_PSCALE) // int(d) for n, d in zip(num, den)),
+            dtype=np.int64, count=len(num),
+        )
+        return pa.table(
+            {
+                "cell_rm": pc.cast(t["cell_rm"], pa.int64()),
+                "num": pc.cast(t["num"], pa.int64()),
+                "den": pc.cast(t["den"], pa.int64()),
+                "pred_fp": pred,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_idw_surface() -> str:
+    from osm2gtfs_ray.pipelines.flagship_oracle import _s_uint
+
+    nx, ny = 1 << IDW_LEVEL, 1 << (IDW_LEVEL - 1)
+    sel = _s_uint("eid", _S_IDW_SEL, 100)
+    val = _s_uint("eid", _S_IDW_VAL, 1000)
+    return f"""
+WITH
+pts AS (
+  SELECT CAST(event_id AS BIGINT) AS k, CAST(event_id AS UBIGINT) AS eid
+  FROM events
+  WHERE ({sel}) < {IDW_PCT}
+),
+pv AS (
+  SELECT 1 + ({val}) AS v,
+         ((k * 7919) % 18000 - 9000) * 100 AS y,
+         ((k * 104729) % 36000 - 18000) * 100 AS x
+  FROM pts
+),
+cells AS (
+  SELECT *, (x + 1800000) // {IDW_CW} AS ix, (y + 900000) // {IDW_CW} AS iy
+  FROM pv
+),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+contrib AS (
+  SELECT (iy + dy) * {nx} + ((ix + dx + {nx}) % {nx}) AS cell_rm,
+         v,
+         ((((ix + dx + {nx}) % {nx}) * {IDW_CW} + {IDW_CW // 2} - 1800000
+           - x + 5400000) % 3600000) - 1800000 AS dxd,
+         (iy + dy) * {IDW_CW} + {IDW_CW // 2} - 900000 - y AS dyd
+  FROM cells CROSS JOIN offs
+  WHERE iy + dy >= 0 AND iy + dy < {ny}
+),
+wt AS (
+  SELECT cell_rm, v,
+         CAST({IDW_WSCALE} AS HUGEINT)
+           // (dxd * dxd + dyd * dyd + {IDW_EPS}) AS wgt
+  FROM contrib
+)
+SELECT CAST(cell_rm AS BIGINT) AS cell_rm,
+       CAST(SUM(v * wgt) AS BIGINT) AS num,
+       CAST(SUM(wgt) AS BIGINT) AS den,
+       CAST((SUM(v * wgt) * {IDW_PSCALE}) // SUM(wgt) AS BIGINT) AS pred_fp
+FROM wt
+GROUP BY cell_rm
+ORDER BY cell_rm"""
+
+
+# --------------------------------------------------------------------------
+# Getis-Ord Gi* hot/cold-spot statistic (exact integer numerator)
+# --------------------------------------------------------------------------
+
+# The other canonical LISA statistic next to local Moran's I
+# (q_local_moran): Gi*(i) compares the 3x3-ring sum around cell i
+# (INCLUDING i — the star variant) against the expectation under the
+# global mean, flagging concentration of high values (hot) or low
+# values (cold). With x_j the per-cell event count, N = nx*ny study
+# cells and W_i the realized ring size (9 interior, 6 on a lat edge;
+# lon wraps), the exact integer score is
+#   gi_num(i) = N * ringsum(i) - W_i * total
+# (the z-score numerator scaled by N — sign and ordering preserved,
+# no division, no float). int64 bound: N = 32768 cells, so
+# gi_num <= N * total — safe while total events < 2.8e14 per run.
+# Cells with an empty ring score gi_num = -W_i * total < 0 but carry
+# no observed mass; like q_cell_smooth we emit only ringsum > 0 cells
+# (the oracle mirrors the same support).
+_GIS_LEVEL = CELL_LEVEL  # 256 x 128, reuse the smooth-grid counts
+
+
+def q_gi_star(sf_dir: str):
+    """(cell_rm, w, ringsum, gi_num) per cell with >= 1 event in its
+    3x3 ring: the exact Getis-Ord Gi* numerator (hot > 0 > cold)."""
+    nx, ny = 1 << _GIS_LEVEL, 1 << (_GIS_LEVEL - 1)
+    counts = _smooth_counts(sf_dir)  # one corpus pass, grid-bounded
+    total = counts.sum("n")  # grid-bounded aggregate (<= nx*ny rows)
+    n_cells = nx * ny
+
+    def emit(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        iy, ix = key // nx, key % nx
+        ks, ps = [], []
+        for dy in (-1, 0, 1):
+            ok = (iy + dy >= 0) & (iy + dy < ny)
+            for dx in (-1, 0, 1):
+                ks.append((iy[ok] + dy) * nx + (ix[ok] + dx + nx) % nx)
+                ps.append(n[ok])
+        return pa.table(
+            {"cell_rm": np.concatenate(ks), "p": np.concatenate(ps)}
+        )
+
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    rings = bounded_key_sum(
+        counts.map_batches(emit, batch_format="pyarrow"),
+        "cell_rm", ["p"],
+        driver=_n_rows(sf_dir, "events") <= _GRID_DRIVER_ROWS,
+        out_names=["ringsum"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["cell_rm"], pa.int64()).to_numpy(zero_copy_only=False)
+        ring = pc.cast(t["ringsum"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        iy = key // nx
+        w = np.where((iy == 0) | (iy == ny - 1), 6, 9).astype(np.int64)
+        return pa.table(
+            {
+                "cell_rm": key,
+                "w": w,
+                "ringsum": ring,
+                "gi_num": n_cells * ring - w * total,
+            }
+        )
+
+    return rings.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_gi_star() -> str:
+    nx, ny = 1 << _GIS_LEVEL, 1 << (_GIS_LEVEL - 1)
+    return f"""
+WITH c AS (
+  SELECT CAST(
+           LEAST(CAST(FLOOR(((lat + 90.0) / 180.0) * {ny}) AS BIGINT),
+                 {ny - 1}) AS BIGINT) AS iy,
+         CAST(
+           LEAST(CAST(FLOOR(((lon + 180.0) / 360.0) * {nx}) AS BIGINT),
+                 {nx - 1}) AS BIGINT) AS ix,
+         COUNT(*) AS n
+  FROM (
+    SELECT {_LAT_SQL.format(k='event_id')} AS lat,
+           {_LON_SQL.format(k='event_id')} AS lon
+    FROM events
+  )
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS total FROM c),
+o(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                     (1,-1),(1,0),(1,1)),
+ring AS (
+  SELECT (c.iy + o.dy) * {nx} + ((c.ix + o.dx + {nx}) % {nx}) AS cell_rm,
+         CAST(SUM(c.n) AS BIGINT) AS ringsum
+  FROM c JOIN o ON c.iy + o.dy >= 0 AND c.iy + o.dy < {ny}
+  GROUP BY 1
+)
+SELECT cell_rm,
+       CAST(CASE WHEN cell_rm // {nx} IN (0, {ny - 1}) THEN 6 ELSE 9 END
+            AS BIGINT) AS w,
+       ringsum,
+       CAST({nx * ny} * ringsum
+            - (CASE WHEN cell_rm // {nx} IN (0, {ny - 1}) THEN 6 ELSE 9 END)
+              * tot.total AS BIGINT) AS gi_num
+FROM ring, tot
+ORDER BY cell_rm"""

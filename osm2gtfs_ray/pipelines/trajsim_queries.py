@@ -354,3 +354,109 @@ SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
 FROM ({finals})
 ORDER BY user_a
 """
+
+
+# --------------------------------------------------------------------------
+# EDR: edit distance on real sequences (Chen et al., VLDB 2005)
+# --------------------------------------------------------------------------
+
+# The edit-distance member of the trajectory-similarity family (DTW
+# accumulates cost, LCSS counts matches, EDR counts EDITS with a
+# spatial match tolerance — robust to both noise and sampling-rate
+# differences). Recurrence
+#   e[i][j] = min(e[i-1][j-1] + sub(i,j), e[i-1][j] + 1, e[i][j-1] + 1)
+# with sub = 0 iff Chebyshev(a_i, b_j) <= eps, boundaries e[0][j] = j,
+# e[i][0] = i. The in-row left dependency factors into a min-plus
+# scan: with a[j] = min(prev[j-1] + sub, prev[j] + 1),
+#   c[j] = j + min(i, min_{t<=j}(a[t] - t))
+# — one np.minimum.accumulate per row in the engine, MIN() OVER
+# (ORDER BY j) unrolled to TRAJ_K CTEs in the oracle (the
+# q_trajectory_dtw min-plus-scan discipline applied to edit costs).
+EDR_EPS = LCSS_EPS  # same tolerance as LCSS: the measures compare
+
+
+def q_edr_similarity(sf_dir: str):
+    """(user_a, user_b, n_a, n_b, edr, sim_fp): EDR edit count between
+    users (2m, 2m+1) and (max(n)-edr)*1e6//max(n) similarity."""
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def edr_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair", "role", "seq"], kind="mergesort")
+        rows = []
+        for pair_id, gp in g.groupby("pair", sort=False):
+            d = _pair_matrices(gp)
+            if d is None:
+                continue
+            m = d <= EDR_EPS
+            na, nb = d.shape
+            t = np.arange(1, nb + 1, dtype=np.int64)
+            prev = t.copy()  # row 0: e[0][j] = j
+            for i in range(1, na + 1):
+                sub = (~m[i - 1]).astype(np.int64)
+                diag = np.r_[i - 1, prev[:-1]]
+                a = np.minimum(diag + sub, prev + 1)
+                prev = t + np.minimum(np.minimum.accumulate(a - t), i)
+            edr = int(prev[-1])
+            mx = max(na, nb)
+            rows.append(
+                (
+                    int(pair_id) * 2, int(pair_id) * 2 + 1,
+                    na, nb, edr,
+                    (mx - edr) * LCSS_SCALE // mx,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["user_a", "user_b", "n_a", "n_b", "edr", "sim_fp"],
+        ).astype(np.int64)
+
+    pts = sharded_map_groups(ev, "user_id", _topk_shard)
+    return sharded_map_groups(pts, "pair", edr_shard).sort("user_a")
+
+
+def sql_edr_similarity() -> str:
+    # r{i}[j] = j + LEAST(i, MIN(b - j) OVER running) with
+    # b = LEAST(diag + sub, prev + 1); row 1's prev row is e[0][j] = j
+    rows = [f"""
+r1 AS (
+  SELECT ua, j,
+         j + LEAST(1, MIN(
+           LEAST(j - 1 + CASE WHEN d <= {EDR_EPS} THEN 0 ELSE 1 END,
+                 j + 1) - j
+         ) OVER (PARTITION BY ua ORDER BY j ROWS UNBOUNDED PRECEDING)) AS c
+  FROM d WHERE i = 1
+)"""]
+    for i in range(2, TRAJ_K + 1):
+        rows.append(f"""
+r{i} AS (
+  SELECT ua, j, j + LEAST({i}, MIN(b - j) OVER (
+           PARTITION BY ua ORDER BY j ROWS UNBOUNDED PRECEDING
+         )) AS c
+  FROM (
+    SELECT dd.ua, dd.j,
+           LEAST(COALESCE(LAG(p.c) OVER (
+                   PARTITION BY dd.ua ORDER BY dd.j), {i - 1})
+                 + CASE WHEN dd.d <= {EDR_EPS} THEN 0 ELSE 1 END,
+                 p.c + 1) AS b
+    FROM d dd JOIN r{i - 1} p ON p.ua = dd.ua AND p.j = dd.j
+    WHERE dd.i = {i}
+  )
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT p.ua AS user_a, p.ub AS user_b, p.na AS n_a, p.nb AS n_b, "
+        f"r.c AS edr FROM pairs p JOIN r{i} r ON r.ua = p.ua AND r.j = p.nb "
+        f"WHERE p.na = {i}"
+        for i in range(1, TRAJ_K + 1)
+    )
+    return f"""
+WITH {_pts_pairs_sql().lstrip()},{",".join(rows)}
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(edr AS BIGINT) AS edr,
+       CAST(((GREATEST(n_a, n_b) - edr) * {LCSS_SCALE})
+            // GREATEST(n_a, n_b) AS BIGINT) AS sim_fp
+FROM ({finals})
+ORDER BY user_a
+"""

@@ -1009,3 +1009,108 @@ class TestShapeDensify:
                 jj = int(r["j"])
                 assert r["x_e4"] == a[0] + ((b[0] - a[0]) * jj) // m
                 assert r["y_e4"] == a[1] + ((b[1] - a[1]) * jj) // m
+
+
+class TestIDWSurface:
+    def test_matches_scalar_reference(self, ray_session):
+        """Brute scalar IDW over the synthesized stations — NOT the
+        9-partial emission path the engine uses."""
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            IDW_CW, IDW_EPS, IDW_LEVEL, IDW_PCT, IDW_PSCALE, IDW_WSCALE,
+            _S_IDW_SEL, _S_IDW_VAL, q_idw_surface,
+        )
+        from osm2gtfs_ray.sources.pages import _uint
+
+        sf = "/root/testdata/sf0.001"
+        nx, ny = 1 << IDW_LEVEL, 1 << (IDW_LEVEL - 1)
+        ids = (
+            pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+            ["event_id"].to_numpy().astype(np.uint64)
+        )
+        ids = ids[_uint(ids, _S_IDW_SEL, 42, 100) < IDW_PCT]
+        v = _uint(ids, _S_IDW_VAL, 42, 1000) + 1
+        k = ids.astype(np.int64)
+        y = ((k * 7919) % 18000 - 9000) * 100
+        x = ((k * 104729) % 36000 - 18000) * 100
+        ix = (x + 1800000) // IDW_CW
+        iy = (y + 900000) // IDW_CW
+        ref = {}
+        for p in range(len(k)):
+            for dy in (-1, 0, 1):
+                jy = iy[p] + dy
+                if jy < 0 or jy >= ny:
+                    continue
+                for dx in (-1, 0, 1):
+                    jx = (ix[p] + dx + nx) % nx
+                    cx = jx * IDW_CW + IDW_CW // 2 - 1800000
+                    cy = jy * IDW_CW + IDW_CW // 2 - 900000
+                    dxd = ((cx - x[p] + 5400000) % 3600000) - 1800000
+                    dyd = cy - y[p]
+                    w = IDW_WSCALE // (dxd * dxd + dyd * dyd + IDW_EPS)
+                    num, den = ref.get(jy * nx + jx, (0, 0))
+                    ref[jy * nx + jx] = (num + int(v[p]) * int(w),
+                                         den + int(w))
+        got = q_idw_surface(sf).to_pandas()
+        assert len(got) == len(ref) > 0
+        for _, r in got.iterrows():
+            num, den = ref[int(r["cell_rm"])]
+            assert int(r["num"]) == num
+            assert int(r["den"]) == den
+            assert int(r["pred_fp"]) == num * IDW_PSCALE // den
+
+    def test_prediction_within_value_range(self, ray_session):
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            IDW_PSCALE, q_idw_surface,
+        )
+
+        got = q_idw_surface("/root/testdata/sf0.001").to_pandas()
+        # IDW is a convex combination: 1 <= pred <= 1000
+        assert (got["pred_fp"] >= 1 * IDW_PSCALE - 1).all()
+        assert (got["pred_fp"] <= 1000 * IDW_PSCALE).all()
+
+
+class TestGiStar:
+    def test_matches_scalar_reference(self, ray_session):
+        """Brute per-cell ring sums over a dense numpy grid — NOT the
+        9-partial emission path the engine uses."""
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.geo_queries import (
+            _GIS_LEVEL, q_gi_star,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        nx, ny = 1 << _GIS_LEVEL, 1 << (_GIS_LEVEL - 1)
+        k = (
+            pq.read_table(f"{sf}/events.parquet", columns=["event_id"])
+            ["event_id"].to_numpy().astype(np.int64)
+        )
+        lat = ((k * 7919) % 18000) / 100.0 - 90.0
+        lon = ((k * 104729) % 36000) / 100.0 - 180.0
+        ix = np.minimum(np.floor((lon + 180.0) / 360.0 * nx), nx - 1).astype(int)
+        iy = np.minimum(np.floor((lat + 90.0) / 180.0 * ny), ny - 1).astype(int)
+        grid = np.zeros((ny, nx), dtype=np.int64)
+        np.add.at(grid, (iy, ix), 1)
+        total = int(grid.sum())
+        got = q_gi_star(sf).to_pandas().set_index("cell_rm")
+        for cell in got.index[:: max(1, len(got) // 500)]:
+            cy, cx = cell // nx, cell % nx
+            ring = sum(
+                int(grid[cy + dy, (cx + dx) % nx])
+                for dy in (-1, 0, 1) if 0 <= cy + dy < ny
+                for dx in (-1, 0, 1)
+            )
+            w = 6 if cy in (0, ny - 1) else 9
+            r = got.loc[cell]
+            assert int(r["ringsum"]) == ring
+            assert int(r["w"]) == w
+            assert int(r["gi_num"]) == nx * ny * ring - w * total
+        # edge rows carry w=6, interior w=9
+        iy_all = got.index.to_numpy() // nx
+        edge = (iy_all == 0) | (iy_all == ny - 1)
+        assert (got["w"].to_numpy()[edge] == 6).all()
+        assert (got["w"].to_numpy()[~edge] == 9).all()
+        # every ring sum positive (emission support)
+        assert (got["ringsum"] > 0).all()

@@ -155,3 +155,49 @@ class TestFrechet:
         j = fr.join(ha, rsuffix="_h").join(dt, rsuffix="_d")
         assert (j["hausdorff"] <= j["frechet"]).all()
         assert (j["frechet"] <= j["dtw"]).all()
+
+
+class TestEDR:
+    def test_matches_textbook_dp(self, ray_session):
+        from osm2gtfs_ray.pipelines.trajsim_queries import (
+            EDR_EPS,
+            LCSS_SCALE,
+            q_edr_similarity,
+        )
+
+        trajs = _brute_trajectories()
+        ref = {}
+        for ua, ub in _pairs(trajs):
+            m = _cheb_matrix(trajs, ua, ub) <= EDR_EPS
+            na, nb = m.shape
+            # textbook O(K^2) cell DP — NOT the min-plus scan
+            e = np.zeros((na + 1, nb + 1), dtype=np.int64)
+            e[0, :] = np.arange(nb + 1)
+            e[:, 0] = np.arange(na + 1)
+            for i in range(1, na + 1):
+                for j in range(1, nb + 1):
+                    sub = 0 if m[i - 1][j - 1] else 1
+                    e[i][j] = min(
+                        e[i - 1][j - 1] + sub, e[i - 1][j] + 1,
+                        e[i][j - 1] + 1,
+                    )
+            ref[(ua, ub)] = (na, nb, int(e[na][nb]))
+        got = q_edr_similarity(SF).to_pandas()
+        assert len(got) == len(ref) > 0
+        for _, r in got.iterrows():
+            na, nb, edr = ref[(int(r["user_a"]), int(r["user_b"]))]
+            assert (int(r["n_a"]), int(r["n_b"]), int(r["edr"])) == (
+                na, nb, edr,
+            )
+            mx = max(na, nb)
+            assert int(r["sim_fp"]) == (mx - edr) * LCSS_SCALE // mx
+
+    def test_edit_distance_bounds(self, ray_session):
+        from osm2gtfs_ray.pipelines.trajsim_queries import q_edr_similarity
+
+        got = q_edr_similarity(SF).to_pandas()
+        # |n_a - n_b| <= edr <= max(n_a, n_b)
+        lo = np.abs(got["n_a"] - got["n_b"])
+        hi = np.maximum(got["n_a"], got["n_b"])
+        assert (got["edr"] >= lo).all()
+        assert (got["edr"] <= hi).all()
