@@ -100,6 +100,8 @@ _GATE_ORDER = [
     # -- tier 1e: added in r5 second window, never driver-checked
     "frechet_pairs", "redirect_resolve", "idw_surface", "edr_similarity",
     "gi_star",
+    # -- tier 1f: added in r5 final window, never driver-checked
+    "event_cube", "assortativity", "link_prediction",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -486,6 +488,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_pages": grq.q_orphan_pages,
         # image near-dup clusters: pHash pairs -> components
         "phash_groups": mq.q_phash_groups,
+        # common-neighbor Jaccard link prediction (non-adjacent pairs)
+        "link_prediction": grq.q_link_prediction,
+        # degree assortativity (Pearson r of outdeg(src) vs indeg(dst))
+        "assortativity": grq.q_assortativity,
+        # CUBE over (event_type, day-of-week) in one bounded exchange
+        "event_cube": aq.q_event_cube,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -590,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         "scc": grq.SQL_SCC,
         "bowtie": grq.SQL_BOWTIE,
         "orphan_pages": grq.SQL_ORPHAN_PAGES,
+        "link_prediction": grq.sql_link_prediction(),
+        "assortativity": grq.sql_assortativity(),
+        "event_cube": aq.SQL_EVENT_CUBE,
         "phash_groups": _sql_components_over(
             "/tmp/graft_phash_group_pairs", "documents"),
         # corpus preparation

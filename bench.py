@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "user_envelope",
     "interarrival_hist",
     "knn_graph",
+    "link_prediction",
+    "assortativity",
+    "event_cube",
     "trajectory_dtw",
     "dedup_eval",
     "zorder_scan",

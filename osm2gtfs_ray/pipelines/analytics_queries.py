@@ -1581,3 +1581,105 @@ FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregate over (event_type, day-of-week): all four grouping
+# sets in one pass. Reference semantics analogue: osm2gtfs's trip
+# counting rolls service totals up per route AND per day-of-week
+# keyword (creators/trips_creator.py service handling); the cube is
+# the relational generalization.
+#
+# Scale plan: values are quantized to int64 1e-6 units PER ROW (the
+# value_e6 convention), partial-aggregated per batch on the finest
+# (type, dow) grain, merged through bounded_key_sum (key space =
+# |types| x 7, never corpus-sized); the three coarser grouping sets
+# are pure arithmetic on that bounded table - ONE exchange total, no
+# second pass over events. dow is epoch-day arithmetic ((day + 4) % 7,
+# 0 = Sunday), identical integer expressions on both sides - no
+# calendar library in either engine.
+
+_CUBE_DAY_US = 86_400_000_000
+_CUBE_ALL_TYPE = "ALL"  # sentinel for the rolled-up type dimension
+_CUBE_ALL_DOW = -1  # sentinel for the rolled-up dow dimension
+
+
+def q_event_cube(sf_dir: str):
+    """(event_type, dow, n_events, sum_value_e6) for GROUPING SETS
+    ((type, dow), (type), (dow), ()) with 'ALL'/-1 sentinels."""
+    import pyarrow.parquet as _pq
+
+    from osm2gtfs_ray.ops.sharded import bounded_key_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "dow": (
+                    b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                    // _CUBE_DAY_US
+                    + 4
+                )
+                % 7,
+                "v": np.trunc(v * 1e6 + np.copysign(0.5, v)).astype(np.int64),
+            }
+        )
+        out["n"] = np.int64(1)
+        return out.groupby(["event_type", "dow"], as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum")
+        )
+
+    parts = ev.map_batches(partials, batch_format="pandas")
+    n_rows = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    fine = bounded_key_sum(
+        parts, ["event_type", "dow"], ["n", "v"], driver=n_rows <= 200_000
+    ).to_pandas()  # bounded: |types| x 7 rows
+    fine = fine.rename(columns={"n": "n_events", "v": "sum_value_e6"})
+    fine["dow"] = fine["dow"].astype(np.int64)
+
+    def roll(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = df.groupby(keys, as_index=False)[
+                ["n_events", "sum_value_e6"]
+            ].sum()
+        else:
+            g = df[["n_events", "sum_value_e6"]].sum().to_frame().T
+        if "event_type" not in keys:
+            g["event_type"] = _CUBE_ALL_TYPE
+        if "dow" not in keys:
+            g["dow"] = np.int64(_CUBE_ALL_DOW)
+        return g
+
+    cols = ["event_type", "dow", "n_events", "sum_value_e6"]
+    out = pd.concat(
+        [
+            fine[cols],
+            roll(fine, ["event_type"])[cols],
+            roll(fine, ["dow"])[cols],
+            roll(fine, [])[cols],
+        ],
+        ignore_index=True,
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value_e6"] = out["sum_value_e6"].astype(np.int64)
+    return out.sort_values(["event_type", "dow"]).reset_index(drop=True)
+
+
+SQL_EVENT_CUBE = f"""
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_CUBE_DAY_US} + 4) % 7 AS dow,
+         CAST(ROUND(value * 1e6) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, '{_CUBE_ALL_TYPE}') AS event_type,
+       CAST(COALESCE(dow, {_CUBE_ALL_DOW}) AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS sum_value_e6
+FROM base
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+ORDER BY 1, 2
+"""

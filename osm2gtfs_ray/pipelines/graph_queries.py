@@ -1495,3 +1495,264 @@ ORDER BY doc_id
 
 
 SQL_ORPHAN_PAGES = _sql_orphan_pages()
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor Jaccard over the undirected graph
+#
+# Reference semantics analogue: osm2gtfs's stop->route matching scores
+# candidate pairs by shared context (name/ref overlap,
+# osm2gtfs/creators/stops_creator.py); here the web-scale analogue is
+# scoring NON-adjacent page pairs by shared neighborhoods - the
+# classic link-prediction primitive for crawl frontier ranking.
+#
+# Scale plan: pair candidates are emitted per shared neighbor w
+# (shard key = w), never all-pairs; a per-neighbor cap LP_CAP bounds
+# the quadratic blowup on hub nodes (the skew guard, replicated
+# bit-exactly in the SQL oracle via ROW_NUMBER, same convention as
+# COCITE_CAP). Degrees join back via two hash joins; the und-edge
+# exclusion rides the SAME (a,b)-sharded exchange as the count merge
+# (union + flag, one shuffle).
+
+LP_CAP = 64  # per-neighbor fan-in cap (skew guard; oracle-replicated)
+LP_MIN_CN = 2  # report pairs sharing at least this many neighbors
+LP_SCALE = 10**6  # jaccard fixed-point denominator
+
+
+def _lp_sym(sf_dir: str):
+    """Both directions of the deduped undirected edge set."""
+    und = build_und_edges(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "nbr": np.concatenate([b, a]),
+            }
+        )
+
+    return und, und.map_batches(both, batch_format="pyarrow")
+
+
+def q_link_prediction(sf_dir: str):
+    """(a, b, cn, jaccard_fp): non-adjacent page pairs sharing >=
+    LP_MIN_CN neighbors, scored cn/(deg(a)+deg(b)-cn) in 1e6
+    fixed point. Deterministic: LP_CAP lowest-id neighbors per hub."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.joins import hash_join
+    from osm2gtfs_ray.ops.pairs import intra_group_pair_indices, new_group_mask
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    und, sym = _lp_sym(sf_dir)
+    # nested hash joins: size partitions with the corpus (min 2) so
+    # the aggregator actor pools never starve a small-CPU session
+    # (the q_triangles np_ convention)
+    np_ = max(2, min(64, 2 * _n_docs(sf_dir) // 250_000 + 1))
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nbr", "node"], kind="mergesort")
+        rank = g.groupby("nbr", sort=False).cumcount().to_numpy()
+        g = g[rank < LP_CAP]
+        new = new_group_mask(g, ["nbr"])
+        ai, bi = intra_group_pair_indices(new)
+        nd = g["node"].to_numpy()
+        # sorted asc within each nbr group and (node, nbr) unique,
+        # so nd[ai] < nd[bi] always: pairs are canonical (a < b)
+        pairs = pd.DataFrame({"a": nd[ai], "b": nd[bi]})
+        out = (
+            pairs.groupby(["a", "b"], sort=False)
+            .size()
+            .rename("cn_part")
+            .reset_index()
+        )
+        out["is_edge"] = np.int64(0)
+        return out
+
+    parts = sharded_map_groups(sym, "nbr", shard_pairs)
+
+    def mark_edges(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "cn_part": z,
+                "is_edge": z + 1,
+            }
+        )
+
+    merged = parts.union(und.map_batches(mark_edges, batch_format="pyarrow"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False).agg(
+            cn=("cn_part", "sum"), is_edge=("is_edge", "max")
+        )
+        agg = agg[(agg["is_edge"] == 0) & (agg["cn"] >= LP_MIN_CN)]
+        return agg.reset_index().drop(columns="is_edge")
+
+    cand = sharded_map_groups(merged, ["a", "b"], finish)
+
+    def degrees(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("node", sort=False).size().rename("dg").reset_index()
+        )
+
+    deg = sharded_map_groups(sym, "node", degrees)
+
+    j = hash_join(cand, deg.map_batches(
+        lambda t: t.rename_columns(["a", "dg_a"]), batch_format="pyarrow"
+    ), keys="a", num_partitions=np_)
+    j = hash_join(j, deg.map_batches(
+        lambda t: t.rename_columns(["b", "dg_b"]), batch_format="pyarrow"
+    ), keys="b", num_partitions=np_)
+
+    def score(t: pa.Table) -> pa.Table:
+        cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["dg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["dg_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # union size >= cn >= LP_MIN_CN > 0: denominator never zero
+        jac = cn * np.int64(LP_SCALE) // (da + db - cn)
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "cn": cn,
+                "jaccard_fp": jac,
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def sql_link_prediction() -> str:
+    return f"""
+WITH {_sql_edges()},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                            GREATEST(src, dst) AS b
+                     FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+cap AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+           ROW_NUMBER() OVER (PARTITION BY nbr ORDER BY node) AS rk
+    FROM sym) WHERE rk <= {LP_CAP}),
+pr AS (
+  SELECT s1.node AS a, s2.node AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM cap s1 JOIN cap s2 ON s1.nbr = s2.nbr AND s1.node < s2.node
+  GROUP BY 1, 2),
+udeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY node),
+cand AS (
+  SELECT p.a, p.b, p.cn FROM pr p
+  ANTI JOIN und u ON u.a = p.a AND u.b = p.b
+  WHERE p.cn >= {LP_MIN_CN})
+SELECT c.a, c.b, c.cn,
+       CAST((CAST(c.cn AS HUGEINT) * {LP_SCALE})
+            // (da.dg + db.dg - c.cn) AS BIGINT) AS jaccard_fp
+FROM cand c
+JOIN udeg da ON da.node = c.a
+JOIN udeg db ON db.node = c.b
+ORDER BY c.a, c.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity: Pearson correlation of (outdeg(src), indeg(dst))
+# across directed edges - one scalar describing hub-to-hub linking.
+#
+# Scale plan: indeg is ONE per-dst aggregation (the same exchange
+# pagerank's shuffle plan uses), joined back to the edge stream with a
+# hash join; the correlation itself is six mergeable int64 partial
+# sums reduced to a single driver row, then scored exactly in Python
+# big ints (the gini_fp discipline: no int64 product overflow at any
+# corpus size) before ONE float64 division mirroring the oracle's
+# DOUBLE arithmetic. Partial-sum int64 bound: x = outdeg <= 3 so
+# sum(x^2) <= 9m; y = indeg can reach hub scale h, sum(y^2) <= m*h^2 -
+# per-BATCH partials stay well under 2^63 for h < 3e4 at the default
+# 64k batch; beyond that the partial stage would need uint128
+# chunking, documented here rather than silently wrong (the global
+# merge is already exact big-int).
+
+
+def q_assortativity(sf_dir: str):
+    """One row (m, assort_e6): edge count and degree assortativity
+    (Pearson r of src outdeg vs dst indeg over edges), half-away
+    rounded at 1e6 like corr_qty_price."""
+    import math
+
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.joins import hash_join
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    edges = build_link_graph(sf_dir)
+
+    def ind_parts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("dst", sort=False).size().rename("ind").reset_index()
+
+    def ind_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("dst", sort=False)["ind"].sum().reset_index()
+
+    ind = sharded_map_groups(
+        edges.select_columns(["dst"]),
+        "dst",
+        ind_merge,
+        local_pre=ind_parts,  # map-side combine before the shuffle
+    )
+
+    np_ = max(2, min(64, 2 * _n_docs(sf_dir) // 250_000 + 1))
+    j = hash_join(edges.select_columns(["dst", "outdeg"]), ind, keys="dst",
+                  num_partitions=np_)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["ind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+            }
+        )
+
+    parts = j.map_batches(moments, batch_format="pyarrow")
+    tot = parts.aggregate(
+        Sum("m"), Sum("sx"), Sum("sy"), Sum("sxy"), Sum("sxx"), Sum("syy")
+    )
+    m = int(tot["sum(m)"])
+    sx, sy = int(tot["sum(sx)"]), int(tot["sum(sy)"])
+    sxy, sxx, syy = int(tot["sum(sxy)"]), int(tot["sum(sxx)"]), int(tot["sum(syy)"])
+    num = m * sxy - sx * sy
+    d1 = m * sxx - sx * sx
+    d2 = m * syy - sy * sy
+    if d1 == 0 or d2 == 0:
+        raise ValueError("assortativity undefined: constant degree series")
+    corr = float(num) / math.sqrt(float(d1) * float(d2))
+    assort_e6 = int(math.trunc(corr * 1e6 + math.copysign(0.5, corr)))
+    return pd.DataFrame({"m": [m], "assort_e6": [assort_e6]})
+
+
+def sql_assortativity() -> str:
+    return f"""
+WITH {_sql_edges()},
+ind AS (SELECT dst AS node, CAST(COUNT(*) AS HUGEINT) AS ind
+        FROM edges GROUP BY dst),
+j AS (SELECT CAST(e.outdeg AS HUGEINT) AS x, i.ind AS y
+      FROM edges e JOIN ind i ON i.node = e.dst),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM j)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                         * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6)
+            AS BIGINT) AS assort_e6
+FROM s
+"""

@@ -1049,3 +1049,98 @@ class TestSSSP:
         ).to_pandas().set_index("doc_id")["hops"]
         both = d5.index.intersection(hops.index)
         assert (d5.loc[both] >= hops.loc[both]).all()
+
+
+def _und_pairs_brute(n: int) -> set:
+    e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+    s, d = e["src"].to_numpy(), e["dst"].to_numpy()
+    return {(min(a, b), max(a, b)) for a, b in zip(s.tolist(), d.tolist()) if a != b}
+
+
+class TestLinkPrediction:
+    def test_matches_brute(self, ray_session):
+        """Brute-force common-neighbor Jaccard over the sf0.001 graph
+        (independent set-based loop, no SQL) equals the distributed
+        pipeline, including the non-adjacency exclusion."""
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            LP_MIN_CN,
+            LP_SCALE,
+            q_link_prediction,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        und = _und_pairs_brute(n)
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        # LP_CAP never binds at this n (max degree << 64): brute skips it
+        exp = {}
+        nodes = sorted(adj)
+        for w, nbrs in adj.items():
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    p = (ns[i], ns[j])
+                    exp[p] = exp.get(p, 0) + 1
+        exp = {
+            p: cn
+            for p, cn in exp.items()
+            if cn >= LP_MIN_CN and p not in und
+        }
+        got = q_link_prediction(sf).to_pandas()
+        got_map = {
+            (a, b): (cn, j)
+            for a, b, cn, j in zip(
+                got["a"], got["b"], got["cn"], got["jaccard_fp"]
+            )
+        }
+        assert set(got_map) == set(exp)
+        for (a, b), cn in exp.items():
+            da, db = len(adj[a]), len(adj[b])
+            jac = cn * LP_SCALE // (da + db - cn)
+            assert got_map[(a, b)] == (cn, jac)
+
+    def test_pairs_non_adjacent_and_canonical(self, ray_session):
+        from osm2gtfs_ray.pipelines.graph_queries import q_link_prediction
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        und = _und_pairs_brute(n)
+        got = q_link_prediction(sf).to_pandas()
+        assert (got["a"] < got["b"]).all()
+        assert not any((a, b) in und for a, b in zip(got["a"], got["b"]))
+
+
+class TestAssortativity:
+    def test_matches_scalar_reference(self, ray_session):
+        """Scalar numpy reference of Pearson r over (outdeg, indeg)
+        edge pairs equals the distributed six-sum pipeline."""
+        import math
+
+        from osm2gtfs_ray.pipelines.graph_queries import q_assortativity
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        e = synthesize_edges(np.arange(n, dtype=np.uint64), n)
+        src = e["src"].to_numpy()
+        dst = e["dst"].to_numpy()
+        x = e["outdeg"].to_numpy().astype(np.int64)
+        ind = np.bincount(dst, minlength=n).astype(np.int64)
+        y = ind[dst]
+        m = len(x)
+        num = m * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        d1 = m * int((x * x).sum()) - int(x.sum()) ** 2
+        d2 = m * int((y * y).sum()) - int(y.sum()) ** 2
+        corr = float(num) / math.sqrt(float(d1) * float(d2))
+        exp = int(math.trunc(corr * 1e6 + math.copysign(0.5, corr)))
+        got = q_assortativity(sf)
+        assert got["m"].iloc[0] == m
+        assert got["assort_e6"].iloc[0] == exp

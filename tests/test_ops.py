@@ -1587,3 +1587,62 @@ class TestAnnRecall:
 
         got = sq.q_ann_recall(self.SF).to_pandas()
         assert (got["mrr_fp"] == sq.EVAL_SCALE).all()
+
+
+class TestEventCube:
+    def test_cube_levels_consistent(self, ray_session):
+        """Every rollup level re-derivable from the finest grain, and
+        the finest grain matches a pandas reference over the parquet."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from osm2gtfs_ray.pipelines.analytics_queries import (
+            _CUBE_ALL_DOW,
+            _CUBE_ALL_TYPE,
+            _CUBE_DAY_US,
+            q_event_cube,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = q_event_cube(sf)
+        ev = pq.read_table(
+            f"{sf}/events.parquet", columns=["event_type", "ts", "value"]
+        ).to_pandas()
+        v = ev["value"].to_numpy(np.float64)
+        ref = pd.DataFrame(
+            {
+                "event_type": ev["event_type"],
+                "dow": (
+                    ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                    // _CUBE_DAY_US
+                    + 4
+                )
+                % 7,
+                "v": np.trunc(v * 1e6 + np.copysign(0.5, v)).astype(np.int64),
+            }
+        )
+        fine = out[
+            (out["event_type"] != _CUBE_ALL_TYPE) & (out["dow"] != _CUBE_ALL_DOW)
+        ]
+        ref_fine = (
+            ref.groupby(["event_type", "dow"], as_index=False)
+            .agg(n_events=("v", "size"), sum_value_e6=("v", "sum"))
+            .sort_values(["event_type", "dow"])
+            .reset_index(drop=True)
+        )
+        assert fine.reset_index(drop=True).astype(
+            {"dow": "int64", "n_events": "int64", "sum_value_e6": "int64"}
+        ).equals(ref_fine.astype(
+            {"dow": "int64", "n_events": "int64", "sum_value_e6": "int64"}
+        ))
+        grand = out[
+            (out["event_type"] == _CUBE_ALL_TYPE) & (out["dow"] == _CUBE_ALL_DOW)
+        ]
+        assert len(grand) == 1
+        assert grand["n_events"].iloc[0] == len(ev)
+        assert grand["n_events"].iloc[0] == fine["n_events"].sum()
+        assert grand["sum_value_e6"].iloc[0] == fine["sum_value_e6"].sum()
+        by_type = out[
+            (out["event_type"] != _CUBE_ALL_TYPE) & (out["dow"] == _CUBE_ALL_DOW)
+        ]
+        assert by_type["n_events"].sum() == len(ev)
