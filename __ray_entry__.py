@@ -101,7 +101,7 @@ _GATE_ORDER = [
     "frechet_pairs", "redirect_resolve", "idw_surface", "edr_similarity",
     "gi_star",
     # -- tier 1f: added in r5 final window, never driver-checked
-    "event_cube", "assortativity", "link_prediction",
+    "event_cube", "ann_sq8", "assortativity", "link_prediction",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": grq.q_assortativity,
         # CUBE over (event_type, day-of-week) in one bounded exchange
         "event_cube": aq.q_event_cube,
+        # SQ8 scalar-quantized ANN (8-bit codes, asymmetric distance)
+        "ann_sq8": sq.q_ann_sq8,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -601,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": grq.sql_link_prediction(),
         "assortativity": grq.sql_assortativity(),
         "event_cube": aq.SQL_EVENT_CUBE,
+        "ann_sq8": sq.SQL_ANN_SQ8,
         "phash_groups": _sql_components_over(
             "/tmp/graft_phash_group_pairs", "documents"),
         # corpus preparation

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "interarrival_hist",
     "knn_graph",
     "link_prediction",
+    "ann_sq8",
     "assortativity",
     "event_cube",
     "trajectory_dtw",

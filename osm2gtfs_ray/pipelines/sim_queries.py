@@ -1617,3 +1617,59 @@ FROM knn x JOIN knn y ON y.vec_id = x.nbr_id AND y.nbr_id = x.vec_id
 WHERE x.vec_id < x.nbr_id
 ORDER BY a, b
 """
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN (stages/ann.py sq8_*): per-dim 8-bit codes
+# from global (lo, hi) ranges, asymmetric int64 distances. The oracle
+# recomputes the ranges itself (MIN/MAX per dim) — no snapshot needed,
+# unlike PQ whose trained codebook must be shared.
+# --------------------------------------------------------------------------
+
+SQ8_TOPK = 10
+
+
+def q_ann_sq8(sf_dir: str):
+    """(vec_id, adc_d2) — approximate top-10 nearest to query vec 0 by
+    asymmetric distance over per-dimension 8-bit scalar quantization."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_rows = pq.ParquetFile(table_path(sf_dir, "embeddings")).metadata.num_rows
+    lo, hi = ann_mod.sq8_range(emb, n_rows)
+    return ann_mod.sq8_topk(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        _query_vec(sf_dir), lo, hi, k=SQ8_TOPK,
+    )
+
+
+SQL_ANN_SQ8 = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x * 10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+u AS (
+  SELECT e.vec_id, t.i AS d, e.v[t.i] AS val
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) t
+),
+rng AS (SELECT d, MIN(val) AS lo, MAX(val) AS hi FROM u GROUP BY d),
+c AS (
+  SELECT u.vec_id, u.d,
+         CASE WHEN r.hi > r.lo
+              THEN ((u.val - r.lo) * 510 + (r.hi - r.lo))
+                   // (2 * (r.hi - r.lo))
+              ELSE 0 END AS code,
+         r.lo, r.hi
+  FROM u JOIN rng r USING (d)
+),
+q AS (SELECT d, val * 255 AS qs FROM u WHERE vec_id = 0),
+d2 AS (
+  SELECT c.vec_id,
+         CAST(SUM((q.qs - (c.lo * 255 + c.code * (c.hi - c.lo)))
+                  * (q.qs - (c.lo * 255 + c.code * (c.hi - c.lo))))
+              AS BIGINT) AS adc_d2
+  FROM c JOIN q USING (d)
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_d2 FROM d2 ORDER BY adc_d2 ASC, vec_id ASC LIMIT {SQ8_TOPK}
+"""

@@ -671,3 +671,106 @@ def ivfpq_topk(embeddings_ds, query: np.ndarray, coarse: np.ndarray,
         batch_format="pyarrow",
     )
     return pq_adc_topk(pruned, q, pq_cents, k=k)
+
+
+# ---------------------------------------------------------------------------
+# SQ8: per-dimension scalar quantization to 8-bit codes (the third
+# production quantizer next to PQ and IVF-PQ: 4x memory over float32,
+# 32x over float64, one multiply-add to decode). Codes are
+# c = round((v - lo_d) * 255 / (hi_d - lo_d)) over E4-quantized values
+# (v = floor(x * 1e4 + 0.5)); distances are asymmetric (raw query vs
+# reconstructed corpus vector), computed exactly in int64 on a x255
+# scale so the SQL oracle reproduces every bit. int64 bound:
+# d2 <= D * (510 * max|v|)^2, safe through max|x| <= 74 at D = 64 —
+# document-embedding ranges (unit-norm-ish) sit two orders below.
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255
+
+
+def quantize_e4(mat: np.ndarray) -> np.ndarray:
+    """floor(x*1e4 + 0.5) as int64 — DuckDB FLOOR(x*10000 + 0.5)."""
+    return np.floor(mat * 1e4 + 0.5).astype(np.int64)
+
+
+def sq8_range(embeddings_ds, n_rows: int):
+    """Per-dimension (lo, hi) over the E4-quantized corpus: mergeable
+    per-batch partial min/max (one D-row table per batch), merged on
+    the driver below 200k corpus rows, else through ONE bounded Ray
+    groupby (key space = D)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = quantize_e4(stack_embeddings(t["embedding"]))
+        d = v.shape[1]
+        return pa.table(
+            {
+                "d": np.arange(1, d + 1, dtype=np.int64),  # 1-based like SQL
+                "lo": v.min(axis=0),
+                "hi": v.max(axis=0),
+            }
+        )
+
+    parts = embeddings_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if n_rows <= 200_000:
+        df = parts.to_pandas()
+        agg = df.groupby("d").agg(lo=("lo", "min"), hi=("hi", "max"))
+    else:
+        from ray.data.aggregate import Max, Min
+
+        agg = (
+            parts.groupby("d")
+            .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+            .to_pandas()
+            .set_index("d")
+        )
+    agg = agg.sort_index()
+    return agg["lo"].to_numpy(np.int64), agg["hi"].to_numpy(np.int64)
+
+
+def sq8_codes(v_e4: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Round-half-up (v-lo)*255/(hi-lo) per dim; 0 where hi == lo.
+    Numerators are non-negative (v in [lo, hi]) so int64 floor-div
+    matches DuckDB // exactly."""
+    span = hi - lo
+    num = (v_e4 - lo[None, :]) * (2 * SQ8_LEVELS) + span[None, :]
+    den = np.where(span > 0, 2 * span, 1)
+    return np.where(span[None, :] > 0, num // den[None, :], 0)
+
+
+class SQ8AdcTopK:
+    """Per-batch SQ8 encode + asymmetric distance + local top-k; the
+    production shape stores the uint8 code column once and skips the
+    encode line. Task mode (state = two D-vectors + the query)."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray, qs: np.ndarray, k: int):
+        self.lo, self.hi, self.qs, self.k = lo, hi, qs, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = quantize_e4(stack_embeddings(batch["embedding"]))
+        c = sq8_codes(v, self.lo, self.hi)
+        recon = self.lo[None, :] * SQ8_LEVELS + c * (self.hi - self.lo)[None, :]
+        diff = self.qs[None, :] - recon
+        d2 = np.einsum("nd,nd->n", diff, diff)
+        vec_id = batch["vec_id"].to_numpy()
+        order = np.lexsort((vec_id, d2))[: min(self.k, len(d2))]
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_id[order], pa.int64()),
+                "adc_d2": pa.array(d2[order], pa.int64()),
+            }
+        )
+
+
+def sq8_topk(embeddings_ds, query: np.ndarray, lo: np.ndarray,
+             hi: np.ndarray, k: int = 10):
+    """Approximate top-k by asymmetric distance over SQ8 codes."""
+    qs = quantize_e4(query[None, :])[0] * SQ8_LEVELS
+    parts = embeddings_ds.map_batches(
+        SQ8AdcTopK(lo, hi, qs, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return parts.sort(["adc_d2", "vec_id"]).limit(k)

@@ -1646,3 +1646,60 @@ class TestEventCube:
             (out["event_type"] != _CUBE_ALL_TYPE) & (out["dow"] == _CUBE_ALL_DOW)
         ]
         assert by_type["n_events"].sum() == len(ev)
+
+
+class TestSQ8:
+    def _mat(self, n=200, d=16, seed=7):
+        rng = np.random.default_rng(seed)
+        return rng.normal(0, 0.3, size=(n, d))
+
+    def test_codes_bounded_and_scalar_reference(self):
+        from osm2gtfs_ray.stages.ann import quantize_e4, sq8_codes
+
+        m = self._mat()
+        v = quantize_e4(m)
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        c = sq8_codes(v, lo, hi)
+        assert c.min() >= 0 and c.max() <= 255
+        # scalar round-half-up reference, one element at a time
+        for i in range(0, 200, 37):
+            for j in range(0, 16, 5):
+                span = int(hi[j] - lo[j])
+                exp = (
+                    ((int(v[i, j]) - int(lo[j])) * 510 + span) // (2 * span)
+                    if span > 0
+                    else 0
+                )
+                assert c[i, j] == exp
+
+    def test_constant_dim_codes_zero(self):
+        from osm2gtfs_ray.stages.ann import quantize_e4, sq8_codes
+
+        m = self._mat()
+        m[:, 3] = 0.125  # degenerate dimension: hi == lo
+        v = quantize_e4(m)
+        c = sq8_codes(v, v.min(axis=0), v.max(axis=0))
+        assert (c[:, 3] == 0).all()
+
+    def test_quantization_error_bound(self):
+        """Reconstruction is within half a code step per dim: the SQ8
+        contract that makes the approximate distances usable."""
+        from osm2gtfs_ray.stages.ann import quantize_e4, sq8_codes
+
+        m = self._mat()
+        v = quantize_e4(m)
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        c = sq8_codes(v, lo, hi)
+        recon = lo[None, :] * 255 + c * (hi - lo)[None, :]
+        err = np.abs(v * 255 - recon)
+        step = np.maximum(hi - lo, 1)  # one code step on the x255 scale
+        assert (err <= (step[None, :] + 1) // 2 + 255).all()
+
+    def test_topk_self_query_first(self, ray_session):
+        from osm2gtfs_ray.pipelines.sim_queries import q_ann_sq8
+
+        got = q_ann_sq8("/root/testdata/sf0.001").to_pandas()
+        assert len(got) == 10
+        assert got["vec_id"].iloc[0] == 0  # the query vector itself
+        d2 = got["adc_d2"].to_numpy()
+        assert (np.diff(d2) >= 0).all()
