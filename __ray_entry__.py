@@ -102,6 +102,7 @@ _GATE_ORDER = [
     "gi_star",
     # -- tier 1f: added in r5 final window, never driver-checked
     "event_cube", "ann_sq8", "assortativity", "link_prediction",
+    "resource_alloc",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -496,6 +497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cube": aq.q_event_cube,
         # SQ8 scalar-quantized ANN (8-bit codes, asymmetric distance)
         "ann_sq8": sq.q_ann_sq8,
+        # resource-allocation link score (integer 1/deg(w) sums)
+        "resource_alloc": grq.q_resource_alloc,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -604,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": grq.sql_assortativity(),
         "event_cube": aq.SQL_EVENT_CUBE,
         "ann_sq8": sq.SQL_ANN_SQ8,
+        "resource_alloc": grq.sql_resource_alloc(),
         "phash_groups": _sql_components_over(
             "/tmp/graft_phash_group_pairs", "documents"),
         # corpus preparation

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "link_prediction",
     "ann_sq8",
+    "resource_alloc",
     "assortativity",
     "event_cube",
     "trajectory_dtw",

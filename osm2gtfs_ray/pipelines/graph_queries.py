@@ -1756,3 +1756,107 @@ SELECT CAST(m AS BIGINT) AS m,
             AS BIGINT) AS assort_e6
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link score (Zhou, Lu & Zhang 2009): for each
+# non-adjacent pair, RA = sum over shared neighbors w of 1/deg(w) -
+# the integer-exact cousin of Adamic-Adar (1/ln deg needs floats;
+# 1/deg does not). Unlike Jaccard above, each shared neighbor's
+# contribution is known AT EMISSION TIME (all of w's adjacency rows
+# land in w's shard, so deg(w) is just the group size), so the score
+# needs NO degree join afterwards - one pair-keyed exchange total.
+# Contributions are 10^9 // deg(w): integer division both sides,
+# order-independent sums, bit-exact oracle.
+
+RA_SCALE = 10**9
+
+
+def q_resource_alloc(sf_dir: str):
+    """(a, b, cn, ra_fp): non-adjacent pairs sharing >= LP_MIN_CN
+    neighbors, scored sum(RA_SCALE // deg(w)) over shared w. Same
+    LP_CAP per-neighbor guard (oracle-replicated) as link_prediction;
+    deg(w) is the FULL pre-cap degree."""
+    import pandas as pd
+
+    from osm2gtfs_ray.ops.pairs import intra_group_pair_indices, new_group_mask
+    from osm2gtfs_ray.ops.sharded import sharded_map_groups
+
+    und, sym = _lp_sym(sf_dir)
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["nbr", "node"], kind="mergesort")
+        sizes = g.groupby("nbr", sort=False)["node"].transform("size")
+        contrib = (np.int64(RA_SCALE) // sizes.to_numpy(np.int64))
+        rank = g.groupby("nbr", sort=False).cumcount().to_numpy()
+        keep = rank < LP_CAP
+        g2, contrib = g[keep], contrib[keep]
+        new = new_group_mask(g2, ["nbr"])
+        ai, bi = intra_group_pair_indices(new)
+        nd = g2["node"].to_numpy()
+        pairs = pd.DataFrame(
+            {"a": nd[ai], "b": nd[bi], "ra_part": contrib[ai]}
+        )
+        out = pairs.groupby(["a", "b"], sort=False).agg(
+            cn_part=("ra_part", "size"), ra_part=("ra_part", "sum")
+        ).reset_index()
+        out["is_edge"] = np.int64(0)
+        return out
+
+    parts = sharded_map_groups(sym, "nbr", shard_pairs)
+
+    def mark_edges(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "cn_part": z, "ra_part": z,
+             "is_edge": z + 1}
+        )
+
+    merged = parts.union(und.map_batches(mark_edges, batch_format="pyarrow"))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False).agg(
+            cn=("cn_part", "sum"), ra_fp=("ra_part", "sum"),
+            is_edge=("is_edge", "max"),
+        )
+        agg = agg[(agg["is_edge"] == 0) & (agg["cn"] >= LP_MIN_CN)]
+        out = agg.reset_index().drop(columns="is_edge")
+        out["a"] = out["a"].astype(np.int64)
+        out["b"] = out["b"].astype(np.int64)
+        out["cn"] = out["cn"].astype(np.int64)
+        out["ra_fp"] = out["ra_fp"].astype(np.int64)
+        return out
+
+    return sharded_map_groups(merged, ["a", "b"], finish)
+
+
+def sql_resource_alloc() -> str:
+    return f"""
+WITH {_sql_edges()},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+                            GREATEST(src, dst) AS b
+                     FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b AS node, a AS nbr FROM und),
+udeg AS (SELECT nbr AS w, CAST(COUNT(*) AS BIGINT) AS dg
+         FROM sym GROUP BY nbr),
+cap AS (
+  SELECT node, nbr FROM (
+    SELECT node, nbr,
+           ROW_NUMBER() OVER (PARTITION BY nbr ORDER BY node) AS rk
+    FROM sym) WHERE rk <= {LP_CAP}),
+pr AS (
+  SELECT s1.node AS a, s2.node AS b,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM({RA_SCALE} // u.dg) AS BIGINT) AS ra_fp
+  FROM cap s1
+  JOIN cap s2 ON s1.nbr = s2.nbr AND s1.node < s2.node
+  JOIN udeg u ON u.w = s1.nbr
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.cn, p.ra_fp
+FROM pr p
+ANTI JOIN und e ON e.a = p.a AND e.b = p.b
+WHERE p.cn >= {LP_MIN_CN}
+ORDER BY p.a, p.b
+"""

@@ -1144,3 +1144,44 @@ class TestAssortativity:
         got = q_assortativity(sf)
         assert got["m"].iloc[0] == m
         assert got["assort_e6"].iloc[0] == exp
+
+
+class TestResourceAlloc:
+    def test_matches_brute(self, ray_session):
+        """Brute set-based RA (sum 1e9 // deg(w) over shared w) equals
+        the one-exchange distributed score."""
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            LP_MIN_CN,
+            RA_SCALE,
+            q_resource_alloc,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        und = _und_pairs_brute(n)
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for w, nbrs in adj.items():
+            contrib = RA_SCALE // len(nbrs)
+            ns = sorted(nbrs)
+            for i in range(len(ns)):
+                for j in range(i + 1, len(ns)):
+                    p = (ns[i], ns[j])
+                    cn, ra = exp.get(p, (0, 0))
+                    exp[p] = (cn + 1, ra + contrib)
+        exp = {
+            p: v
+            for p, v in exp.items()
+            if v[0] >= LP_MIN_CN and p not in und
+        }
+        got = q_resource_alloc(sf).to_pandas()
+        got_map = {
+            (a, b): (cn, ra)
+            for a, b, cn, ra in zip(got["a"], got["b"], got["cn"], got["ra_fp"])
+        }
+        assert got_map == exp
