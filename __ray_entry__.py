@@ -102,7 +102,7 @@ _GATE_ORDER = [
     "gi_star",
     # -- tier 1f: added in r5 final window, never driver-checked
     "event_cube", "ann_sq8", "assortativity", "link_prediction",
-    "resource_alloc",
+    "resource_alloc", "clustering_coef",
     # -- tier 2: driver-green at least once in r1-r4, cheapest first
     "tile_geometry", "inverted_index",
     "chunk_docs", "simhash", "cell_smooth", "weighted_sample",
@@ -499,6 +499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8": sq.q_ann_sq8,
         # resource-allocation link score (integer 1/deg(w) sums)
         "resource_alloc": grq.q_resource_alloc,
+        # Watts-Strogatz local clustering coefficient per node
+        "clustering_coef": grq.q_clustering_coef,
     }
     # the driver's correctness gate walks this dict IN ORDER under a
     # time budget (r1/r2/r3 each covered a strict prefix: 33/46/50
@@ -608,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "event_cube": aq.SQL_EVENT_CUBE,
         "ann_sq8": sq.SQL_ANN_SQ8,
         "resource_alloc": grq.sql_resource_alloc(),
+        "clustering_coef": grq.sql_clustering_coef(),
         "phash_groups": _sql_components_over(
             "/tmp/graft_phash_group_pairs", "documents"),
         # corpus preparation

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "link_prediction",
     "ann_sq8",
     "resource_alloc",
+    "clustering_coef",
     "assortativity",
     "event_cube",
     "trajectory_dtw",

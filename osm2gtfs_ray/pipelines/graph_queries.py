@@ -1860,3 +1860,47 @@ ANTI JOIN und e ON e.a = p.a AND e.b = p.b
 WHERE p.cn >= {LP_MIN_CN}
 ORDER BY p.a, p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (Watts-Strogatz): per node with degree
+# >= 2, lcc = triangles-through-node / C(d,2), in 1e6 integer fixed
+# point — a pure per-row map over q_triangles' output (which already
+# carries both the triangle count and the wedge capacity), so the
+# whole scale story is the triangle operator's (degree-ordered
+# orientation, O(m^1.5) wedge join, dual local/shuffle plans).
+
+LCC_SCALE = 10**6
+
+
+def q_clustering_coef(sf_dir: str):
+    """(doc_id, n_tri, lcc_fp): local clustering coefficient per node
+    of undirected degree >= 2, lcc_fp = n_tri * 1e6 // C(d, 2)."""
+    tri = q_triangles(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        nt = t["n_tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = t["n_wedge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # d >= 2 guarantees n_wedge = C(d,2) >= 1: no zero division
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tri": nt,
+                "lcc_fp": nt * np.int64(LCC_SCALE) // nw,
+            }
+        )
+
+    return tri.map_batches(score, batch_format="pyarrow")
+
+
+def sql_clustering_coef() -> str:
+    return f"""
+WITH {_sql_triangles().rsplit("SELECT", 1)[0]}
+SELECT dg.node AS doc_id,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(COALESCE(tc.n_tri, 0) * {LCC_SCALE}
+            // (dg.d * (dg.d - 1) // 2) AS BIGINT) AS lcc_fp
+FROM dg LEFT JOIN tc ON tc.node = dg.node
+WHERE dg.d >= 2
+ORDER BY doc_id
+"""

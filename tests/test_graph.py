@@ -1185,3 +1185,40 @@ class TestResourceAlloc:
             for a, b, cn, ra in zip(got["a"], got["b"], got["cn"], got["ra_fp"])
         }
         assert got_map == exp
+
+
+class TestClusteringCoef:
+    def test_matches_brute(self, ray_session):
+        from osm2gtfs_ray.pipelines.graph_queries import (
+            LCC_SCALE,
+            q_clustering_coef,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        und = _und_pairs_brute(n)
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = {}
+        for v, nbrs in adj.items():
+            d = len(nbrs)
+            if d < 2:
+                continue
+            ns = sorted(nbrs)
+            tri = sum(
+                1
+                for i in range(d)
+                for j in range(i + 1, d)
+                if (min(ns[i], ns[j]), max(ns[i], ns[j])) in und
+            )
+            exp[v] = (tri, tri * LCC_SCALE // (d * (d - 1) // 2))
+        got = q_clustering_coef(sf).to_pandas()
+        got_map = {
+            v: (t, l)
+            for v, t, l in zip(got["doc_id"], got["n_tri"], got["lcc_fp"])
+        }
+        assert got_map == exp
